@@ -1,0 +1,38 @@
+"""Scalar text functions (SURVEY §2.8) — all JVM-side Column expressions.
+
+Everything here stays inside whole-stage codegen: no Python UDFs. The
+reference implements these as per-row Python helpers; on Spark the same
+semantics compile to Catalyst expressions that run vectorized on executors.
+"""
+
+from .text import (
+    clean_thinking_tokens,
+    filename_stem,
+    normalize_whitespace,
+    sanitize_model_name,
+    tokenize_ws,
+    truncate_tokens,
+    ws_token_count,
+)
+from .textstats import (
+    char_count,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    word_count,
+)
+
+__all__ = [
+    "clean_thinking_tokens",
+    "filename_stem",
+    "normalize_whitespace",
+    "sanitize_model_name",
+    "tokenize_ws",
+    "truncate_tokens",
+    "ws_token_count",
+    "char_count",
+    "doc_fingerprint",
+    "language_id",
+    "quality_score",
+    "word_count",
+]

@@ -1,0 +1,96 @@
+"""Core text Column functions.
+
+Parity targets (all cited into ``/root/reference/``):
+
+* ``clean_thinking_tokens``  — ``run_full_evaluation_pipeline.py:34-63``
+  (copies in every runner and ``utils/clean_summaries.py:8-21``).
+* whitespace token count     — ``runners/run_summarization_ollama_mapreduce.py:58-60``
+  (``len(text.split())``).
+* token truncation           — ``runners/run_summarization_ollama.py:9-13,86-92``.
+* filename stem / model-name sanitize — ``run_full_evaluation_pipeline.py:326,518-519``.
+
+All of these are pure Catalyst expressions — they vectorize in whole-stage
+codegen and never cross the Python boundary, so they cost the same per-row at
+100 TB as any built-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# The reference strips five thinking-tag variants with DOTALL+IGNORECASE
+# (run_full_evaluation_pipeline.py:42-55). Java regex supports the same
+# inline flags.
+_THINK_TAGS = ("think", "thinking", "thought", "reasoning", "analysis")
+
+
+def strip_ws(col: Column | str) -> Column:
+    """Python ``str.strip()`` parity: remove leading/trailing whitespace of
+    any kind (Spark's ``trim`` only strips ASCII spaces)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def clean_thinking_tokens(col: Column | str) -> Column:
+    """Strip ``<think>...</think>`` (and variants) + squeeze blank lines.
+
+    Mirrors ``clean_thinking_tokens`` (run_full_evaluation_pipeline.py:34-63):
+    five chained case-insensitive DOTALL removals, then collapse 3+ newlines
+    to two, then trim.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for tag in _THINK_TAGS:
+        c = F.regexp_replace(c, f"(?is)<{tag}>.*?</{tag}>", "")
+    c = F.regexp_replace(c, r"\n\s*\n\s*\n", "\n\n")
+    return strip_ws(c)
+
+
+def normalize_whitespace(col: Column | str) -> Column:
+    """Collapse all whitespace runs to single spaces and trim.
+
+    Mirrors ``runners/run_summarization_ollama_mapreduce_hierarchical.py:39``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def tokenize_ws(col: Column | str) -> Column:
+    """Whitespace tokenization -> array<string>; empty text -> empty array.
+
+    Matches Python ``str.split()`` semantics (no empty tokens) used as the
+    reference's length function (run_summarization_ollama_mapreduce.py:58-60).
+    """
+    stripped = strip_ws(col)
+    return F.when(F.length(stripped) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(stripped, r"\s+")
+    )
+
+
+def ws_token_count(col: Column | str) -> Column:
+    """``len(text.split())`` as a codegen'd expression (int)."""
+    return F.size(tokenize_ws(col))
+
+
+def truncate_tokens(col: Column | str, max_tokens: int) -> Column:
+    """Keep the first ``max_tokens`` whitespace tokens, re-joined by spaces.
+
+    The reference truncates with a HF tokenizer (runners/run_summarization_
+    ollama.py:9-13); the engine's default length function is whitespace
+    tokens, so truncation uses the same unit. A tokenizer-backed variant
+    belongs in a pandas UDF (see summarize.summarizer) when fidelity to a
+    specific model's BPE matters.
+    """
+    return F.array_join(F.slice(tokenize_ws(col), 1, max_tokens), " ")
+
+
+def sanitize_model_name(col: Column | str) -> Column:
+    """``model.replace(':','_').replace('.','_')`` (run_full_evaluation_pipeline.py:326)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, ":.", "__")
+
+
+def filename_stem(col: Column | str) -> Column:
+    """Extract ``name`` from ``.../name.txt`` (run_full_evaluation_pipeline.py:518-519)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, r"([^/]+)\.[^./]+$", 1)

@@ -1,0 +1,90 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+North-star extensions beyond the reference surface (BASELINE.json): quality
+scoring, language ID, token/char/word counting, document fingerprinting.
+All are Catalyst expressions (JVM-side, codegen'd) so they run at full scan
+speed on a 100 TB corpus — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .text import normalize_whitespace, tokenize_ws, ws_token_count
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def word_count(col: Column | str) -> Column:
+    return ws_token_count(col)
+
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio language-ID
+# heuristic. Deliberately small: the point is a cheap scan-speed classifier,
+# not fastText parity.
+_LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "que"),
+    "vi": ("và", "là", "của", "không", "có", "một", "những", "được"),
+}
+
+
+def _stopword_hits(tokens: Column, words: tuple[str, ...]) -> Column:
+    """Count tokens that appear in a stopword list (array intersection size)."""
+    lit_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(lit_arr, F.lower(t))))
+
+
+def language_id(col: Column | str, languages: tuple[str, ...] = ("en", "de", "fr", "es", "vi")) -> Column:
+    """Stopword-ratio language ID: argmax over per-language stopword hits.
+
+    Ties broken by the fixed language order (first wins); zero hits -> 'und'.
+    """
+    tokens = tokenize_ws(col)
+    scores = [
+        F.struct(
+            _stopword_hits(tokens, _LANG_STOPWORDS[lang]).alias("hits"),
+            F.lit(len(languages) - i).alias("prio"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(languages)
+    ]
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic doc-quality score in [0,1] from cheap surface statistics.
+
+    Components (equal weight):
+      * length score   — 1 if 50..100k chars, linear ramp below 50
+      * token score    — 1 if mean token length in [3, 12]
+      * alpha ratio    — fraction of non-space chars that are alphanumeric
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_tokens = ws_token_count(c)
+    compact = F.regexp_replace(c, r"\s+", "")
+    n_compact = F.length(compact)
+    n_alpha = F.length(F.regexp_replace(compact, r"[^\p{L}\p{N}]", ""))
+
+    length_score = F.least(F.lit(1.0), n_chars.cast("double") / F.lit(50.0))
+    mean_tok_len = F.when(n_tokens > 0, n_compact.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    token_score = F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_compact > 0, n_alpha.cast("double") / n_compact).otherwise(F.lit(0.0))
+    return (length_score + token_score + alpha_ratio) / F.lit(3.0)
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of whitespace-normalized text.
+
+    Used by exact dedup (operators.dedup) — normalizing first makes the
+    fingerprint robust to formatting-only differences.
+    """
+    return F.md5(normalize_whitespace(col))

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs ``local[N]`` in one JVM, but every conf here is chosen so
+the same code runs unchanged on a 1000-executor cluster: AQE for runtime
+shuffle-partition coalescing and skew-join handling, Arrow for the pandas-UDF
+boundary, UTC session timezone so results are oracle-comparable, and a
+shuffle-partition count sized to the local core count rather than the
+200-partition default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # 128 MiB parquet split size: good balance of task count vs task overhead
+    # at TB scale; harmless locally.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Small dims (region/nation/supplier, reference summaries, doc trees) are
+    # broadcast; 64 MiB threshold keeps star-schema joins shuffle-free.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "48g",
+}
+
+
+def get_spark(
+    app_name: str = "vlds-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``SPARK_GRAFT_CPUS`` (default 32) sizes local parallelism and the
+    shuffle-partition count; on a real cluster pass ``master`` explicitly and
+    leave shuffle partitions to AQE's coalescing.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,55 @@
+from pyspark.sql import functions as F
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize import (
+    MockSummarizer,
+    iterative_refine_summarize,
+    mapreduce_summarize,
+    truncated_summarize,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, " ".join(f"alpha{i}" for i in range(5000))),  # long doc -> many chunks
+            (2, "short doc two tokens here"),                  # single chunk
+            (3, " ".join(f"beta{i}" for i in range(1500))),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_truncated_summarize(spark):
+    out = truncated_summarize(_docs(spark), MockSummarizer(32), max_input_tokens=100)
+    rows = {r.doc_id: r.summary for r in out.collect()}
+    assert rows[1].split() == [f"alpha{i}" for i in range(32)]
+    assert rows[2] == "short doc two tokens here"  # short doc passes through mock whole
+
+
+def test_mapreduce_summarize_produces_one_summary_per_doc(spark):
+    out = mapreduce_summarize(
+        _docs(spark), MockSummarizer(48), chunk_size=400, chunk_overlap=0, token_max=200
+    )
+    rows = {r.doc_id: r.summary for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    for s in rows.values():
+        assert 0 < len(s.split()) <= 48
+    # map stage summarizes chunk 0 first: final summary derives from doc start
+    assert rows[1].startswith("alpha0")
+
+
+def test_iterative_refine_folds_in_order(spark):
+    out = iterative_refine_summarize(
+        _docs(spark), MockSummarizer(30), chunk_size=300, chunk_overlap=0
+    )
+    rows = {r.doc_id: r.summary for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    # mock fold: first summary = first 30 tokens of chunk0; refine keeps prefix
+    assert rows[1].split()[0] == "alpha0"
+    assert rows[2] == "short doc two tokens here"
+
+
+def test_mapreduce_deterministic(spark):
+    a = mapreduce_summarize(_docs(spark), MockSummarizer(48), 400, 0, 200)
+    b = mapreduce_summarize(_docs(spark), MockSummarizer(48), 400, 0, 200)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -1,0 +1,65 @@
+from pyspark.sql import functions as F
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions import (
+    clean_thinking_tokens,
+    doc_fingerprint,
+    language_id,
+    normalize_whitespace,
+    sanitize_model_name,
+    truncate_tokens,
+    ws_token_count,
+)
+
+
+def _one(spark, col, value):
+    return spark.createDataFrame([(value,)], ["v"]).select(col.alias("r")).first()["r"]
+
+
+def test_clean_thinking_tokens_matches_reference_semantics(spark):
+    # mirrors the reference's inline smoke test (run_full_evaluation_pipeline.py:193-197)
+    raw = "<think>\nreasoning\nlines\n</think>\n\n\nReal summary. <THINKING>more</THINKING> End."
+    cleaned = _one(spark, clean_thinking_tokens(F.col("v")), raw)
+    assert "<think>" not in cleaned.lower()
+    assert "reasoning" not in cleaned
+    assert cleaned.startswith("Real summary.")
+    assert cleaned.endswith("End.")
+    # python reference implementation agreement
+    import re
+
+    expected = raw
+    for tag in ("think", "thinking", "thought", "reasoning", "analysis"):
+        expected = re.sub(
+            rf"<{tag}>.*?</{tag}>", "", expected, flags=re.DOTALL | re.IGNORECASE
+        )
+    expected = re.sub(r"\n\s*\n\s*\n", "\n\n", expected).strip()
+    assert cleaned == expected
+
+
+def test_ws_token_count_matches_python_split(spark):
+    for text in ["a b  c", "", "   ", "one", "x\n\ny z\t w"]:
+        got = _one(spark, ws_token_count(F.col("v")), text)
+        assert got == len(text.split()), text
+
+
+def test_truncate_tokens(spark):
+    assert _one(spark, truncate_tokens(F.col("v"), 3), "a b c d e") == "a b c"
+    assert _one(spark, truncate_tokens(F.col("v"), 10), "a b") == "a b"
+    assert _one(spark, truncate_tokens(F.col("v"), 3), "") == ""
+
+
+def test_sanitize_and_normalize(spark):
+    assert _one(spark, sanitize_model_name(F.col("v")), "llama3.2:3b") == "llama3_2_3b"
+    assert _one(spark, normalize_whitespace(F.col("v")), "  a \n b\t\tc ") == "a b c"
+
+
+def test_language_id_picks_stopword_language(spark):
+    assert _one(spark, language_id(F.col("v")), "the cat and the dog is here") == "en"
+    assert _one(spark, language_id(F.col("v")), "der hund und die katze ist") == "de"
+    assert _one(spark, language_id(F.col("v")), "zzz qqq") == "und"
+
+
+def test_doc_fingerprint_normalizes_whitespace(spark):
+    a = _one(spark, doc_fingerprint(F.col("v")), "hello   world")
+    b = _one(spark, doc_fingerprint(F.col("v")), "hello world\n")
+    c = _one(spark, doc_fingerprint(F.col("v")), "hello worlds")
+    assert a == b != c
