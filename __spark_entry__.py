@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query: the reference's headline map-reduce
+summarization pipeline (chunk -> map -> recursive collapse -> final reduce),
+run with the deterministic mock summarizer over the sf0.001 documents corpus,
+joined with per-doc corpus statistics.
+
+``queries()`` / ``oracle_sql()`` — the operator inventory from SURVEY §2
+mapped onto the harness tables; registry lives in
+``map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans``.
 """
 
 from __future__ import annotations
@@ -12,27 +15,56 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans import (
+    ORACLES,
+    QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions import (
+        ws_token_count,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.sources import (
+        load_table,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize import (
+        MockSummarizer,
+        mapreduce_summarize,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    summaries = mapreduce_summarize(
+        docs.select("doc_id", "text"),
+        MockSummarizer(max_tokens=24),
+        chunk_size=60,
+        chunk_overlap=10,
+        token_max=80,
+    )
+    stats = docs.select(
+        "doc_id", "lang", ws_token_count("text").alias("doc_tokens")
+    )
+    return summaries.join(stats, "doc_id").select(
+        "doc_id",
+        "lang",
+        "doc_tokens",
+        ws_token_count("summary").alias("summary_tokens"),
+        "summary",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY §2 (plus north-star
+    extensions); each callable takes (spark, sf_dir) -> DataFrame."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every oracle-checkable query; entries whose
+    semantics are driver-side iteration or per-group folds (collapse loop,
+    iterative refinement) are intentionally rows-only."""
+    return dict(ORACLES)

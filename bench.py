@@ -1,0 +1,67 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is forced end-to-end with the
+noop sink (full materialization, no driver collect cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark import get_spark
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans import QUERIES
+
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "late_shipment_counts",
+    "top2_orders_per_customer",
+    "customer_running_spend",
+    "events_sessionization",
+    "events_tumbling_10min",
+    "doc_stats_by_lang",
+    "doc_chunk_fixed100",
+    "doc_exact_dedup",
+    "embedding_knn_top3",
+    "pipeline_truncated_mock",
+    "pipeline_mapreduce_mock",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    spark = get_spark(app_name="vlds-bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,966 @@
+"""Harness query registry: Spark DataFrame queries + DuckDB oracle SQL twins.
+
+Each entry maps one operator family from SURVEY §2 (or a north-star
+extension) onto the driver's synthetic tables. Conventions that keep the
+order-insensitive value-hash comparison honest:
+
+* every computed column is aliased identically on both sides;
+* floating aggregates are ``round()``-ed on both sides (summation order
+  differs between engines at the ulp level);
+* DuckDB ``sum(integer)`` returns HUGEINT and ``floor`` returns DOUBLE —
+  oracles cast to BIGINT explicitly to match Spark's types;
+* computed time buckets are returned as epoch seconds (BIGINT), never raw
+  timestamps.
+
+Scale notes are attached per query: what broadcasts, what shuffles, and why
+the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import clean_thinking_tokens, tokenize_ws, truncate_tokens, ws_token_count
+from ..functions.textstats import doc_fingerprint, language_id, quality_score
+from ..operators.chunking import chunk_fixed_tokens
+from ..operators.collapse import bucket_running_sum
+from ..sources.tables import load_table as _t_impl
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _t_impl(spark, sf_dir, name)
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle.strip()
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.5 aggregations — TPC-H-style hash aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                    AS sum_qty,
+       round(sum(l_extendedprice), 2)                               AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+       round(avg(l_quantity), 4)                                    AS avg_qty,
+       round(avg(l_extendedprice), 4)                               AS avg_price,
+       round(avg(l_discount), 6)                                    AS avg_disc,
+       count(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (A1/A2/A3): partial+final hash agg; the filter pushes
+    to the parquet scan. One shuffle on the 2-key group — scales linearly."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "segment_stats",
+    oracle="""
+SELECT c_mktsegment,
+       count(*)                         AS n_customers,
+       round(avg(c_acctbal), 4)         AS avg_bal,
+       round(min(c_acctbal), 2)         AS min_bal,
+       round(max(c_acctbal), 2)         AS max_bal,
+       round(stddev_pop(c_acctbal), 4)  AS std_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-moments shape (A2): mean/std(pop)/min/max, matching the
+    reference's numpy population std (evaluate_summaries_semantic.py:600-617)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.stddev_pop("c_acctbal"), 4).alias("std_bal"),
+    )
+
+
+@query(
+    "price_histogram",
+    oracle="""
+SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+            WHEN o_totalprice >= 100000 THEN 'mid'
+            ELSE 'low' END              AS bucket,
+       count(*)                         AS n_orders,
+       round(sum(o_totalprice), 2)      AS total
+FROM orders
+GROUP BY 1
+""",
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed histogram (A4) — the sim >=0.7 / 0.4-0.7 / <0.4 counting
+    pattern (evaluate_summaries_semantic.py:661-671) as conditional CASE agg."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "priority_distinct_customers",
+    oracle="""
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*)                  AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def priority_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (SURVEY §2.5 'free in Spark' row)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "region_nation_rollup",
+    oracle="""
+SELECT r_name, n_name, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets over a broadcast star join: nation/region are
+    tiny dims — the 100 TB fact side never shuffles for the join."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "returnflag_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*)                  AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def returnflag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "region_customer_stats",
+    oracle="""
+SELECT r_name,
+       count(*)                 AS n_customers,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def region_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema equi-join chain (J1/J2): dims broadcast, fact streams."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "top_revenue_orders",
+    oracle="""
+SELECT o_orderkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY o_orderkey, c_name
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + TakeOrderedAndProject (O2). Explicit o_orderkey
+    tiebreaker keeps the limit deterministic under any partitioning."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "customers_with_orders",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — the reference's filename-set intersection (F1)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the 'warn + skip missing reference' report (F2/F3)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "late_shipment_counts",
+    oracle="""
+SELECT o_orderkey, count(*) AS n_late
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+             AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderkey
+""",
+)
+def late_shipment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + non-equi conjunct join (SURVEY §2.3 closing note): the equi part
+    keeps it a hash join; the range predicate evaluates post-probe."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return o.join(li, cond).groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_late"))
+
+
+# ---------------------------------------------------------------------------
+# §2.6 windows / sorts / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top2_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) t
+WHERE rnk <= 2
+""",
+)
+def top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (O3/A5): rank window with explicit tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@query(
+    "customer_running_spend",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_spend
+FROM orders
+""",
+)
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-sum frame (O4/D5's window shape)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "order_gap_days",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       date_diff('day',
+                 lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                                                      ORDER BY o_orderdate, o_orderkey),
+                 CAST(o_orderdate AS DATE)) AS gap_days
+FROM orders
+""",
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() refine-chain shape (O4) + date arithmetic (C13 family)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag(F.col("o_orderdate").cast("date")).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), prev).alias("gap_days"),
+    )
+
+
+@query(
+    "nation_top_customer",
+    oracle="""
+SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+WHERE rn = 1
+""",
+)
+def nation_top_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max per group (A5, run_full_evaluation_pipeline.py:909-921) as a
+    deterministic rank window (max_by's tie-break is engine-defined)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+@query(
+    "cheapest_parts",
+    oracle="""
+SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+FROM part
+ORDER BY p_retailprice, p_partkey
+LIMIT 25
+""",
+)
+def cheapest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy+limit (F4/O2) -> TakeOrderedAndProject, no full sort at scale."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.orderBy("p_retailprice", "p_partkey")
+        .limit(25)
+        .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_heavy_and_light",
+    oracle="""
+SELECT l_partkey FROM lineitem WHERE l_quantity >= 45
+INTERSECT
+SELECT l_partkey FROM lineitem WHERE l_quantity <= 5
+""",
+)
+def part_heavy_and_light(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (§2.7) — parts ordered in both extreme quantities."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") >= 45)
+        .select("l_partkey")
+        .intersect(li.filter(F.col("l_quantity") <= 5).select("l_partkey"))
+    )
+
+
+@query(
+    "part_heavy_only",
+    oracle="""
+SELECT l_partkey FROM lineitem WHERE l_quantity >= 45
+EXCEPT
+SELECT l_partkey FROM lineitem WHERE l_quantity <= 5
+""",
+)
+def part_heavy_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — the missing-ref report's moral equivalent (§2.7)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") >= 45)
+        .select("l_partkey")
+        .subtract(li.filter(F.col("l_quantity") <= 5).select("l_partkey"))
+    )
+
+
+@query(
+    "priority_slices_union",
+    oracle="""
+SELECT 'urgent' AS slice, o_orderkey, round(o_totalprice, 2) AS total
+FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT 'low' AS slice, o_orderkey, round(o_totalprice, 2) AS total
+FROM orders WHERE o_orderpriority = '5-LOW'
+""",
+)
+def priority_slices_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName stacking (§2.7) — per-model result-stacking shape."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("slice"), "o_orderkey", F.round("o_totalprice", 2).alias("total")
+    )
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.lit("low").alias("slice"), "o_orderkey", F.round("o_totalprice", 2).alias("total")
+    )
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# events: time windows, sessionization, JSON (§2.10 batch twins)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_tumbling_10min",
+    oracle="""
+SELECT CAST(epoch(time_bucket(INTERVAL 10 MINUTE, ts)) AS BIGINT) AS window_start,
+       event_type,
+       count(*)              AS n_events,
+       round(sum(value), 4)  AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (batch twin of the streaming agg §2.10);
+    bucket returned as epoch seconds, never a raw timestamp."""
+    e = _t(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes")
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle="""
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*)                         AS n_events
+FROM d GROUP BY user_id
+""",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap): Spark's session_window in batch mode;
+    oracle is the classic gaps-and-islands rewrite with matching >= gap
+    boundary semantics."""
+    e = _t(spark, sf_dir, "events")
+    sessions = e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events")
+    )
+
+
+@query(
+    "events_user_pivot",
+    oracle="""
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS clicks,
+       count(*) FILTER (event_type = 'view')     AS views,
+       count(*) FILTER (event_type = 'purchase') AS purchases,
+       round(sum(value), 4)                      AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def events_user_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation (A4/A7 shape)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@query(
+    "events_json_props",
+    oracle="""
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (§2.8 closing note: get_json_object)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents: the reference's text operators on the harness corpus
+# ---------------------------------------------------------------------------
+
+_WS = r"\s+"
+# DuckDB twin of functions.text.tokenize_ws (python str.split() parity)
+_DUCK_TOKS = (
+    "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN []::VARCHAR[] "
+    "ELSE regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END"
+)
+
+
+@query(
+    "doc_stats_by_lang",
+    oracle=f"""
+SELECT lang,
+       count(*)                                   AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)               AS total_chars,
+       round(avg(len({_DUCK_TOKS})), 4)           AS avg_tokens
+FROM documents
+GROUP BY lang
+""",
+)
+def doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus totals (A1, utils/calculate_tokens.py:86-101): count/sum/avg of
+    char + whitespace-token counts, grouped by language."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg(ws_token_count("text")), 4).alias("avg_tokens"),
+    )
+
+
+@query(
+    "doc_clean_thinking",
+    oracle="""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(
+              '<think>secret reasoning</think>\n\n\n' || text,
+              '(?is)<think>.*?</think>', '', 'g'),
+              '(?is)<thinking>.*?</thinking>', '', 'g'),
+              '(?is)<thought>.*?</thought>', '', 'g'),
+              '(?is)<reasoning>.*?</reasoning>', '', 'g'),
+              '(?is)<analysis>.*?</analysis>', '', 'g'),
+              '\n\\s*\n\\s*\n', '\n\n', 'g'),
+              '^\\s+|\\s+$', '', 'g')) AS clean_hash
+FROM documents
+""",
+)
+def doc_clean_thinking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thinking-token strip (F5/C4): each doc is wrapped with an injected
+    <think> block, cleaned with the reference's 5-pattern chain, and hashed.
+    A wrong regex (missed tag, greedy match, unstripped whitespace) breaks
+    the hash for every row."""
+    d = _t(spark, sf_dir, "documents")
+    wrapped = F.concat(F.lit("<think>secret reasoning</think>\n\n\n"), F.col("text"))
+    return d.select("doc_id", F.md5(clean_thinking_tokens(wrapped)).alias("clean_hash"))
+
+
+@query(
+    "doc_truncate_first50",
+    oracle=f"""
+SELECT doc_id,
+       array_to_string(list_slice({_DUCK_TOKS}, 1, 50), ' ') AS truncated,
+       least(len({_DUCK_TOKS}), 50)                          AS n_tokens
+FROM documents
+""",
+)
+def doc_truncate_first50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level truncation (F6, runners/run_summarization_ollama.py:9-13)."""
+    d = _t(spark, sf_dir, "documents")
+    trunc = truncate_tokens("text", 50)
+    return d.select(
+        "doc_id",
+        trunc.alias("truncated"),
+        F.least(ws_token_count("text"), F.lit(50)).alias("n_tokens"),
+    )
+
+
+@query(
+    "doc_exact_dedup",
+    oracle="""
+SELECT md5(regexp_replace(regexp_replace(text, '\\s+', ' ', 'g'), '^ +| +$', '', 'g'))
+         AS fingerprint,
+       count(*)                    AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+FROM documents
+GROUP BY 1
+""",
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint (north-star): hash-groupBy on a
+    whitespace-normalized md5 — one shuffle on the hash, scales to 100 TB
+    because only (hash, count, keeper) survive the map side."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(doc_fingerprint("text").alias("fingerprint")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+@query(
+    "doc_chunk_fixed100",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+n AS (SELECT doc_id, toks,
+             greatest(1, CAST(ceil(len(toks) / 100.0) AS INT)) AS nc
+      FROM t),
+x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM n)
+SELECT doc_id,
+       CAST(i AS INT)                                        AS chunk_idx,
+       md5(array_to_string(toks[i*100+1 : (i+1)*100], ' '))  AS chunk_hash,
+       len(toks[i*100+1 : (i+1)*100])                        AS n_tokens
+FROM x
+""",
+)
+def doc_chunk_fixed100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token chunk explode (D1's oracle-checkable twin): one doc row ->
+    ceil(n/100) ordered chunk rows, entirely in whole-stage codegen."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = chunk_fixed_tokens(d, 100)
+    return chunks.select(
+        "doc_id", "chunk_idx", F.md5("chunk").alias("chunk_hash"), "n_tokens"
+    )
+
+
+@query(
+    "doc_collapse_buckets",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+n AS (SELECT doc_id, toks,
+             greatest(1, CAST(ceil(len(toks) / 20.0) AS INT)) AS nc
+      FROM t),
+x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM n),
+chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         len(toks[i*20+1 : (i+1)*20]) AS n_tokens
+  FROM x)
+SELECT doc_id, chunk_idx,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_idx
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 25.0) AS INT) AS group_id
+FROM chunks
+""",
+)
+def doc_collapse_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-bounded collapse grouping (D5) as the running-sum window bucket:
+    20-token chunks packed into 25-token groups by starting offset."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = chunk_fixed_tokens(d, 20).select("doc_id", "chunk_idx", "n_tokens")
+    return bucket_running_sum(chunks, 25).select("doc_id", "chunk_idx", "group_id")
+
+
+@query(
+    "doc_quality_scores",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+              ELSE len(regexp_split_to_array(
+                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS n_compact,
+         length(regexp_replace(regexp_replace(text, '\\s+', '', 'g'),
+                               '[^\\p{L}\\p{N}]', '', 'g')) AS n_alpha
+  FROM documents)
+SELECT doc_id,
+       round((least(1.0, n_chars / 50.0)
+              + CASE WHEN n_tokens > 0
+                      AND n_compact * 1.0 / n_tokens BETWEEN 3.0 AND 12.0
+                     THEN 1.0 ELSE 0.0 END
+              + CASE WHEN n_compact > 0 THEN n_alpha * 1.0 / n_compact ELSE 0.0 END
+             ) / 3.0, 4) AS quality
+FROM s
+""",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (north-star text analysis): pure scan-speed surface
+    statistics, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(quality_score("text"), 4).alias("quality"))
+
+
+@query(
+    "doc_language_id",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(
+                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS toks
+  FROM documents),
+h AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that'], lower(x)))) AS en,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], lower(x)))) AS de,
+    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','des'], lower(x)))) AS fr,
+    len(list_filter(toks, x -> list_contains(['el','la','los','y','es','un','una','que'], lower(x)))) AS es,
+    len(list_filter(toks, x -> list_contains(['và','là','của','không','có','một','những','được'], lower(x)))) AS vi
+  FROM t)
+SELECT doc_id,
+       CASE WHEN greatest(en, de, fr, es, vi) = 0 THEN 'und'
+            WHEN en >= de AND en >= fr AND en >= es AND en >= vi THEN 'en'
+            WHEN de >= fr AND de >= es AND de >= vi THEN 'de'
+            WHEN fr >= es AND fr >= vi THEN 'fr'
+            WHEN es >= vi THEN 'es'
+            ELSE 'vi' END AS lang_pred
+FROM h
+""",
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID (north-star): argmax over per-language
+    stopword hits, earlier language wins ties."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", language_id("text").alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search (north-star)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_knn_top3",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           AS sim
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, rnk FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM sims) t
+WHERE rnk <= 3
+""",
+)
+def embedding_knn_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (north-star similarity search baseline):
+    broadcast the (small) query set against the corpus — the corpus side
+    streams with no shuffle; top-k via rank window on (query, sim).
+
+    Dot products run JVM-side via zip_with + aggregate in DOUBLE, iterating
+    in array order so the oracle's summation matches bit-for-bit; only the
+    (query_id, neighbor_id, rank) triple is returned so ulp-level float
+    noise cannot touch the hash."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", vec.alias("v"))
+    q = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sims = (
+        F.broadcast(q)
+        .crossJoin(base.withColumnRenamed("vec_id", "neighbor_id"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("v"), F.col("v")))
+                )
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end pipeline queries (the reference's approaches, mock summarizer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_truncated_mock",
+    oracle=f"""
+SELECT doc_id,
+       array_to_string(list_slice({_DUCK_TOKS}, 1, 64), ' ') AS summary
+FROM documents
+""",
+)
+def pipeline_truncated_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated approach end-to-end (EP1 stage c for approach='truncated')
+    with the deterministic mock: truncate (F6/F7) -> summarize -> clean (F5).
+    The oracle is the algebraic collapse of the whole pipeline: first
+    min(64, n) tokens."""
+    from ..summarize import MockSummarizer, truncated_summarize
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return truncated_summarize(d, MockSummarizer(64), max_input_tokens=16384)
+
+
+@query("pipeline_mapreduce_mock")  # rows-only: driver checks rowcount/schema
+def pipeline_mapreduce_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-reduce approach end-to-end with the mock summarizer: chunk ->
+    map -> greedy bucket -> recursive collapse -> final reduce -> clean.
+    The collapse convergence loop is driver-orchestrated iteration — not
+    single-statement SQL — so this entry takes the weaker rows-only check;
+    unit tests assert its topology (chunk counts, collapse rounds, totals)."""
+    from ..summarize import MockSummarizer, mapreduce_summarize
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return mapreduce_summarize(
+        d, MockSummarizer(24), chunk_size=60, chunk_overlap=10, token_max=80
+    )
+
+
+@query("pipeline_iterative_mock")  # rows-only: ordered per-doc fold
+def pipeline_iterative_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative-refinement approach end-to-end: per-doc left fold in
+    chunk_idx order inside applyInPandas (D11) — sequential within a doc,
+    parallel across docs."""
+    from ..summarize import MockSummarizer, iterative_refine_summarize
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return iterative_refine_summarize(d, MockSummarizer(32), chunk_size=60)
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+SELECT label, CAST(i - 1 AS INT) AS dim,
+       round(avg(embedding[i]::DOUBLE), 6) AS centroid
+FROM embeddings, generate_series(1, 64) AS gs(i)
+GROUP BY label, i
+""",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (array agg shape): posexplode + hash agg — the
+    map-side partial agg means only 64 x n_labels rows shuffle."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"))
+    )

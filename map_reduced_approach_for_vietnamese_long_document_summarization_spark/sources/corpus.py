@@ -1,0 +1,45 @@
+"""Text-corpus source & sink (SURVEY §2.1 S1/S2/S5).
+
+The reference's fundamental abstraction is 'a directory of UTF-8 text files
+keyed by filename' (SURVEY §1; run_full_evaluation_pipeline.py:417-444).
+Spark-first: ``binaryFile`` source (splits across executors, supports glob
+pushdown via ``pathGlobFilter``) decoded to ``(doc_id, text)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import filename_stem
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, glob: str = "*.txt"
+) -> DataFrame:
+    """Scan ``path`` for text files -> ``(doc_id, text)``; one row per file.
+
+    ``pathGlobFilter`` is the extension filter (S2) applied at listing time —
+    filtered files are never opened. doc_id = filename stem, the reference's
+    join key.
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", F.col("content").cast("string").alias("text"))
+    )
+    return raw.select(filename_stem("path").alias("doc_id"), "text")
+
+
+def write_per_doc_text(df: DataFrame, out_dir: str, id_col: str = "doc_id", text_col: str = "summary") -> None:
+    """Per-doc text sink (S5): one output file per document, idempotent by key.
+
+    The reference writes ``<dir>/<fname>`` per summary (run_full_evaluation_
+    pipeline.py:569-570). Distributed equivalent: partition the write by
+    doc_id so each doc lands in its own directory; overwrite mode keeps it
+    idempotent for incremental reruns (F3 pairs with ``skip_existing``).
+    """
+    df.select(id_col, F.col(text_col).alias("value")).write.mode("overwrite").partitionBy(
+        id_col
+    ).text(out_dir)

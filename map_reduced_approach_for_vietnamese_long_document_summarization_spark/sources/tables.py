@@ -1,0 +1,25 @@
+"""Harness parquet table loader.
+
+The driver's ``events`` table carries a nanosecond-precision parquet
+timestamp, which Spark's vectorized reader rejects outright (DuckDB and
+Arrow read it fine). The loader flips the runtime-settable
+``spark.sql.legacy.parquet.nanosAsLong`` conf and converts the resulting
+int64 nanos to a microsecond timestamp — lossless here, since the generated
+data has no sub-microsecond component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    if name != "events":
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,78 @@
+"""Replicates the driver's t2 check locally: run every registered Spark query
+and its DuckDB oracle on the same parquet tables, compare row count, column
+names, and order-insensitive values (exact, post-rounding)."""
+
+import math
+
+import duckdb
+import pytest
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans import (
+    ORACLES,
+    QUERIES,
+)
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<nan>"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(v)
+    return str(v)
+
+
+def _normalize(df_pandas):
+    cols = sorted(df_pandas.columns)
+    rows = [
+        tuple(_norm_cell(v) for v in row)
+        for row in df_pandas[cols].itertuples(index=False, name=None)
+    ]
+    return cols, sorted(rows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    odf = duck.sql(ORACLES[name]).df()
+    scols, srows = _normalize(sdf)
+    ocols, orows = _normalize(odf)
+    assert scols == ocols, f"{name}: column mismatch {scols} vs {ocols}"
+    assert len(srows) == len(orows), f"{name}: rowcount {len(srows)} vs {len(orows)}"
+    if srows != orows:
+        diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_all_queries_have_entries():
+    # every oracle key must have a query; queries without oracles are the
+    # explicitly weaker rows-only set
+    assert set(ORACLES) <= set(QUERIES)
+    assert len(QUERIES) >= 25
