@@ -1,0 +1,62 @@
+"""Statistical aggregation over per-pair metric rows (SURVEY §2.5 A2/A4/A5).
+
+Mirrors the reference's summary-statistics stage (evaluate/evaluate_summaries
+_semantic.py:600-671) and best-model comparison (run_full_evaluation_pipeline
+.py:909-921): moments use **population** std (numpy default) -> stddev_pop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def metric_moments(
+    df: DataFrame, metric_cols: list[str], group_cols: list[str] = []
+) -> DataFrame:
+    """mean/std(pop)/min/max per metric column (A2), optionally per group."""
+    aggs = []
+    for m in metric_cols:
+        aggs += [
+            F.avg(m).alias(f"{m}_mean"),
+            F.stddev_pop(m).alias(f"{m}_std"),
+            F.min(m).alias(f"{m}_min"),
+            F.max(m).alias(f"{m}_max"),
+        ]
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def similarity_histogram(
+    df: DataFrame,
+    score_col: str,
+    group_cols: list[str] = [],
+    hi: float = 0.7,
+    lo: float = 0.4,
+) -> DataFrame:
+    """The >=0.7 / 0.4-0.7 / <0.4 bucket counting (A4, evaluate_summaries_
+    semantic.py:661-671) as one conditional aggregation."""
+    s = F.col(score_col)
+    aggs = [
+        F.count(F.when(s >= hi, 1)).alias("n_high"),
+        F.count(F.when((s >= lo) & (s < hi), 1)).alias("n_mid"),
+        F.count(F.when(s < lo, 1)).alias("n_low"),
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def best_by_metric(
+    df: DataFrame, metric_col: str, candidate_col: str = "model", group_cols: list[str] = []
+) -> DataFrame:
+    """Arg-max comparison (A5): which candidate wins each metric. Rank window
+    with an explicit candidate tiebreak — deterministic where max_by isn't."""
+    w = Window.partitionBy(*group_cols).orderBy(F.desc(metric_col), candidate_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

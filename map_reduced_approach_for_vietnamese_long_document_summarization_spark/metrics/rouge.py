@@ -1,0 +1,114 @@
+"""ROUGE-1/2/L F1 (SURVEY §2.9 M1; evaluate/evaluate_summaries_semantic.py
+:132-148).
+
+Pure-deterministic re-implementation of the n-gram-overlap metric family
+(rouge_score's English Porter stemmer is a no-op for Vietnamese, so the
+rebuild omits stemming; tokenization is whitespace, matching the engine's
+default length function).
+
+Two forms:
+
+* ``rouge_scores_udf`` — Arrow-batched pandas UDF returning
+  ``struct<rouge1_f, rouge2_f, rougeL_f>`` per (generated, reference) pair.
+  ROUGE-L's LCS is a per-pair O(m*n) dynamic program — inherently imperative,
+  the canonical pandas-UDF case.
+* ``rouge1_f1_expr`` — ROUGE-1 F1 as a *pure Catalyst expression* (multiset
+  unigram overlap via map-based counting). JVM-side, oracle-checkable, and
+  the 100 TB fast path when only unigram overlap is needed.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import tokenize_ws
+
+
+def _counts(items: list) -> dict:
+    d: dict = {}
+    for it in items:
+        d[it] = d.get(it, 0) + 1
+    return d
+
+
+def _ngram_f1(gen: list[str], ref: list[str], n: int) -> float:
+    g = [tuple(gen[i : i + n]) for i in range(len(gen) - n + 1)]
+    r = [tuple(ref[i : i + n]) for i in range(len(ref) - n + 1)]
+    if not g or not r:
+        return 0.0
+    gc, rc = _counts(g), _counts(r)
+    inter = sum(min(c, rc.get(k, 0)) for k, c in gc.items())
+    if inter == 0:
+        return 0.0
+    return 2.0 * inter / (len(g) + len(r))
+
+
+def _lcs_len(a: list[str], b: list[str]) -> int:
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j, y in enumerate(b, 1):
+            cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[-1]
+
+
+def rouge_pair(generated: str, reference: str) -> tuple[float, float, float]:
+    """(rouge1_f, rouge2_f, rougeL_f) for one pair — plain Python, testable."""
+    g = (generated or "").split()
+    r = (reference or "").split()
+    r1 = _ngram_f1(g, r, 1)
+    r2 = _ngram_f1(g, r, 2)
+    lcs = _lcs_len(g, r)
+    rl = 2.0 * lcs / (len(g) + len(r)) if lcs else 0.0
+    return r1, r2, rl
+
+
+_ROUGE_SCHEMA = T.StructType(
+    [
+        T.StructField("rouge1_f", T.DoubleType()),
+        T.StructField("rouge2_f", T.DoubleType()),
+        T.StructField("rougeL_f", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_ROUGE_SCHEMA)
+def rouge_scores_udf(generated: pd.Series, reference: pd.Series) -> pd.DataFrame:
+    rows = [rouge_pair(g, r) for g, r in zip(generated, reference)]
+    return pd.DataFrame(rows, columns=["rouge1_f", "rouge2_f", "rougeL_f"])
+
+
+def rouge1_f1_expr(gen_col: Column | str, ref_col: Column | str) -> Column:
+    """ROUGE-1 F1 as a Catalyst expression.
+
+    Multiset intersection via ``aggregate`` over the distinct generated
+    tokens, counting ``least(count_in_gen, count_in_ref)`` with
+    ``size(filter(...))`` — no shuffle, no Python; runs at scan speed.
+    """
+    g = tokenize_ws(gen_col)
+    r = tokenize_ws(ref_col)
+
+    def overlap(gtoks: Column, rtoks: Column) -> Column:
+        uniq = F.array_distinct(gtoks)
+        return F.aggregate(
+            uniq,
+            F.lit(0),
+            lambda acc, tok: acc
+            + F.least(
+                F.size(F.filter(gtoks, lambda x: x == tok)),
+                F.size(F.filter(rtoks, lambda x: x == tok)),
+            ),
+        )
+
+    inter = overlap(g, r)
+    denom = F.size(g) + F.size(r)
+    return F.when(
+        (F.size(g) > 0) & (F.size(r) > 0) & (inter > 0),
+        2.0 * inter / denom,
+    ).otherwise(F.lit(0.0))

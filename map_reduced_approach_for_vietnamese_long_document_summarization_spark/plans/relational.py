@@ -897,6 +897,148 @@ def embedding_knn_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# metric engine (§2.9 M1-M5, §2.5 A2/A4/A5) on the documents corpus
+# ---------------------------------------------------------------------------
+
+# shared oracle CTE: a synthetic (generated, reference) pair per doc —
+# generated = tokens 1..60, reference = tokens 31..120 (guaranteed overlap)
+_DUCK_ROUGE1 = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+pair AS (SELECT doc_id, toks[1:60] AS g, toks[31:120] AS r FROM t),
+gc AS (SELECT doc_id, tok, count(*) AS c
+       FROM (SELECT doc_id, unnest(g) AS tok FROM pair) GROUP BY 1, 2),
+rc AS (SELECT doc_id, tok, count(*) AS c
+       FROM (SELECT doc_id, unnest(r) AS tok FROM pair) GROUP BY 1, 2),
+i AS (SELECT gc.doc_id, sum(least(gc.c, rc.c)) AS inter
+      FROM gc JOIN rc ON gc.doc_id = rc.doc_id AND gc.tok = rc.tok GROUP BY 1),
+l AS (SELECT pair.doc_id, len(g) AS lg, len(r) AS lr, coalesce(inter, 0) AS inter
+      FROM pair LEFT JOIN i ON pair.doc_id = i.doc_id),
+scores AS (
+  SELECT doc_id,
+         CASE WHEN lg > 0 AND lr > 0 AND inter > 0
+              THEN 2.0 * inter / (lg + lr) ELSE 0.0 END AS rouge1
+  FROM l)
+"""
+
+
+def _rouge1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the oracle CTE, scored with the JVM rouge1 expression."""
+    from ..metrics.rouge import rouge1_f1_expr
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokenize_ws("text")
+    pair = d.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 60), " ").alias("g"),
+        F.array_join(F.slice(toks, 31, 90), " ").alias("r"),
+    )
+    return pair.select("doc_id", rouge1_f1_expr("g", "r").alias("rouge1"))
+
+
+@query(
+    "rouge1_per_doc",
+    oracle=_DUCK_ROUGE1
+    + """
+SELECT doc_id, round(rouge1, 6) AS rouge1_f FROM scores
+""",
+)
+def rouge1_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 F1 per (generated, reference) pair (M1) — multiset unigram
+    overlap computed entirely JVM-side (metrics.rouge.rouge1_f1_expr)."""
+    return _rouge1_pairs(spark, sf_dir).select(
+        "doc_id", F.round("rouge1", 6).alias("rouge1_f")
+    )
+
+
+@query(
+    "rouge1_moments_by_lang",
+    oracle=_DUCK_ROUGE1
+    + """
+SELECT lang,
+       round(avg(rouge1), 6)        AS mean_r1,
+       round(stddev_pop(rouge1), 6) AS std_r1,
+       round(min(rouge1), 6)        AS min_r1,
+       round(max(rouge1), 6)        AS max_r1,
+       count(*)                     AS n
+FROM scores JOIN documents USING (doc_id)
+GROUP BY lang
+""",
+)
+def rouge1_moments_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric moments (A2): mean/std(pop)/min/max — population std matches
+    the reference's numpy default (evaluate_summaries_semantic.py:600-617)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    scores = _rouge1_pairs(spark, sf_dir).join(d, "doc_id")
+    return scores.groupBy("lang").agg(
+        F.round(F.avg("rouge1"), 6).alias("mean_r1"),
+        F.round(F.stddev_pop("rouge1"), 6).alias("std_r1"),
+        F.round(F.min("rouge1"), 6).alias("min_r1"),
+        F.round(F.max("rouge1"), 6).alias("max_r1"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "rouge1_histogram",
+    oracle=_DUCK_ROUGE1
+    + """
+SELECT count(*) FILTER (rouge1 >= 0.7)                  AS n_high,
+       count(*) FILTER (rouge1 >= 0.4 AND rouge1 < 0.7) AS n_mid,
+       count(*) FILTER (rouge1 < 0.4)                   AS n_low
+FROM scores
+""",
+)
+def rouge1_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity histogram (A4): the reference's >=0.7 / 0.4-0.7 / <0.4
+    bucket counting (evaluate_summaries_semantic.py:661-671)."""
+    from ..metrics.aggregate import similarity_histogram
+
+    return similarity_histogram(_rouge1_pairs(spark, sf_dir), "rouge1")
+
+
+@query(
+    "best_source_by_quality",
+    oracle="""
+WITH s AS (
+  SELECT lang, source,
+         avg((least(1.0, length(text) / 50.0)
+              + CASE WHEN (CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                           ELSE len(regexp_split_to_array(
+                                  regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END) > 0
+                      AND length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                          / (CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 1
+                             ELSE len(regexp_split_to_array(
+                                    regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END)
+                          BETWEEN 3.0 AND 12.0
+                     THEN 1.0 ELSE 0.0 END
+              + CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0
+                     THEN length(regexp_replace(regexp_replace(text, '\\s+', '', 'g'),
+                                                '[^\\p{L}\\p{N}]', '', 'g')) * 1.0
+                          / length(regexp_replace(text, '\\s+', '', 'g'))
+                     ELSE 0.0 END) / 3.0) AS avg_quality
+  FROM documents GROUP BY lang, source)
+SELECT lang, source, round(avg_quality, 6) AS avg_quality FROM (
+  SELECT lang, source, avg_quality,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY avg_quality DESC, source) AS rn
+  FROM s) t
+WHERE rn = 1
+""",
+)
+def best_source_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max comparison (A5, run_full_evaluation_pipeline.py:909-921): the
+    best-scoring source per language, deterministic rank window."""
+    from ..metrics.aggregate import best_by_metric
+
+    d = _t(spark, sf_dir, "documents")
+    per_source = d.groupBy("lang", "source").agg(
+        F.avg(quality_score("text")).alias("avg_quality")
+    )
+    best = best_by_metric(per_source, "avg_quality", "source", ["lang"])
+    return best.select("lang", "source", F.round("avg_quality", 6).alias("avg_quality"))
+
+
+# ---------------------------------------------------------------------------
 # end-to-end pipeline queries (the reference's approaches, mock summarizer)
 # ---------------------------------------------------------------------------
 

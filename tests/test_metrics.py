@@ -1,0 +1,87 @@
+import math
+
+from pyspark.sql import functions as F
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.metrics import (
+    best_by_metric,
+    cosine_similarity_expr,
+    metric_moments,
+    rouge1_f1_expr,
+    similarity_histogram,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.metrics.evaluate import (
+    evaluate_summaries,
+    summary_statistics,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.metrics.rouge import (
+    rouge_pair,
+)
+
+
+def test_rouge_pair_known_values():
+    # identical texts -> all 1.0
+    r1, r2, rl = rouge_pair("a b c d", "a b c d")
+    assert (r1, r2, rl) == (1.0, 1.0, 1.0)
+    # disjoint -> all 0.0
+    assert rouge_pair("a b", "x y") == (0.0, 0.0, 0.0)
+    # half overlap unigram: gen=a b, ref=a c -> inter=1, f1=2*1/4=0.5
+    r1, r2, rl = rouge_pair("a b", "a c")
+    assert r1 == 0.5 and rl == 0.5
+    # empty handling
+    assert rouge_pair("", "a b") == (0.0, 0.0, 0.0)
+    # multiset: gen="a a b", ref="a b b" -> inter unigram = min(2,1)+min(1,2)=2 -> 2*2/6
+    r1, _, _ = rouge_pair("a a b", "a b b")
+    assert math.isclose(r1, 4 / 6)
+
+
+def test_rouge_lcs_ordering():
+    # LCS of "a b c d" vs "a c b d" = 3 ("a b d" or "a c d") -> f=2*3/8
+    _, _, rl = rouge_pair("a b c d", "a c b d")
+    assert math.isclose(rl, 0.75)
+
+
+def test_rouge1_expr_matches_python(spark):
+    rows = [("a a b c", "a b b"), ("x y", "y"), ("", "a"), ("q w e", "q w e")]
+    df = spark.createDataFrame(rows, ["g", "r"])
+    got = [x["f"] for x in df.select(rouge1_f1_expr("g", "r").alias("f")).collect()]
+    want = [rouge_pair(g, r)[0] for g, r in rows]
+    assert all(math.isclose(a, b) for a, b in zip(got, want))
+
+
+def test_cosine_similarity_expr(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([0.0, 0.0], [1.0, 1.0])],
+        ["a", "b"],
+    )
+    got = [r["c"] for r in df.select(cosine_similarity_expr("a", "b").alias("c")).collect()]
+    assert math.isclose(got[0], 1.0) and math.isclose(got[1], 0.0) and got[2] == 0.0
+
+
+def test_evaluate_summaries_pipeline(spark):
+    gen = spark.createDataFrame(
+        [(1, "<think>hidden</think>the cat sat"), (2, "dogs run fast"), (9, "no ref")],
+        ["doc_id", "summary"],
+    )
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "cats run slow"), (8, "orphan")],
+        ["doc_id", "reference"],
+    )
+    out = evaluate_summaries(gen, ref).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [1, 2]  # inner-join pairing
+    assert math.isclose(out[0].rouge1_f, 1.0)  # thinking tags cleaned before scoring
+    stats = summary_statistics(evaluate_summaries(gen, ref)).first()
+    assert stats["n"] == 2 and stats["n_high"] + stats["n_mid"] + stats["n_low"] == 2
+
+
+def test_moments_and_best(spark):
+    df = spark.createDataFrame(
+        [("m1", 0.5), ("m1", 0.7), ("m2", 0.9), ("m2", 0.1)], ["model", "score"]
+    )
+    m = metric_moments(df, ["score"], ["model"]).orderBy("model").collect()
+    assert math.isclose(m[0]["score_mean"], 0.6)
+    assert math.isclose(m[0]["score_std"], 0.1)  # population std
+    per_model = df.groupBy("model").agg(F.avg("score").alias("avg_score"))
+    best = best_by_metric(per_model, "avg_score", "model").collect()
+    assert len(best) == 1 and best[0]["model"] == "m1"
+    h = similarity_histogram(df, "score").first()
+    assert (h["n_high"], h["n_mid"], h["n_low"]) == (2, 1, 1)
