@@ -1088,6 +1088,55 @@ def pipeline_iterative_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iterative_refine_summarize(d, MockSummarizer(32), chunk_size=60)
 
 
+@query("pipeline_critique_mock")  # rows-only: critique loop is conditional LLM chaining
+def pipeline_critique_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-reduce + critique/refine end-to-end (D9/D10) with the mock
+    summarizer and the every-other-group mock critic."""
+    from ..summarize import MockCritic, MockSummarizer, mapreduce_critique_summarize
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return mapreduce_critique_summarize(
+        d,
+        MockSummarizer(21),
+        MockCritic(),
+        chunk_size=60,
+        chunk_overlap=10,
+        token_max=80,
+        max_critique_iterations=2,
+    )
+
+
+@query("pipeline_hierarchical_mock")  # rows-only: per-level driver loop
+def pipeline_hierarchical_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical tree collapse end-to-end (D12-D17): each document is
+    lifted into a two-section tree (Document -> Header -> Paragraph), then
+    collapsed bottom-up."""
+    from ..functions.text import tokenize_ws as _tok
+    from ..summarize import MockSummarizer, hierarchical_summarize
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _tok("text")
+    half = (F.size(toks) / 2).cast("int")
+    leaf = lambda txt: F.struct(F.lit("Paragraph").alias("type"), txt.alias("text"))  # noqa: E731
+    header = lambda title, body: F.struct(  # noqa: E731
+        F.lit("Header").alias("type"), F.lit(title).alias("text"), F.array(leaf(body)).alias("children")
+    )
+    tree = F.to_json(
+        F.struct(
+            F.lit("Document").alias("type"),
+            F.col("doc_id").cast("string").alias("text"),
+            F.array(
+                header("Part 1", F.array_join(F.slice(toks, 1, half), " ")),
+                header("Part 2", F.array_join(F.slice(toks, half + 1, F.size(toks)), " ")),
+            ).alias("children"),
+        )
+    )
+    trees = d.select(F.col("doc_id").cast("string").alias("doc_id"), tree.alias("tree_json"))
+    return hierarchical_summarize(
+        trees, MockSummarizer(24), max_depth=1, chunk_size=60, chunk_overlap=10, token_max=80
+    )
+
+
 @query(
     "embedding_label_centroids",
     oracle="""

@@ -6,6 +6,8 @@ from .approaches import (
     mapreduce_summarize,
     truncated_summarize,
 )
+from .critique import Critic, MockCritic, OllamaCritic, mapreduce_critique_summarize
+from .hierarchical import flatten_tree_json, hierarchical_summarize
 
 __all__ = [
     "Summarizer",
@@ -14,4 +16,10 @@ __all__ = [
     "truncated_summarize",
     "mapreduce_summarize",
     "iterative_refine_summarize",
+    "Critic",
+    "MockCritic",
+    "OllamaCritic",
+    "mapreduce_critique_summarize",
+    "flatten_tree_json",
+    "hierarchical_summarize",
 ]

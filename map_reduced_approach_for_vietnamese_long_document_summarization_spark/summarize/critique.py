@@ -1,0 +1,206 @@
+"""Map-reduce with critique/refine (SURVEY §2.4 D9/D10; runners/
+run_summarization_ollama_mapreduce_critique.py).
+
+Reference flow per reduce group (CR:224-265): tag member summaries with
+``[PHẦN i]`` section markers, reduce to an initial summary, ask a critic to
+compare it against reference content, and — unless the critique contains a
+stop phrase ("không có vấn đề" / "no issues") or the iteration cap is hit —
+refine once. The final reduce pre-collapses intermediates when they exceed
+``token_max // 2`` (CR:305-346).
+
+Spark design: the critique-reduce is a composed per-group function (LLM call
+chain + string conditional), so it runs in ``applyInPandas`` over
+``(doc_id, group_id)`` — one Arrow batch per group, parallel across the
+corpus. Reference content for level 1 is the group's original chunks
+(positional alignment J5 made explicit by carrying ``orig`` alongside each
+summary row); later levels critique against the summaries being collapsed,
+exactly as the reference does.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import clean_thinking_tokens, ws_token_count
+from ..operators.chunking import chunk_documents
+from ..operators.collapse import bucket_by_token_budget
+from .summarizer import Summarizer
+
+STOP_PHRASES = ("không có vấn đề", "no issues")
+
+
+class Critic:
+    """Critique + refine hooks. Deterministic mock by default: flags every
+    other group (FIXTURES.md §7) so both branches are exercised in tests."""
+
+    def critique(self, summary: str, reference: str) -> str:  # pragma: no cover
+        raise NotImplementedError
+
+    def refine(self, summary: str, critique: str, reference: str) -> str:  # pragma: no cover
+        raise NotImplementedError
+
+
+class MockCritic(Critic):
+    """Flags groups whose summary has an odd token count; refine prepends a
+    deterministic marker so refined outputs are distinguishable in asserts."""
+
+    def critique(self, summary: str, reference: str) -> str:
+        if len(summary.split()) % 2 == 0:
+            return "không có vấn đề"
+        return "cần cải thiện: thiếu chi tiết"
+
+    def refine(self, summary: str, critique: str, reference: str) -> str:
+        return "[refined] " + summary
+
+
+class OllamaCritic(Critic):
+    """LLM critic mirroring CR:118-201's prompt pair; same pooled-HTTP path
+    as OllamaSummarizer."""
+
+    def __init__(self, summarizer):
+        self._s = summarizer
+
+    def critique(self, summary: str, reference: str) -> str:
+        prompt = (
+            "Đánh giá bản tóm tắt sau so với nội dung gốc. Nếu không có vấn "
+            "đề, trả lời 'không có vấn đề'.\n\nTÓM TẮT:\n{s}\n\nGỐC:\n{r}"
+        ).format(s=summary, r=reference)
+        return self._s.summarize_text(prompt)
+
+    def refine(self, summary: str, critique: str, reference: str) -> str:
+        prompt = (
+            "Cải thiện bản tóm tắt dựa trên phê bình.\n\nTÓM TẮT:\n{s}\n\n"
+            "PHÊ BÌNH:\n{c}\n\nGỐC:\n{r}"
+        ).format(s=summary, c=critique, r=reference)
+        return self._s.summarize_text(prompt)
+
+
+def _reduce_with_critique(
+    texts: list[str],
+    origs: list[str],
+    summarizer: Summarizer,
+    critic: Critic,
+    iteration: int,
+    max_critique_iterations: int,
+) -> str:
+    # section tagging (CR:228-233, C10)
+    tagged = "\n\n".join(f"[PHẦN {i + 1}]\n{t}" for i, t in enumerate(texts))
+    initial = summarizer.summarize_text(tagged)
+    if iteration >= max_critique_iterations:
+        return initial
+    reference = "\n\n---\n\n".join(origs)
+    critique = critic.critique(initial, reference)
+    if any(p in critique.lower() for p in STOP_PHRASES):  # C11
+        return initial
+    return critic.refine(initial, critique, reference)
+
+
+def _critique_collapse_level(
+    df: DataFrame,
+    summarizer: Summarizer,
+    critic: Critic,
+    token_max: int,
+    iteration: int,
+    max_critique_iterations: int,
+    id_col: str,
+) -> DataFrame:
+    """One collapse level: greedy-bucket then critique-reduce each group."""
+    bucketed = bucket_by_token_budget(df, token_max, (id_col,))
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type, False),
+            T.StructField("chunk_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+
+    def reduce_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("chunk_idx")
+        out = _reduce_with_critique(
+            list(pdf["text"]),
+            list(pdf["orig"]),
+            summarizer,
+            critic,
+            iteration,
+            max_critique_iterations,
+        )
+        return pd.DataFrame(
+            {id_col: [key[0]], "chunk_idx": [int(key[1])], "text": [out]}
+        )
+
+    reduced = bucketed.groupBy(id_col, "group_id").applyInPandas(reduce_group, schema)
+    return reduced.withColumn("n_tokens", ws_token_count("text")).withColumn(
+        "orig", F.col("text")  # later levels critique against the summaries themselves
+    )
+
+
+def mapreduce_critique_summarize(
+    docs: DataFrame,
+    summarizer: Summarizer,
+    critic: Critic | None = None,
+    chunk_size: int = 12000,
+    chunk_overlap: int = 200,
+    token_max: int = 10000,
+    max_critique_iterations: int = 2,
+    max_rounds: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full critique pipeline: chunk -> map -> (bucket -> critique-reduce)*
+    -> pre-collapse at token_max//2 if needed (D10) -> final critique-reduce.
+
+    ``max_rounds`` mirrors the reference's recursion_limit 15 (CR:438).
+    """
+    critic = critic or MockCritic()
+    chunks = chunk_documents(docs, chunk_size, chunk_overlap, text_col, (id_col,))
+    mapped = summarizer.summarize_df(chunks, "chunk", "summary").select(
+        id_col,
+        "chunk_idx",
+        F.col("summary").alias("text"),
+        ws_token_count("summary").alias("n_tokens"),
+        F.col("chunk").alias("orig"),  # level-1 critique reference = original chunks
+    )
+
+    cur = mapped
+    iteration = 0
+    for _ in range(max_rounds):
+        totals = cur.groupBy(id_col).agg(F.sum("n_tokens").alias("_total"))
+        over = totals.filter(F.col("_total") > token_max).select(id_col)
+        if over.isEmpty():
+            break
+        todo = cur.join(F.broadcast(over), id_col, "left_semi")
+        done = cur.join(F.broadcast(over), id_col, "left_anti")
+        reduced = _critique_collapse_level(
+            todo, summarizer, critic, token_max, iteration, max_critique_iterations, id_col
+        )
+        cur = done.select(id_col, "chunk_idx", "text", "n_tokens", "orig").unionByName(
+            reduced.select(id_col, "chunk_idx", "text", "n_tokens", "orig")
+        )
+        cur = cur.localCheckpoint(eager=True)
+        iteration += 1
+
+    # pre-collapse intermediates that exceed token_max//2 (CR:315-346)
+    totals = cur.groupBy(id_col).agg(F.sum("n_tokens").alias("_total"))
+    over_half = totals.filter(F.col("_total") > token_max // 2).select(id_col)
+    if not over_half.isEmpty():
+        todo = cur.join(F.broadcast(over_half), id_col, "left_semi")
+        done = cur.join(F.broadcast(over_half), id_col, "left_anti")
+        reduced = _critique_collapse_level(
+            todo, summarizer, critic, token_max // 2, iteration, max_critique_iterations, id_col
+        )
+        cur = done.select(id_col, "chunk_idx", "text", "n_tokens", "orig").unionByName(
+            reduced.select(id_col, "chunk_idx", "text", "n_tokens", "orig")
+        )
+
+    # final critique-reduce over each doc's remaining summaries
+    final = _critique_collapse_level(
+        cur, summarizer, critic, 2**31 - 1, iteration, max_critique_iterations, id_col
+    )
+    summaries = final.select(id_col, clean_thinking_tokens("text").alias("summary"))
+    return docs.select(id_col).join(summaries, id_col, "left").select(
+        id_col, F.coalesce("summary", F.lit("")).alias("summary")
+    )

@@ -1,0 +1,256 @@
+"""Hierarchical (document-structure-aware) summarization (SURVEY §2.4
+D12-D17; runners/run_summarization_ollama_mapreduce_hierarchical.py:200-313).
+
+The reference walks a recursive JSON tree ``{type: Root|Document|Header|
+Paragraph, text, children}`` bottom-up: for each depth level d (deepest
+first), every non-Paragraph node's descendant-paragraph text is gathered,
+summarized (via the map-reduce pipeline), and the node is replaced by a
+Paragraph ``"title:\\nsummary"`` (HI:232-274); after level 1 the remaining
+paragraphs are summarized once more with an editor pass (HI:296-313).
+
+Spark has no recursive types, so the tree lives as a **flattened node table**
+``(doc_id, node_id, parent_id, depth, node_type, text, path)`` where ``path``
+is the ancestor node_id array (closure encoding) and node_id is DFS-preorder
+— document order is an explicit sort key (D12). Descendant gathering (D14) is
+then ``explode(path)`` + equi-join, never a recursive walk; level collapse is
+a driver loop (D15) over pure DataFrame transforms.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import clean_thinking_tokens, strip_ws
+from .approaches import mapreduce_summarize
+from .summarizer import Summarizer
+
+NODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("node_id", T.LongType(), False),
+        T.StructField("parent_id", T.LongType(), True),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("node_type", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("path", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def flatten_tree_json(trees: DataFrame, json_col: str = "tree_json", id_col: str = "doc_id") -> DataFrame:
+    """JSON tree source (S3) -> flattened node table.
+
+    Parsing is per-document Python (a tree is one JSON value), batched through
+    ``mapInPandas``; the output table is what every subsequent operator joins
+    against — no recursion anywhere downstream.
+    """
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, tree in zip(pdf[id_col], pdf[json_col]):
+                node = json.loads(tree) if isinstance(tree, str) else tree
+                counter = [0]
+
+                def walk(n, parent_id, depth, path):
+                    nid = counter[0]
+                    counter[0] += 1
+                    rows.append(
+                        {
+                            "doc_id": str(doc_id),
+                            "node_id": nid,
+                            "parent_id": parent_id,
+                            "depth": depth,
+                            "node_type": n.get("type", "Paragraph"),
+                            "text": n.get("text", ""),
+                            "path": list(path),
+                        }
+                    )
+                    for ch in n.get("children", []):
+                        walk(ch, nid, depth + 1, path + [nid])
+
+                walk(node, None, 0, [])
+            yield pd.DataFrame(rows, columns=[f.name for f in NODE_SCHEMA.fields])
+
+    return trees.mapInPandas(parse, NODE_SCHEMA)
+
+
+def _max_depth(nodes: DataFrame) -> int:
+    row = nodes.agg(F.max("depth").alias("d")).first()
+    return int(row["d"] or 0)
+
+
+def _collapse_level(
+    nodes: DataFrame,
+    depth: int,
+    summarizer: Summarizer,
+    chunk_size: int,
+    chunk_overlap: int,
+    token_max: int,
+) -> DataFrame:
+    """Summarize every non-Paragraph node at ``depth`` and splice it back as
+    a Paragraph, dropping its subtree (D13/D14/D15)."""
+    targets = nodes.filter(
+        (F.col("depth") == depth) & (F.col("node_type") != "Paragraph")
+    ).select(
+        F.col("doc_id").alias("t_doc"),
+        F.col("node_id").alias("t_id"),
+        F.col("parent_id").alias("t_parent"),
+        strip_ws("text").alias("title"),
+        F.col("path").alias("t_path"),
+    )
+    if targets.isEmpty():
+        return nodes
+
+    # descendant paragraph gather (D14): explode ancestor paths, equi-join
+    paras = nodes.filter(F.col("node_type") == "Paragraph").select(
+        "doc_id", "node_id", F.col("text").alias("p_text"), F.explode("path").alias("anc")
+    )
+    bodies = (
+        targets.join(
+            paras,
+            (targets.t_doc == paras.doc_id) & (targets.t_id == paras.anc),
+            "left",
+        )
+        .groupBy("t_doc", "t_id", "t_parent", "title", "t_path")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("p_text").isNotNull(),
+                                F.struct(F.col("node_id").alias("o"), F.col("p_text").alias("t")),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                "\n\n",
+            ).alias("body")
+        )
+    )
+
+    # empty-body guard (F8, HI:255-257): keep the bare title
+    empty = bodies.filter(strip_ws("body") == "").select(
+        "t_doc", "t_id", "t_parent", "t_path", F.col("title").alias("new_text")
+    )
+    nonempty = bodies.filter(strip_ws("body") != "")
+
+    # section input = "title\n\nbody" (HI:259-261); summarize via map-reduce
+    sec_in = nonempty.select(
+        "t_doc",
+        "t_id",
+        "t_parent",
+        "t_path",
+        "title",
+        F.when(F.col("title") != "", F.concat_ws("\n\n", "title", "body"))
+        .otherwise(F.col("body"))
+        .alias("sec_text"),
+    )
+    summarized = mapreduce_summarize(
+        sec_in.withColumn("sec_key", F.concat_ws("#", "t_doc", F.col("t_id").cast("string"))),
+        summarizer,
+        chunk_size=chunk_size,
+        chunk_overlap=chunk_overlap,
+        token_max=token_max,
+        id_col="sec_key",
+        text_col="sec_text",
+    )
+    replaced = (
+        sec_in.withColumn(
+            "sec_key", F.concat_ws("#", "t_doc", F.col("t_id").cast("string"))
+        )
+        .join(summarized, "sec_key")
+        .select(
+            "t_doc",
+            "t_id",
+            "t_parent",
+            "t_path",
+            # "title:\nsummary" (HI:270-272)
+            F.when(F.col("title") != "", F.concat(F.col("title"), F.lit(":\n"), F.col("summary")))
+            .otherwise(F.col("summary"))
+            .alias("new_text"),
+        )
+        .unionByName(empty)
+    )
+
+    new_paragraphs = replaced.select(
+        F.col("t_doc").alias("doc_id"),
+        F.col("t_id").alias("node_id"),
+        F.col("t_parent").alias("parent_id"),
+        F.lit(depth).alias("depth"),
+        F.lit("Paragraph").alias("node_type"),
+        F.col("new_text").alias("text"),
+        F.col("t_path").alias("path"),
+    )
+
+    # drop targets and their descendants (path contains a target id), splice in
+    target_ids = targets.select(F.col("t_doc").alias("doc_id"), F.col("t_id").alias("anc"))
+    descendants = (
+        nodes.select("doc_id", "node_id", F.explode("path").alias("anc"))
+        .join(target_ids, ["doc_id", "anc"], "left_semi")
+        .select("doc_id", "node_id")
+        .distinct()
+    )
+    survivors = nodes.join(descendants, ["doc_id", "node_id"], "left_anti").join(
+        target_ids.withColumnRenamed("anc", "node_id"), ["doc_id", "node_id"], "left_anti"
+    )
+    return survivors.unionByName(new_paragraphs)
+
+
+def hierarchical_summarize(
+    trees: DataFrame,
+    summarizer: Summarizer,
+    max_depth: int = 2,
+    chunk_size: int = 12000,
+    chunk_overlap: int = 200,
+    token_max: int = 1000,
+    json_col: str = "tree_json",
+    id_col: str = "doc_id",
+    polish: bool = True,
+) -> DataFrame:
+    """Bottom-up tree collapse (HI:296-313): levels min(max_depth, actual)
+    down to 1, then a final map-reduce over each doc's remaining paragraphs
+    and an optional editor polish pass (D17). Returns (doc_id, summary)."""
+    nodes = flatten_tree_json(trees, json_col, id_col).localCheckpoint(eager=True)
+    actual = _max_depth(nodes)
+    for d in range(min(max_depth, actual), 0, -1):
+        nodes = _collapse_level(
+            nodes, d, summarizer, chunk_size, chunk_overlap, token_max
+        ).localCheckpoint(eager=True)
+
+    final_in = (
+        nodes.filter(F.col("node_type") == "Paragraph")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("node_id").alias("o"), F.col("text").alias("t")))
+                    ),
+                    lambda s: s["t"],
+                ),
+                "\n\n",
+            ).alias("doc_text")
+        )
+    )
+    final = mapreduce_summarize(
+        final_in,
+        summarizer,
+        chunk_size=chunk_size,
+        chunk_overlap=chunk_overlap,
+        token_max=token_max,
+        id_col="doc_id",
+        text_col="doc_text",
+    )
+    if polish:
+        final = summarizer.summarize_df(final, "summary", "summary")
+    return final.select(
+        "doc_id", F.coalesce(clean_thinking_tokens("summary"), F.lit("")).alias("summary")
+    )
