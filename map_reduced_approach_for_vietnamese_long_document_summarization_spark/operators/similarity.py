@@ -1,0 +1,112 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns
+(north-star, BASELINE.json).
+
+* ``cosine_topk`` — brute-force baseline: broadcast the query set, stream
+  the corpus, rank per query. Exact; O(|Q| * |corpus|) dot products but zero
+  corpus shuffle, so it's the right tool whenever |Q| is small (the common
+  "dedup this batch against the corpus" shape).
+* ``random_hyperplane_lsh_topk`` — the scale path: 16-bit random-hyperplane
+  (SRP) signatures bucket the corpus once; queries probe only their own
+  bucket (plus optional multi-probe neighbors at hamming distance 1), then
+  exact-rerank. Planes are derived from a fixed seed, so signatures are
+  deterministic and reusable as a materialized column — at 100 TB the bucket
+  assignment is a one-off scan and every subsequent query touches
+  ~1/2^bits of the data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..metrics.semantic import cosine_similarity_expr
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qv",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, sim, rnk). Deterministic order
+    via (sim desc, neighbor_id) tiebreak."""
+    joined = F.broadcast(queries).crossJoin(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("_cv"))
+    )
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col(query_id))
+    sims = joined.select(
+        query_id,
+        "neighbor_id",
+        cosine_similarity_expr(query_vec, "_cv").alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), "neighbor_id")
+    return sims.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def srp_signature_expr(vec: Column | str, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
+    """Signed-random-projection signature: bit p = sign(v . plane_p) packed
+    into one int. Plane weights are literal arrays (seeded numpy), dot
+    products are JVM zip_with/aggregate — deterministic, no Python at scan."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    planes = _planes(dim, n_planes, seed)
+    sig = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig.bitwiseOR(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return sig
+
+
+def random_hyperplane_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 16,
+    multi_probe: bool = True,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qv",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ANN top-k: equi-join on SRP bucket (optionally multi-probing all
+    hamming-1 neighbor buckets of the query), exact cosine rerank inside the
+    candidate set. Recall < 1.0 by construction; raise n_planes for bigger
+    buckets or keep multi_probe for the standard recall boost."""
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("_cv"),
+        srp_signature_expr(corpus_vec, dim, n_planes).alias("bucket"),
+    )
+    q_sig = queries.withColumn("_sig", srp_signature_expr(query_vec, dim, n_planes))
+    if multi_probe:
+        probes = F.array(
+            F.col("_sig"), *[F.col("_sig").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+        )
+    else:
+        probes = F.array(F.col("_sig"))
+    q = q_sig.select(query_id, query_vec, F.explode(probes).alias("bucket"))
+    joined = q.join(c, "bucket")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col(query_id))
+    sims = joined.dropDuplicates([query_id, "neighbor_id"]).select(
+        query_id, "neighbor_id", cosine_similarity_expr(query_vec, "_cv").alias("sim")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), "neighbor_id")
+    return sims.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -897,6 +897,81 @@ def embedding_knn_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup & ANN (north-star training-data-pipeline operators)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ngram_jaccard_top20",
+    oracle=f"""
+WITH t AS (SELECT doc_id,
+                  list_transform({_DUCK_TOKS}, x -> lower(x)) AS toks
+           FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+       FROM t WHERE len(toks) >= 3),
+e AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id1, id2,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id1
+JOIN sizes sb ON sb.doc_id = id2
+ORDER BY jaccard DESC, id1, id2
+LIMIT 20
+""",
+)
+def ngram_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (north-star dedup): inverted-index
+    self-join on distinct shingles — |A n B| from posting lists, top 20 pairs
+    with deterministic (jaccard, id1, id2) ordering."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(d, top_k=20)
+
+
+@query("minhash_lsh_dedup")  # rows-only: xxhash64 family is Spark-specific
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands) near-dup candidate pairs at est-Jaccard
+    >= 0.5. Signatures are per-row JVM HOFs (no explode/shuffle); the band
+    bucket join is the only shuffle. Verified in tests against planted
+    near-duplicates; hash family prevents a cross-engine oracle."""
+    from ..operators.dedup import minhash_dedup_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_dedup_pairs(d, threshold=0.5)
+
+
+@query("simhash_near_dups")  # rows-only: xxhash64-derived bit signatures
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs within hamming distance 8, banded into
+    4x16-bit keys for the candidate join."""
+    from ..operators.dedup import simhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_dup_pairs(d, max_hamming=8)
+
+
+@query("embedding_ann_lsh_top3")  # rows-only: ANN recall is probabilistic
+def embedding_ann_lsh_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (the scale path next to embedding_knn_top3's
+    exact baseline): SRP bucket join + multi-probe + exact rerank."""
+    from ..operators.similarity import random_hyperplane_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = random_hyperplane_lsh_topk(q, e, dim=64, k=3, n_planes=8)
+    return out.select("query_id", "neighbor_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
 # metric engine (§2.9 M1-M5, §2.5 A2/A4/A5) on the documents corpus
 # ---------------------------------------------------------------------------
 
