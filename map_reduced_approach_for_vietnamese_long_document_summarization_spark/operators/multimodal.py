@@ -1,0 +1,156 @@
+"""Multimodal columns for training-data pipelines (north-star,
+BASELINE.json): image/audio/video as opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched ``mapInPandas`` operators.
+
+The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
+shapes — is real and tested; the actual codec step is pluggable:
+
+* pass a ``decoder`` callable (e.g. PIL/torchaudio-backed) when the codec
+  libraries exist in the runtime;
+* the default ``decoder=None`` uses a clearly-marked DETERMINISTIC FAKE
+  (content-hash-derived dimensions/features) so pipeline topology is
+  testable in codec-free environments like this one;
+* ``strict=True`` instead raises ``NotImplementedError`` at the decode
+  boundary, making the stub explicit.
+
+At 100 TB the media bytes dominate: every operator here projects metadata
+early, keeps bytes in Arrow batches (never per-row Python serde), and
+repartitions by content hash so hot keys (duplicated assets) spread.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("format", T.StringType(), True),  # png | wav | mp4 | ...
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.BinaryType(), True),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Lift a text corpus into MEDIA_SCHEMA rows for tests: content =
+    utf-8 bytes of the text (deterministic), metadata filled from lengths."""
+    content = F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("fake").alias("format"),
+        content.alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.length(content).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(content: bytes) -> tuple[int, int, list[float]]:
+    """DETERMINISTIC FAKE decode: dimensions and an 8-dim feature vector
+    derived from the content digest. NOT a real codec — stands in for
+    PIL/ffmpeg in codec-free runtimes."""
+    digest = hashlib.sha256(content or b"").digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    feats = [round(b / 255.0, 6) for b in digest[2:10]]
+    return width, height, feats
+
+
+def decode_media(
+    media: DataFrame,
+    decoder: Callable[[bytes], tuple[int, int, list[float]]] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Decode + feature-extract: mapInPandas over Arrow batches of media
+    rows -> (media_id, width, height, features).
+
+    Real pipelines pass a codec-backed ``decoder``; ``strict=True`` makes the
+    missing-codec case an explicit NotImplementedError instead of the fake.
+    """
+    if strict and decoder is None:
+        raise NotImplementedError(
+            "no media codec available in this runtime: pass decoder= "
+            "(PIL/ffmpeg-backed) or use the deterministic fake (strict=False)"
+        )
+    decode = decoder or _fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [decode(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [o[0] for o in out],
+                    "height": [o[1] for o in out],
+                    "features": [o[2] for o in out],
+                }
+            )
+
+    # spread duplicated assets: repartition by content hash, not media_id
+    parted = media.repartition(F.xxhash64("content"))
+    return parted.mapInPandas(run, _DECODED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, frame_size: int = 1024, every_n: int = 2
+) -> DataFrame:
+    """Frame sampling plumbing: treat content as fixed-size frames, emit
+    every ``every_n``-th frame as its own row (posexplode of byte slices —
+    all JVM-side; a real video pipeline swaps the slicer for a demuxer)."""
+    n_frames = F.ceil(F.length("content") / F.lit(frame_size)).cast("int")
+    idx = F.filter(
+        F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+        lambda i: i % every_n == 0,
+    )
+    exploded = media.select(
+        "media_id",
+        F.explode(idx).alias("frame_idx"),
+        F.col("content"),
+    )
+    return exploded.select(
+        "media_id",
+        "frame_idx",
+        F.substring(
+            F.col("content"), F.col("frame_idx") * frame_size + 1, frame_size
+        ).alias("frame_bytes"),
+    )

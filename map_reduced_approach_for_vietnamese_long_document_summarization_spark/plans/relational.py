@@ -971,6 +971,17 @@ def embedding_ann_lsh_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rnk")
 
 
+@query("multimodal_decode_features")  # rows-only: decode is a stubbed codec
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (north-star): lift the corpus into
+    binary media rows, decode + feature-extract via mapInPandas (deterministic
+    fake codec), emit (media_id, width, height, features)."""
+    from ..operators.multimodal import attach_fake_media, decode_media
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_media(attach_fake_media(d))
+
+
 # ---------------------------------------------------------------------------
 # metric engine (§2.9 M1-M5, §2.5 A2/A4/A5) on the documents corpus
 # ---------------------------------------------------------------------------

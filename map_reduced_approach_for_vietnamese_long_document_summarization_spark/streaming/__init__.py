@@ -1,0 +1,17 @@
+"""Structured Streaming extension over the events table (SURVEY §2.10)."""
+
+from .events import (
+    read_events_stream,
+    session_event_counts,
+    sliding_event_counts,
+    stateful_user_running_stats,
+    tumbling_event_counts,
+)
+
+__all__ = [
+    "read_events_stream",
+    "tumbling_event_counts",
+    "sliding_event_counts",
+    "session_event_counts",
+    "stateful_user_running_stats",
+]

@@ -1,0 +1,58 @@
+import pytest
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    attach_fake_media,
+    decode_media,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 3000), (2, "short"), (3, None)], ["doc_id", "text"]
+    )
+    return attach_fake_media(docs)
+
+
+def test_media_schema(media):
+    # same names/types (nullability flags differ on computed columns)
+    assert media.schema.simpleString() == MEDIA_SCHEMA.simpleString()
+    rows = {r.media_id: r for r in media.collect()}
+    assert rows[1].meta.n_bytes == 3000
+    assert rows[3].meta.n_bytes == 0
+
+
+def test_decode_media_deterministic_fake(media):
+    out = decode_media(media).orderBy("media_id").collect()
+    assert len(out) == 3
+    for r in out:
+        assert 64 <= r.width < 256 and 64 <= r.height < 256
+        assert len(r.features) == 8
+        assert all(0.0 <= f <= 1.0 for f in r.features)
+    again = decode_media(media).orderBy("media_id").collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]  # deterministic
+
+
+def test_decode_media_strict_raises(media):
+    with pytest.raises(NotImplementedError):
+        decode_media(media, strict=True)
+
+
+def test_decode_media_custom_decoder(media):
+    out = decode_media(media, decoder=lambda b: (1, 2, [float(len(b or b""))]))
+    row = {r.media_id: r for r in out.collect()}[1]
+    assert (row.width, row.height, row.features) == (1, 2, [3000.0])
+
+
+def test_sample_frames(media):
+    frames = sample_frames(media, frame_size=1024, every_n=2).collect()
+    by_id = {}
+    for f in frames:
+        by_id.setdefault(f.media_id, []).append(f)
+    # 3000 bytes / 1024 -> frames 0,1,2 -> sampled 0,2
+    assert sorted(f.frame_idx for f in by_id[1]) == [0, 2]
+    assert len(by_id[1][0].frame_bytes) == 1024
+    # short doc -> single frame 0
+    assert [f.frame_idx for f in by_id[2]] == [0]
