@@ -41,14 +41,16 @@ def skip_existing(
     return docs.join(F.broadcast(existing_keys.select(key)), key, "left_anti")
 
 
-def positional_zip_join(left: DataFrame, right: DataFrame, order_col: str) -> DataFrame:
+def positional_zip_join(
+    left: DataFrame, right: DataFrame, left_order: str, right_order: str | None = None
+) -> DataFrame:
     """Replace the reference's fragile ``zip(list_a, list_b)`` (J3,
     runners/run_summarization_ollama_mapreduce.py:284-288) with an explicit
     ``row_number``-over-sort equi-join — deterministic under partitioning.
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy(order_col)
-    l = left.withColumn("_rn", F.row_number().over(w))
-    r = right.withColumn("_rn", F.row_number().over(w))
+    right_order = right_order or left_order
+    l = left.withColumn("_rn", F.row_number().over(Window.orderBy(left_order)))
+    r = right.withColumn("_rn", F.row_number().over(Window.orderBy(right_order)))
     return l.join(r, "_rn", "inner").drop("_rn")

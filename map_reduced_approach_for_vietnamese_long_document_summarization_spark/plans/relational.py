@@ -896,6 +896,70 @@ def embedding_knn_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "segment_price_percentiles",
+    oracle="""
+SELECT c_mktsegment,
+       round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+       count(*)                                    AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def segment_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per segment — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share continuous-interpolation semantics."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "returnflag_except_all",
+    oracle="""
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+EXCEPT ALL
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+""",
+)
+def returnflag_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (exceptAll keeps duplicate cardinalities, unlike
+    the set-semantics EXCEPT in part_heavy_only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_partkey")
+        .exceptAll(li.filter(F.col("l_returnflag") == "A").select("l_partkey"))
+    )
+
+
+@query(
+    "estimated_chunk_counts",
+    oracle=f"""
+SELECT lang,
+       CAST(sum(greatest(1, CAST(floor(len({_DUCK_TOKS}) / 100.0) AS BIGINT))) AS BIGINT)
+         AS est_chunks,
+       count(*) AS n_docs
+FROM documents
+GROUP BY lang
+""",
+)
+def estimated_chunk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated chunk count per corpus slice (A8, run_full_evaluation_
+    pipeline.py:280-285): max(1, tokens // chunk_size) summed."""
+    d = _t(spark, sf_dir, "documents")
+    est = F.greatest(F.lit(1).cast("long"), F.floor(ws_token_count("text") / 100))
+    return d.groupBy("lang").agg(
+        F.sum(est).alias("est_chunks"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup & ANN (north-star training-data-pipeline operators)
 # ---------------------------------------------------------------------------

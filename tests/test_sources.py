@@ -1,0 +1,37 @@
+from pyspark.sql import functions as F
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.pairing import (
+    positional_zip_join,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.sources import (
+    read_text_corpus,
+    write_per_doc_text,
+)
+
+
+def test_text_corpus_roundtrip(spark, tmp_path):
+    # S1/S2: directory of txt files -> (doc_id, text); S5: per-doc sink
+    src = tmp_path / "corpus"
+    src.mkdir()
+    (src / "doc_a.txt").write_text("alpha text\nwith lines")
+    (src / "doc_b.txt").write_text("beta text")
+    (src / "ignored.json").write_text("{}")  # extension filter must skip this
+
+    corpus = read_text_corpus(spark, str(src))
+    rows = {r.doc_id: r.text for r in corpus.collect()}
+    assert rows == {"doc_a": "alpha text\nwith lines", "doc_b": "beta text"}
+
+    out = tmp_path / "sink"
+    summaries = corpus.select("doc_id", F.upper("text").alias("summary"))
+    write_per_doc_text(summaries, str(out))
+    back = spark.read.text(str(out) + "/doc_id=doc_a").collect()
+    assert "ALPHA TEXT" in back[0].value
+
+
+def test_positional_zip_join(spark):
+    # J3: the reference's zip(generated, references) made deterministic
+    left = spark.createDataFrame([("b", 2), ("a", 1)], ["k", "v"])
+    right = spark.createDataFrame([("a", 10), ("b", 20)], ["k2", "w"])
+    out = positional_zip_join(left.select("k"), right.select("k2"), "k", "k2").collect()
+    # both sorted -> positions align: a-a, b-b
+    assert sorted((r.k, r.k2) for r in out) == [("a", "a"), ("b", "b")]
