@@ -897,6 +897,127 @@ def embedding_knn_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "monthly_order_volume",
+    oracle="""
+SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start,
+       count(*)                    AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY 1
+""",
+)
+def monthly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup (C13 date handling): date_trunc to month, epoch key."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.unix_timestamp(F.date_trunc("month", "o_orderdate")).alias("month_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "customer_order_full_outer",
+    oracle="""
+SELECT coalesce(c_custkey, o_custkey)     AS custkey,
+       coalesce(c_name, '<no-customer>')  AS name,
+       coalesce(n_orders, 0)              AS n_orders
+FROM customer
+FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+                 FROM orders GROUP BY o_custkey) o
+  ON c_custkey = o_custkey
+""",
+)
+def customer_order_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with null-side coalescing — the union of F1+F2's
+    keep/report sides in one plan."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.coalesce("c_name", F.lit("<no-customer>")).alias("name"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+@query(
+    "customer_balance_ranks",
+    oracle="""
+SELECT c_mktsegment, c_custkey,
+       dense_rank() OVER w AS drank,
+       ntile(4)     OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank + ntile windows (O3/O4 family) with explicit tiebreak."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "customer_first_last_order",
+    oracle="""
+SELECT DISTINCT o_custkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey)  OVER w AS last_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with full-partition frame (O4)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    ).distinct()
+
+
+@query(
+    "source_name_sanitize",
+    oracle="""
+SELECT DISTINCT source,
+       translate(source, ':.', '__')                      AS sanitized,
+       regexp_extract('/data/' || source || '/doc_' || source || '.txt',
+                      '([^/]+)\\.[^./]+$', 1)             AS stem
+FROM documents
+""",
+)
+def source_name_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-name sanitize (C6) + filename-stem extraction (C7) as scan-level
+    string expressions."""
+    from ..functions.text import filename_stem, sanitize_model_name
+
+    d = _t(spark, sf_dir, "documents")
+    path = F.concat(F.lit("/data/"), F.col("source"), F.lit("/doc_"), F.col("source"), F.lit(".txt"))
+    return d.select(
+        "source",
+        sanitize_model_name("source").alias("sanitized"),
+        filename_stem(path).alias("stem"),
+    ).distinct()
+
+
+@query(
     "segment_price_percentiles",
     oracle="""
 SELECT c_mktsegment,

@@ -118,7 +118,7 @@ def _critique_collapse_level(
         ]
     )
 
-    def reduce_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def reduce_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("chunk_idx")
         out = _reduce_with_critique(
             list(pdf["text"]),
