@@ -84,6 +84,34 @@ def truncate_tokens(col: Column | str, max_tokens: int) -> Column:
     return F.array_join(F.slice(tokenize_ws(col), 1, max_tokens), " ")
 
 
+def hf_token_count_udf(model_name: str = "Qwen/Qwen3-4B"):
+    """HF-tokenizer token counting (C1, run_full_evaluation_pipeline.py
+    :348-349) as a pandas UDF with per-executor lazy model init — gated
+    behind an import-try because ``transformers`` is not assumed in the
+    runtime. Returns None when unavailable; callers fall back to
+    ``ws_token_count`` (the reference itself uses both length functions)."""
+    try:
+        import transformers  # noqa: F401
+    except ImportError:
+        return None
+
+    import pandas as pd
+    from pyspark.sql import functions as _F
+
+    _tok = {}
+
+    @_F.pandas_udf("int")
+    def _udf(texts: pd.Series) -> pd.Series:
+        from transformers import AutoTokenizer
+
+        if "t" not in _tok:  # per-executor singleton
+            _tok["t"] = AutoTokenizer.from_pretrained(model_name)
+        t = _tok["t"]
+        return texts.map(lambda x: len(t.encode(x or "")))
+
+    return _udf
+
+
 def sanitize_model_name(col: Column | str) -> Column:
     """``model.replace(':','_').replace('.','_')`` (run_full_evaluation_pipeline.py:326)."""
     c = F.col(col) if isinstance(col, str) else col

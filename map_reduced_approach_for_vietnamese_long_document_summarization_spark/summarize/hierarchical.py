@@ -42,6 +42,28 @@ NODE_SCHEMA = T.StructType(
 )
 
 
+def read_tree_json(spark, path: str) -> DataFrame:
+    """JSON tree source (S3, run_full_evaluation_pipeline.py:505-514): load a
+    (directory of) nested document-tree JSON file(s) as one raw JSON string
+    per tree, ready for ``flatten_tree_json``. ``multiLine`` JSON values are
+    read whole via the text source with recursive record joining disabled —
+    each file is one tree."""
+    import json as _json
+
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", "*.json").load(path)
+    from ..functions.text import filename_stem
+
+    trees = raw.select(
+        filename_stem("path").alias("doc_id"),
+        F.col("content").cast("string").alias("tree_json"),
+    )
+    # validate eagerly on a sample so malformed trees fail at load, not mid-job
+    sample = trees.limit(1).collect()
+    for row in sample:
+        _json.loads(row.tree_json)
+    return trees
+
+
 def flatten_tree_json(trees: DataFrame, json_col: str = "tree_json", id_col: str = "doc_id") -> DataFrame:
     """JSON tree source (S3) -> flattened node table.
 

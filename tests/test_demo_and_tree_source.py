@@ -1,0 +1,47 @@
+import json
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions.text import (
+    hf_token_count_udf,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize import (
+    MockSummarizer,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize.demo import (
+    summarize_document,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize.hierarchical import (
+    flatten_tree_json,
+    read_tree_json,
+)
+
+
+def test_summarize_document_all_approaches(spark):
+    text = " ".join(f"tok{i}" for i in range(2500))
+    out = summarize_document(
+        spark, text, MockSummarizer(32), reference=" ".join(f"tok{i}" for i in range(40))
+    )
+    assert set(out) == {"truncated", "mapreduce", "iterative", "mapreduce_critique"}
+    for cell in out.values():
+        assert cell["summary"]
+        assert 0.0 <= cell["rouge1_f"] <= 1.0
+
+
+def test_read_tree_json_source(spark, tmp_path):
+    tree = {
+        "type": "Document",
+        "text": "t1",
+        "children": [{"type": "Paragraph", "text": "body text"}],
+    }
+    d = tmp_path / "trees"
+    d.mkdir()
+    (d / "t1.json").write_text(json.dumps(tree))
+    trees = read_tree_json(spark, str(d))
+    nodes = flatten_tree_json(trees).orderBy("node_id").collect()
+    assert [n.node_type for n in nodes] == ["Document", "Paragraph"]
+    assert nodes[0].doc_id == "t1"
+
+
+def test_hf_token_count_gated():
+    # transformers is not installed in this runtime -> the hook must
+    # signal unavailability rather than raise
+    assert hf_token_count_udf() is None
