@@ -12,10 +12,15 @@ mapped onto the harness tables; registry lives in
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# make the sibling package importable regardless of the driver's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans import (
     ORACLES,

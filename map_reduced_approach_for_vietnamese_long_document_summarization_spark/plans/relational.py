@@ -897,6 +897,70 @@ def embedding_knn_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nation_foreign_regions",
+    oracle="""
+SELECT n_name, count(*) AS n_foreign_regions
+FROM nation JOIN region ON n_regionkey <> r_regionkey
+GROUP BY n_name
+""",
+)
+def nation_foreign_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta join (no equi conjunct) -> broadcast nested-loop join;
+    legitimate only for tiny dims like this, and the plan proves the engine
+    picks BNLJ + broadcast rather than a cartesian shuffle."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey != r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_foreign_regions"))
+    )
+
+
+@query(
+    "salted_priority_counts",
+    oracle="""
+SELECT o_orderpriority,
+       count(*)                         AS n_orders,
+       round(sum(o_totalprice), 2)      AS total
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def salted_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (skew mitigation): o_orderpriority has
+    only 5 hot values — exactly the shape where a single-phase groupBy puts
+    each key on one reducer. The salted plan must produce identical results
+    to the plain GROUP BY oracle."""
+    from ..operators.skew import salted_agg
+
+    o = _t(spark, sf_dir, "orders")
+    out = salted_agg(
+        o,
+        ["o_orderpriority"],
+        [
+            (F.count(F.lit(1)), F.sum, "n_orders"),
+            (F.sum("o_totalprice"), F.sum, "total_raw"),
+        ],
+    )
+    return out.select(
+        "o_orderpriority", "n_orders", F.round("total_raw", 2).alias("total")
+    )
+
+
+@query("approx_distinct_parts")  # rows-only: HLL sketch values are engine-specific
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per return flag — the
+    approximate-aggregate surface; exact distinct is covered by
+    priority_distinct_customers."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
     "monthly_order_volume",
     oracle="""
 SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start,
