@@ -84,6 +84,45 @@ def rouge_scores_udf(generated: pd.Series, reference: pd.Series) -> pd.DataFrame
     return pd.DataFrame(rows, columns=["rouge1_f", "rouge2_f", "rougeL_f"])
 
 
+def rouge1_f1_df(
+    pairs, gen_col: str = "g", ref_col: str = "r", id_cols: tuple[str, ...] = ("doc_id",)
+) -> "DataFrame":  # noqa: F821
+    """ROUGE-1 F1 for a whole pair table via explode + count-join (the
+    vectorized batch path): token multiset counts per side, join on
+    (id, token), sum(least(counts)).
+
+    Tradeoff vs ``rouge1_f1_expr``: this shuffles token rows (3 hash aggs +
+    a join) but every operator is whole-stage-codegen'd — ~3x faster than
+    the interpreted HOF expression on wide corpora. Prefer the expression
+    when adding a column inline without shuffles; prefer this for the
+    dedicated metric pass."""
+    ids = list(id_cols)
+    g = (
+        pairs.select(*ids, F.explode(tokenize_ws(gen_col)).alias("_tok"))
+        .groupBy(*ids, "_tok")
+        .agg(F.count(F.lit(1)).alias("_cg"))
+    )
+    r = (
+        pairs.select(*ids, F.explode(tokenize_ws(ref_col)).alias("_tok"))
+        .groupBy(*ids, "_tok")
+        .agg(F.count(F.lit(1)).alias("_cr"))
+    )
+    inter = (
+        g.join(r, ids + ["_tok"])
+        .groupBy(*ids)
+        .agg(F.sum(F.least("_cg", "_cr")).alias("_inter"))
+    )
+    sizes = pairs.select(
+        *ids, F.size(tokenize_ws(gen_col)).alias("_lg"), F.size(tokenize_ws(ref_col)).alias("_lr")
+    )
+    out = sizes.join(inter, ids, "left")
+    f1 = F.when(
+        (F.col("_lg") > 0) & (F.col("_lr") > 0) & (F.coalesce("_inter", F.lit(0)) > 0),
+        2.0 * F.col("_inter") / (F.col("_lg") + F.col("_lr")),
+    ).otherwise(F.lit(0.0))
+    return out.select(*ids, f1.alias("rouge1"))
+
+
 def rouge1_f1_expr(gen_col: Column | str, ref_col: Column | str) -> Column:
     """ROUGE-1 F1 as a Catalyst expression.
 

@@ -1261,8 +1261,10 @@ scores AS (
 
 
 def _rouge1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of the oracle CTE, scored with the JVM rouge1 expression."""
-    from ..metrics.rouge import rouge1_f1_expr
+    """Spark twin of the oracle CTE, scored with the vectorized explode-join
+    path (rouge1_f1_df); the shuffle-free expression variant is
+    metrics.rouge.rouge1_f1_expr, equivalence-tested in tests/test_metrics."""
+    from ..metrics.rouge import rouge1_f1_df
 
     d = _t(spark, sf_dir, "documents")
     toks = tokenize_ws("text")
@@ -1271,7 +1273,7 @@ def _rouge1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(toks, 1, 60), " ").alias("g"),
         F.array_join(F.slice(toks, 31, 90), " ").alias("r"),
     )
-    return pair.select("doc_id", rouge1_f1_expr("g", "r").alias("rouge1"))
+    return rouge1_f1_df(pair)
 
 
 @query(

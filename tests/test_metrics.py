@@ -48,6 +48,23 @@ def test_rouge1_expr_matches_python(spark):
     assert all(math.isclose(a, b) for a, b in zip(got, want))
 
 
+def test_rouge1_df_matches_expr(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.metrics.rouge import (
+        rouge1_f1_df,
+    )
+
+    rows = [(i, g, r) for i, (g, r) in enumerate(
+        [("a a b c", "a b b"), ("x y", "y"), ("", "a"), ("q w e", "q w e"), ("m", "")]
+    )]
+    df = spark.createDataFrame(rows, ["doc_id", "g", "r"])
+    via_df = {x.doc_id: x.rouge1 for x in rouge1_f1_df(df).collect()}
+    via_expr = {
+        x.doc_id: x.f
+        for x in df.select("doc_id", rouge1_f1_expr("g", "r").alias("f")).collect()
+    }
+    assert all(math.isclose(via_df[k], via_expr[k]) for k in via_expr)
+
+
 def test_cosine_similarity_expr(spark):
     df = spark.createDataFrame(
         [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([0.0, 0.0], [1.0, 1.0])],
