@@ -147,6 +147,7 @@ def collapse_until_fits(
     text_col: str = "text",
     tokens_col: str = "n_tokens",
     greedy: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Driver-side convergence loop (D7): collapse whole corpus level-by-level
     until every document's summaries total <= ``token_max`` (bounded by
@@ -154,10 +155,13 @@ def collapse_until_fits(
 
     Returns a DataFrame with the same shape (key, chunk_idx, text, n_tokens),
     one-or-more rows per doc, each doc's total within budget (or max_rounds
-    exhausted — same bail-out the reference has).
+    exhausted — same bail-out the reference has). Pass ``stats`` to receive
+    ``{"rounds": n}`` — collapse-round counts are part of the reference's
+    observable topology (SURVEY §5) and golden-tested.
     """
     bucket = bucket_by_token_budget if greedy else bucket_running_sum
     cur = df.select(key_col, order_col, text_col, tokens_col)
+    rounds = 0
     for _ in range(max_rounds):
         totals = cur.groupBy(key_col).agg(F.sum(tokens_col).alias("_total"))
         over = totals.filter(F.col("_total") > token_max).select(key_col)
@@ -175,4 +179,7 @@ def collapse_until_fits(
         )
         # truncate lineage so round N's plan doesn't embed rounds 1..N-1
         cur = cur.localCheckpoint(eager=True)
+        rounds += 1
+    if stats is not None:
+        stats["rounds"] = rounds
     return cur

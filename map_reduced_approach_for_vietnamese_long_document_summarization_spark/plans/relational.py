@@ -563,6 +563,31 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sliding_10m_5m",
+    oracle="""
+WITH panes AS (
+  SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, ts)) AS BIGINT) AS window_start
+  FROM events
+  UNION ALL
+  SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, ts)) AS BIGINT) - 300
+  FROM events)
+SELECT window_start, count(*) AS n_events
+FROM panes GROUP BY window_start
+""",
+)
+def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window, batch twin of streaming.sliding_event_counts:
+    10-minute windows every 5 minutes — each event lands in exactly two
+    panes; the oracle materializes both pane starts per event."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_timestamp("w.start").alias("window_start"), "n_events")
+    )
+
+
+@query(
     "events_user_pivot",
     oracle="""
 SELECT user_id,

@@ -1,0 +1,80 @@
+"""Physical-plan regression tests (the `.explain` audit as assertions) and
+golden pipeline-topology tests (SURVEY §5: collapse rounds are observable
+behavior)."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.collapse import (
+    collapse_until_fits,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans import QUERIES
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize import (
+    MockSummarizer,
+)
+
+
+def _plan(spark, sf_dir, name):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    p = _plan(spark, sf_dir, "pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in p  # predicate reached the scan
+    assert "l_comment" not in p  # column pruning
+    assert "HashAggregate" in p  # partial+final hash agg
+
+
+def test_star_join_broadcasts(spark, sf_dir):
+    p = _plan(spark, sf_dir, "region_customer_stats")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    assert "TakeOrderedAndProject" in _plan(spark, sf_dir, "top_revenue_orders")
+
+
+def test_semi_anti_joins_in_plan(spark, sf_dir):
+    assert "LeftSemi" in _plan(spark, sf_dir, "customers_with_orders")
+    assert "LeftAnti" in _plan(spark, sf_dir, "customers_without_orders")
+
+
+def test_theta_join_is_broadcast_nested_loop(spark, sf_dir):
+    assert "BroadcastNestedLoopJoin" in _plan(spark, sf_dir, "nation_foreign_regions")
+
+
+def test_jvm_path_queries_have_no_python(spark, sf_dir):
+    for q in ["doc_chunk_fixed100", "pipeline_truncated_mock", "doc_exact_dedup",
+              "rouge1_per_doc", "doc_quality_scores"]:
+        p = _plan(spark, sf_dir, q)
+        assert "Python" not in p, f"{q} plan contains a Python stage"
+
+
+def test_collapse_round_topology(spark):
+    # 16 chunks x 100 tokens, token_max 200, mock emits 50 tokens:
+    # round 1: 8 groups x 50 = 400 -> still > 200
+    # round 2: 2 groups (200-token budget / 50-token items -> 4 per group) x 50 = 100 <= 200
+    df = spark.createDataFrame(
+        [(1, i, "w " * 100, 100) for i in range(16)],
+        ["doc_id", "chunk_idx", "text", "n_tokens"],
+    )
+    stats: dict = {}
+    out = collapse_until_fits(df, MockSummarizer(50), token_max=200, stats=stats)
+    assert stats["rounds"] == 2
+    total = out.agg(F.sum("n_tokens")).first()[0]
+    assert total <= 200
+
+
+def test_collapse_no_rounds_when_within_budget(spark):
+    df = spark.createDataFrame(
+        [(1, 0, "tiny text", 2)], ["doc_id", "chunk_idx", "text", "n_tokens"]
+    )
+    stats: dict = {}
+    collapse_until_fits(df, MockSummarizer(50), token_max=200, stats=stats).collect()
+    assert stats["rounds"] == 0

@@ -82,6 +82,65 @@ def test_session_stream_matches_batch_session_count(spark, sf_dir, events_stream
     assert [(r.user_id, r.n) for r in got] == [(r.user_id, r.n) for r in want]
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data handling: a row older than the operative watermark is
+    dropped in append mode. The watermark computed from batch N's data
+    becomes operative in batch N+1 and windows it closes are finalized
+    there — so the late row arrives in batch 3, after the 10:00-10:10
+    window's state was evicted."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    d = tmp_path / "events"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    now = _time.time()
+
+    def write(name, rows, mtime):
+        path = str(d / name)
+        pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": [base + pd.Timedelta(minutes=m) for m in rows],
+                "user_id": [1] * len(rows),
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(path)
+        os.utime(path, (mtime, mtime))  # distinct mtimes fix batch order
+
+    # batch 1: events to 10:59 -> wm becomes 10:29 (30m delay) from batch 2 on
+    write("b1.parquet", [0, 5, 59], now - 100)
+    # batch 2: on-time row; the 10:00 window finalizes with 2 events
+    write("b2.parquet", [58], now - 50)
+    # batch 3: very-late row (10:01 < wm 10:29) + an on-time row
+    write("b3.parquet", [1, 57], now)
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
+        tumbling_event_counts,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    from pyspark.sql import functions as F2
+
+    stream = raw.withColumn("ts", F2.timestamp_micros(F2.expr("ts div 1000")))
+    name = _run_to_memory(tumbling_event_counts(stream, "10 minutes", "30 minutes"), "append")
+    rows = {r.window_start.minute: r.n_events for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    # append mode emits only windows the watermark has closed: the 10:00-10:10
+    # window must contain batch-1's two rows but NOT batch-2's late arrival
+    assert rows.get(0) == 2
+
+
 def test_stateful_running_stats(spark, sf_dir, events_stream):
     name = _run_to_memory(stateful_user_running_stats(events_stream), "update")
     got = {
