@@ -40,6 +40,28 @@ def test_recursive_split_small_doc_single_chunk():
     assert recursive_split_text("", 100, 10) == []
 
 
+def test_recursive_split_separator_hierarchy():
+    # one paragraph far over budget -> falls back to sentence separators;
+    # sentence boundaries (not mid-sentence cuts) shape the chunks
+    sentences = ["word " * 30 + "." for _ in range(6)]
+    text = " ".join(sentences)  # single paragraph, ~186 tokens
+    chunks = recursive_split_text(text, chunk_size=80, chunk_overlap=0)
+    assert len(chunks) >= 2
+    for c in chunks:
+        assert len(c.split()) <= 80
+        assert c.rstrip().endswith(".")  # cut at sentence boundaries
+
+
+def test_recursive_split_oversize_unsplittable_token():
+    # a single "word" longer than the budget must still come through
+    # (own chunk), never dropped or infinitely recursed
+    text = "short start " + "x" * 50 + " tail words"
+    chunks = recursive_split_text(text, chunk_size=2, chunk_overlap=0)
+    joined = " ".join(chunks)
+    assert "x" * 50 in joined
+    assert "tail" in joined
+
+
 def test_chunk_documents_explodes_in_order(spark):
     docs = spark.createDataFrame(
         [(1, "w " * 500), (2, "tiny")], ["doc_id", "text"]
