@@ -30,6 +30,9 @@ HEADLINE = [
     "minhash_lsh_dedup",
     "rouge1_per_doc",
     "embedding_knn_top3",
+    "embedding_ann_lsh_top3",
+    "simhash_near_dups",
+    "events_sliding_10m_5m",
     "pipeline_truncated_mock",
     "pipeline_mapreduce_mock",
 ]
