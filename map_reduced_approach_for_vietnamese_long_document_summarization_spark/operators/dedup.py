@@ -57,7 +57,10 @@ def shingles_expr(col: Column | str, n: int = 3, lowercase: bool = True) -> Colu
     for k in range(1, n):
         shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
         grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.array_distinct(F.filter(grams, lambda x: x.isNotNull()))
+    out = F.array_distinct(F.filter(grams, lambda x: x.isNotNull()))
+    # NULL text -> empty shingle set (not NULL): keeps size()/array-fn
+    # callers safe, matching the pre-rewrite contract
+    return F.coalesce(out, F.array().cast("array<string>"))
 
 
 def _splitmix64(x: int) -> int:
@@ -199,10 +202,11 @@ def minhash_dedup_pairs(
     """End-to-end MinHash-LSH near-dup detection: shingle -> signature ->
     band-bucket join -> estimated-Jaccard filter."""
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
-    # the band self-join references the signature subtree twice — materialize
-    # once so signatures aren't computed per join side (persist() on a
-    # cluster; localCheckpoint is the local-mode equivalent)
-    sigs = sigs.localCheckpoint(eager=True)
+    # the band self-join references the signature subtree twice — cache so
+    # signatures aren't computed per join side. persist() is LAZY: building
+    # this DataFrame stays side-effect-free (no jobs run until an action);
+    # the cache lives until Spark evicts it or the caller unpersists.
+    sigs = sigs.persist()
     cands = minhash_lsh_candidates(sigs, id_col, "minhash", n_bands, n_hashes)
     return cands.filter(F.col("est_jaccard") >= threshold)
 
@@ -299,8 +303,9 @@ def ngram_jaccard_pairs(
     still counted pre-cap so Jaccard stays comparable."""
     sh = df.select(id_col, F.explode(shingles_expr(text_col, shingle_n)).alias("sh"))
     # referenced by sizes, the doc-freq filter, and both self-join sides:
-    # materialize the exploded index once instead of 4x
-    sh = sh.localCheckpoint(eager=True)
+    # cache the exploded index so it computes once, not 4x. persist() is
+    # lazy — constructing the query runs no jobs (see minhash_dedup_pairs).
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if max_doc_freq is not None:
         rare = (

@@ -71,8 +71,13 @@ def attach_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     """Lift a text corpus into MEDIA_SCHEMA rows for tests: content =
     utf-8 bytes of the text (deterministic), metadata filled from lengths."""
     content = F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
+    # non-numeric ids (string doc_ids) hash to a stable long instead of
+    # silently casting to NULL (media_id is non-nullable in MEDIA_SCHEMA)
+    media_id = F.coalesce(
+        F.col(id_col).cast("long"), F.xxhash64(F.col(id_col).cast("string"))
+    )
     return df.select(
-        F.col(id_col).cast("long").alias("media_id"),
+        media_id.alias("media_id"),
         F.lit("image").alias("kind"),
         F.lit("fake").alias("format"),
         content.alias("content"),
@@ -126,8 +131,10 @@ def decode_media(
                 }
             )
 
-    # spread duplicated assets: repartition by content hash, not media_id
-    parted = media.repartition(F.xxhash64("content"))
+    # load-balance decode work by the unique media_id (hashing *content*
+    # would co-locate every copy of a duplicated asset on one task — the
+    # opposite of spreading)
+    parted = media.repartition(F.col("media_id"))
     return parted.mapInPandas(run, _DECODED_SCHEMA)
 
 
@@ -142,7 +149,9 @@ def sample_frames(
         F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
         lambda i: i % every_n == 0,
     )
-    exploded = media.select(
+    # empty/NULL content has zero frames — without this filter the
+    # greatest(..,0) clamp would fabricate a phantom frame_idx=0 row
+    exploded = media.filter(F.length("content") > 0).select(
         "media_id",
         F.explode(idx).alias("frame_idx"),
         F.col("content"),

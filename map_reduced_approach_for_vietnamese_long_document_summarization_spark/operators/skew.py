@@ -26,8 +26,13 @@ def salted_agg(
     ``aggs`` are (partial_agg, merge_agg, name) triples, e.g.
     ``(F.count(F.lit(1)), F.sum, "n")`` or ``(F.sum("x"), F.sum, "total")``.
     Only algebraic aggregates (sum/count/min/max) decompose this way.
+
+    The salt is a *deterministic* hash of the full row — never ``rand()``:
+    task retries recompute identical salts, so a shuffle-fetch failure can't
+    split one row's contributions across salt replicas (rand() is
+    order-dependent and breaks exactly-once semantics under recomputation).
     """
-    salted = df.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt)).cast("int"))
     partial = salted.groupBy(*key_cols, "_salt").agg(
         *[a.alias(f"_p_{name}") for a, _, name in aggs]
     )
@@ -42,10 +47,11 @@ def salted_join(
     key: str,
     salt: int = 8,
 ) -> DataFrame:
-    """Skewed equi-join: salt the (big, skewed) left side randomly and
-    replicate the right side across all salt values — each hot key's rows
-    spread over ``salt`` tasks instead of one straggler."""
-    l = left.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    """Skewed equi-join: salt the (big, skewed) left side deterministically
+    (full-row hash, retry-safe — see salted_agg) and replicate the right side
+    across all salt values — each hot key's rows spread over ``salt`` tasks
+    instead of one straggler."""
+    l = left.withColumn("_salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int"))
     r = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

@@ -28,8 +28,9 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.driver.memory": "48g",
-    # managed tables (bucketed layouts) land outside the source tree
-    "spark.sql.warehouse.dir": "/tmp/vlds-spark-warehouse",
+    # managed tables (bucketed layouts) land outside the source tree;
+    # per-process suffix avoids cross-session collisions on shared hosts
+    "spark.sql.warehouse.dir": f"/tmp/vlds-spark-warehouse-{os.getpid()}",
     # Legacy (pre-4.0) arithmetic semantics: hash-family derivations (MinHash,
     # SimHash) rely on wrap-around 64-bit multiply, which ANSI mode turns into
     # runtime errors. Engine expressions guard their own divisions/casts.

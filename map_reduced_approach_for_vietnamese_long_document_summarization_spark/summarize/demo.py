@@ -12,22 +12,8 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from ..metrics.rouge import rouge_pair
-from .approaches import (
-    iterative_refine_summarize,
-    mapreduce_summarize,
-    truncated_summarize,
-)
-from .critique import MockCritic, mapreduce_critique_summarize
+from .pipeline import APPROACHES
 from .summarizer import Summarizer
-
-_APPROACH_FNS = {
-    "truncated": lambda df, s: truncated_summarize(df, s, max_input_tokens=16384),
-    "mapreduce": lambda df, s: mapreduce_summarize(df, s, 1200, 50, 1000),
-    "iterative": lambda df, s: iterative_refine_summarize(df, s, 800, 50),
-    "mapreduce_critique": lambda df, s: mapreduce_critique_summarize(
-        df, s, MockCritic(), 12000, 200, 10000
-    ),
-}
 
 
 def summarize_document(
@@ -41,11 +27,12 @@ def summarize_document(
     {approach: {summary, rouge1_f?, rouge2_f?, rougeL_f?}} — metrics only
     when a gold ``reference`` is supplied (compute_metrics,
     streamlit_demo.py:61-79)."""
-    approaches = approaches or list(_APPROACH_FNS)
+    approaches = approaches or list(APPROACHES)
     doc = spark.createDataFrame([("upload", text)], ["doc_id", "text"])
     out: dict[str, dict] = {}
     for name in approaches:
-        summary = _APPROACH_FNS[name](doc, summarizer).first()["summary"]
+        # same approach table (and defaults) as the sweep pipeline
+        summary = APPROACHES[name](doc, summarizer, {}).first()["summary"]
         cell: dict = {"summary": summary}
         if reference is not None:
             r1, r2, rl = rouge_pair(summary, reference)

@@ -50,16 +50,13 @@ def read_tree_json(spark, path: str) -> DataFrame:
     each file is one tree."""
     import json as _json
 
-    raw = spark.read.format("binaryFile").option("pathGlobFilter", "*.json").load(path)
-    from ..functions.text import filename_stem
+    from ..sources.corpus import read_text_corpus
 
-    trees = raw.select(
-        filename_stem("path").alias("doc_id"),
-        F.col("content").cast("string").alias("tree_json"),
+    trees = read_text_corpus(spark, path, glob="*.json").withColumnRenamed(
+        "text", "tree_json"
     )
     # validate eagerly on a sample so malformed trees fail at load, not mid-job
-    sample = trees.limit(1).collect()
-    for row in sample:
+    for row in trees.limit(1).collect():
         _json.loads(row.tree_json)
     return trees
 

@@ -102,19 +102,21 @@ def run_evaluation_pipeline(
                 else None
             )
             todo = docs
-            existing = None
             if cell_dir and os.path.isdir(cell_dir):
                 spark = docs.sparkSession
                 existing = spark.read.parquet(cell_dir)
                 todo = skip_existing(docs, existing, "doc_id")
+            n_new = todo.count() if cell_dir else None
             t0 = time.time()
             fresh = build(todo, summarizer, config.get(approach, {}))
             if cell_dir:
                 fresh.write.mode("append").parquet(cell_dir)
                 fresh = docs.sparkSession.read.parquet(cell_dir)
-                n_new = todo.count()
             else:
-                n_new = None
+                # force execution inside the timed region (plans are lazy);
+                # the cache is reused by the metric stage below
+                fresh = fresh.persist()
+                fresh.count()
             cell = fresh.select(
                 "doc_id",
                 F.lit(approach).alias("approach"),

@@ -27,6 +27,12 @@ def test_exact_dedup(spark):
     assert [(r.doc_id, r.n_copies) for r in out] == [(1, 2), (3, 1)]
 
 
+def test_shingles_null_text_yields_empty_array(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    row = df.select(shingles_expr("text", 3).alias("sh")).first()
+    assert row.sh == []  # not NULL: size()/array-fn callers stay safe
+
+
 def test_shingles_and_minhash(spark):
     df = spark.createDataFrame([(1, "a b c d"), (2, "x y")], ["doc_id", "text"])
     rows = df.select(

@@ -46,6 +46,21 @@ def test_decode_media_custom_decoder(media):
     assert (row.width, row.height, row.features) == (1, 2, [3000.0])
 
 
+def test_media_id_from_string_doc_ids(spark):
+    # string doc_ids (e.g. filename stems) must map to stable non-null ids,
+    # not silently cast to NULL
+    docs = spark.createDataFrame([("doc_a", "x"), ("doc_b", "y")], ["doc_id", "text"])
+    ids = [r.media_id for r in attach_fake_media(docs).collect()]
+    assert all(i is not None for i in ids)
+    assert len(set(ids)) == 2
+
+
+def test_empty_media_has_zero_frames(media):
+    # doc 3 has NULL text -> empty content -> no frames (no phantom frame 0)
+    frames = sample_frames(media, frame_size=1024, every_n=2)
+    assert frames.filter("media_id = 3").count() == 0
+
+
 def test_sample_frames(media):
     frames = sample_frames(media, frame_size=1024, every_n=2).collect()
     by_id = {}
