@@ -106,6 +106,22 @@ def session_event_counts(
     )
 
 
+def enrich_stream_with_dim(events: DataFrame, dim: DataFrame, key_map: dict[str, str]) -> DataFrame:
+    """Stream-static join: enrich the event stream against a (slowly
+    changing) dimension table. The static side broadcasts per micro-batch,
+    so the stream never shuffles — the standard dimension-enrichment shape.
+
+    ``key_map`` maps stream column -> dim column, e.g. {"user_id": "c_custkey"}.
+    """
+    from pyspark.sql import functions as _F
+
+    cond = None
+    for sk, dk in key_map.items():
+        c = events[sk] == dim[dk]
+        cond = c if cond is None else (cond & c)
+    return events.join(_F.broadcast(dim), cond, "left")
+
+
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),

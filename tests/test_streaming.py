@@ -82,6 +82,29 @@ def test_session_stream_matches_batch_session_count(spark, sf_dir, events_stream
     assert [(r.user_id, r.n) for r in got] == [(r.user_id, r.n) for r in want]
 
 
+def test_stream_static_dim_enrichment(spark, sf_dir, events_stream):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
+        enrich_stream_with_dim,
+    )
+
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = enrich_stream_with_dim(events_stream, dim, {"user_id": "c_custkey"})
+    agg = enriched.groupBy("c_mktsegment").count()
+    name = _run_to_memory(agg, "complete")
+    got = {
+        r.c_mktsegment: r["count"] for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = load_table(spark, sf_dir, "events").join(
+        dim, F.col("user_id") == F.col("c_custkey"), "left"
+    )
+    want = {
+        r.c_mktsegment: r["count"] for r in batch.groupBy("c_mktsegment").count().collect()
+    }
+    assert got == want
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Late-data handling: a row older than the operative watermark is
     dropped in append mode. The watermark computed from batch N's data
