@@ -72,6 +72,115 @@ def srp_signature_expr(vec: Column | str, dim: int, n_planes: int = 16, seed: in
     return sig
 
 
+def ivf_build_index(
+    corpus: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+):
+    """IVF (inverted-file) index: k-means centroids partition the corpus into
+    ``n_lists`` cells; each vector is assigned to its nearest centroid.
+
+    Returns (assigned_df, centroids) where assigned_df adds a ``cell``
+    column and centroids is a small driver-side list (n_lists x dim — a few
+    KB, broadcast to queries). At 100 TB the assignment is a one-off scan
+    (train on a sample, assign everywhere); queries then touch only
+    n_probe/n_lists of the data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    vecs = corpus.select(
+        F.col(corpus_id).alias("_id"), array_to_vector(F.col(corpus_vec)).alias("features")
+    )
+    km = KMeans(k=n_lists, seed=seed, maxIter=20)
+    model = km.fit(vecs)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    assigned = (
+        model.transform(vecs)
+        .select(F.col("_id").alias(corpus_id), F.col("prediction").alias("cell"))
+        .join(corpus, corpus_id)
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qv",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF search: each query probes its ``n_probe`` nearest cells (centroid
+    distances computed as literal-array expressions — centroids are tiny),
+    exact cosine rerank inside the probed cells."""
+    cent_sims = []
+    for ci, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col(query_vec), lit, lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cent_sims.append(F.struct(d.alias("dist"), F.lit(ci).alias("cell")))
+    ranked = F.slice(F.array_sort(F.array(*cent_sims)), 1, n_probe)
+    probes = F.transform(ranked, lambda s: s["cell"])
+    q = queries.select(query_id, query_vec, F.explode(probes).alias("cell"))
+    c = assigned.select(
+        "cell", F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("_cv")
+    )
+    joined = q.join(c, "cell")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col(query_id))
+    sims = joined.dropDuplicates([query_id, "neighbor_id"]).select(
+        query_id, "neighbor_id", cosine_similarity_expr(query_vec, "_cv").alias("sim")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), "neighbor_id")
+    return sims.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (north-star dedup family):
+    SRP-bucket the vectors (multi-probe hamming-1), verify candidates with
+    exact cosine >= threshold. Near-duplicates have cosine ~1, i.e. tiny
+    angles, so the probability a plane separates them is theta/pi ~ 0 —
+    banding recall is high exactly in the regime the operator targets."""
+    dim = len(vectors.select(vec_col).first()[0])
+    sig = srp_signature_expr(vec_col, dim, n_planes)
+    base = vectors.select(id_col, vec_col, sig.alias("_sig"))
+    probes = F.array(
+        F.col("_sig"), *[F.col("_sig").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    )
+    exploded = base.select(id_col, vec_col, F.explode(probes).alias("bucket"))
+    l = exploded.alias("l")
+    r = base.withColumn("bucket", F.col("_sig")).alias("r")
+    cands = (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(
+            F.col(f"l.{id_col}").alias("id1"),
+            F.col(f"r.{id_col}").alias("id2"),
+            F.col(f"l.{vec_col}").alias("_v1"),
+            F.col(f"r.{vec_col}").alias("_v2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return cands.select(
+        "id1", "id2", cosine_similarity_expr("_v1", "_v2").alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
 def random_hyperplane_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1362,6 +1362,63 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(d, max_hamming=8)
 
 
+@query(
+    "embedding_cosine_pairs_exact",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 300)
+SELECT a.vec_id AS id1, b.vec_id AS id2
+FROM v a, v b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+""",
+)
+def embedding_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact brute force on a bounded subset
+    (the verify stage of the dedup family): all-pairs cosine >= threshold,
+    ids only so float noise can't touch the hash."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", vec.alias("v"))
+    a = base.alias("a")
+    b = base.alias("b")
+    from ..metrics.semantic import cosine_similarity_expr
+
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("id1"),
+        F.col("b.vec_id").alias("id2"),
+        cosine_similarity_expr(F.col("a.v"), F.col("b.v")).alias("_cos"),
+    )
+    return pairs.filter(F.col("_cos") >= 0.3).select("id1", "id2")
+
+
+@query("embedding_near_dups_lsh")  # rows-only: banding recall is probabilistic
+def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-banded embedding near-dup pairs with exact-cosine verify — the
+    scale path whose candidate set is ~1/2^planes of the quadratic space."""
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(e, threshold=0.35, n_planes=8)
+    return out.select("id1", "id2")
+
+
+@query("embedding_ivf_top3")  # rows-only: k-means cells are iterative/seeded
+def embedding_ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means cells + n_probe search + exact
+    rerank — the named north-star IVF variant next to the SRP-LSH one."""
+    from ..operators.similarity import ivf_build_index, ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build_index(e, dim=64, n_lists=8)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ivf_topk(q, assigned, centroids, k=3, n_probe=2).select(
+        "query_id", "neighbor_id", "rnk"
+    )
+
+
 @query("embedding_ann_lsh_top3")  # rows-only: ANN recall is probabilistic
 def embedding_ann_lsh_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (the scale path next to embedding_knn_top3's
