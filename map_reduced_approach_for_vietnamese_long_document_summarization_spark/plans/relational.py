@@ -1113,6 +1113,29 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_function_showcase",
+    oracle="""
+SELECT printf('order-%d-%s', o_orderkey, lower(o_orderstatus)) AS tag,
+       strftime(o_orderdate, '%Y-%m-%d')                       AS order_day,
+       upper(substring(o_orderpriority, 3, 6))                 AS prio,
+       length(o_orderpriority)                                 AS prio_len
+FROM orders
+""",
+)
+def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface (C8 templating, C13 timestamp formatting,
+    case/substring/length): prompt-template shapes as format_string, date
+    rendering as date_format."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.format_string("order-%d-%s", "o_orderkey", F.lower("o_orderstatus")).alias("tag"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.upper(F.substring("o_orderpriority", 3, 6)).alias("prio"),
+        F.length("o_orderpriority").alias("prio_len"),
+    )
+
+
+@query(
     "monthly_order_volume",
     oracle="""
 SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start,
