@@ -17,6 +17,9 @@ from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans
 
 HEADLINE = [
     "pricing_summary",
+    "shipping_priority_q3",
+    "local_supplier_volume_q5",
+    "returned_item_customers_q10",
     "top_revenue_orders",
     "late_shipment_counts",
     "top2_orders_per_customer",

@@ -53,6 +53,27 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert pairs[0].est_jaccard > 0.7
 
 
+def test_simhash_signatures_match_expr(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        simhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, LONG_A), (2, LONG_B), (3, "one two"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    via_agg = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    via_expr = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", simhash_expr("text").alias("s")).collect()
+    }
+    for k in via_expr:
+        if via_expr[k] is None or k in (4, 5):
+            continue  # empty/null docs: agg path defines signature 0
+        assert via_agg[k] == via_expr[k], k
+    assert via_agg[4] == 0 and via_agg[5] == 0
+
+
 def test_simhash_near_dups(spark):
     df = spark.createDataFrame(
         [(1, LONG_A), (2, LONG_A_NEAR), (3, LONG_B)], ["doc_id", "text"]
