@@ -122,6 +122,46 @@ def enrich_stream_with_dim(events: DataFrame, dim: DataFrame, key_map: dict[str,
     return events.join(_F.broadcast(dim), cond, "left")
 
 
+def correlate_event_pairs(
+    events: DataFrame,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream self-join with an event-time range condition: for each
+    ``first_type`` event, the same user's ``then_type`` events within
+    ``within`` afterwards. Watermarks on both sides + the time-range bound
+    let Spark size and evict the join state — without them a stream-stream
+    join would buffer forever."""
+    a = (
+        events.filter(F.col("event_type") == first_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("first_event"),
+            F.col("ts").alias("a_ts"),
+        )
+    )
+    b = (
+        events.filter(F.col("event_type") == then_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("then_event"),
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    cond = (
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return a.join(b, cond).select(
+        F.col("a_user").alias("user_id"), "first_event", "then_event"
+    )
+
+
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),

@@ -164,6 +164,38 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert rows.get(0) == 2
 
 
+def test_stream_stream_time_bounded_join(spark, sf_dir, events_stream):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
+        correlate_event_pairs,
+    )
+
+    name = _run_to_memory(
+        correlate_event_pairs(events_stream, "click", "purchase", "30 minutes"),
+        "append",
+    )
+    got = {
+        (r.user_id, r.first_event, r.then_event)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter("event_type = 'click'").select(
+        F.col("user_id").alias("a_user"), F.col("event_id").alias("f"), F.col("ts").alias("a_ts")
+    )
+    b = e.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("b_user"), F.col("event_id").alias("t"), F.col("ts").alias("b_ts")
+    )
+    want = {
+        (r.a_user, r.f, r.t)
+        for r in a.join(
+            b,
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_stateful_running_stats(spark, sf_dir, events_stream):
     name = _run_to_memory(stateful_user_running_stats(events_stream), "update")
     got = {
