@@ -122,6 +122,69 @@ def enrich_stream_with_dim(events: DataFrame, dim: DataFrame, key_map: dict[str,
     return events.join(_F.broadcast(dim), cond, "left")
 
 
+def dedup_events_stream(
+    events: DataFrame, keys: list[str] = ["event_id"], watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: drop duplicate events by key, keeping state
+    only within the watermark horizon (``dropDuplicatesWithinWatermark``),
+    so at-least-once sources (Kafka redeliveries) don't double-count and
+    state stays bounded — the streaming twin of operators.dedup.exact_dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def incremental_summarize_stream(
+    chunks: DataFrame,
+    summarizer,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stateful incremental summarization — the streaming analog of the
+    iterative-refinement fold (SURVEY §2.10 / D11): as a document's chunks
+    arrive across micro-batches, per-doc state carries the running summary
+    and each batch refines it with the new chunks (in chunk_idx order).
+
+    Output (update mode): one row per doc per batch with the current summary
+    and the number of chunks folded so far.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("summary", T.StringType()),
+            T.StructField("n_chunks", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("summary", T.StringType()),
+            T.StructField("n_chunks", T.LongType()),
+        ]
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        summary, n = state.get if state.exists else ("", 0)
+        for pdf in pdfs:
+            for chunk in pdf.sort_values("chunk_idx")["chunk"]:
+                summary = (
+                    summarizer.summarize_text(chunk)
+                    if not summary
+                    else summarizer.summarize_text(summary + "\n\n" + chunk)
+                )
+                n += 1
+        state.update((summary, n))
+        yield pd.DataFrame({id_col: [key[0]], "summary": [summary], "n_chunks": [n]})
+
+    return (
+        chunks.select(id_col, "chunk_idx", "chunk")
+        .groupBy(id_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def correlate_event_pairs(
     events: DataFrame,
     first_type: str = "click",

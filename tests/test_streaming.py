@@ -196,6 +196,95 @@ def test_stream_stream_time_bounded_join(spark, sf_dir, events_stream):
     assert got == want and len(want) > 0
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
+        dedup_events_stream,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    now = _time.time()
+
+    def write(name, ids, mtime):
+        path = str(d / name)
+        pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": [base + pd.Timedelta(minutes=i) for i in range(len(ids))],
+                "user_id": [1] * len(ids),
+                "event_type": ["click"] * len(ids),
+                "value": [1.0] * len(ids),
+                "props": ["{}"] * len(ids),
+            }
+        ).to_parquet(path)
+        os.utime(path, (mtime, mtime))
+
+    write("b1.parquet", [1, 2, 2, 3], now - 50)  # intra-batch duplicate
+    write("b2.parquet", [3, 4], now)  # cross-batch duplicate within watermark
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    name = _run_to_memory(dedup_events_stream(stream, ["event_id"]), "append")
+    ids = sorted(r.event_id for r in spark.sql(f"SELECT * FROM {name}").collect())
+    assert ids == [1, 2, 3, 4]
+
+
+def test_incremental_summarize_stream(spark, tmp_path):
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
+        incremental_summarize_stream,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize import (
+        MockSummarizer,
+    )
+
+    d = tmp_path / "chunks"
+    d.mkdir()
+    now = _time.time()
+
+    def write(name, rows, mtime):
+        path = str(d / name)
+        pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "chunk"]).to_parquet(path)
+        os.utime(path, (mtime, mtime))
+
+    write("c1.parquet", [(1, 0, "alpha beta gamma delta"), (1, 1, "epsilon zeta")], now - 50)
+    write("c2.parquet", [(1, 2, "eta theta"), (2, 0, "solo chunk")], now)
+
+    stream = spark.readStream.schema("doc_id long, chunk_idx long, chunk string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(d))
+    out = incremental_summarize_stream(stream, MockSummarizer(3))
+    name = _run_to_memory(out, "update")
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    # update mode: one row per doc per batch it appeared in; last state wins
+    final = {}
+    for r in rows:
+        if r.doc_id not in final or r.n_chunks > final[r.doc_id][1]:
+            final[r.doc_id] = (r.summary, r.n_chunks)
+    # doc 1 folded 3 chunks across 2 batches; mock keeps first 3 tokens,
+    # so the running summary stays the fold-prefix of chunk 0
+    assert final[1][1] == 3
+    assert final[1][0].split()[:3] == ["alpha", "beta", "gamma"]
+    assert final[2] == ("solo chunk", 1)
+
+
 def test_stateful_running_stats(spark, sf_dir, events_stream):
     name = _run_to_memory(stateful_user_running_stats(events_stream), "update")
     got = {
