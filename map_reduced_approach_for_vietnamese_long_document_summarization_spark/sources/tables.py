@@ -13,8 +13,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Runtime-settable confs the engine's semantics depend on, applied on every
+# table load so queries behave identically under a FOREIGN SparkSession
+# (e.g. the correctness driver's): Spark 4 defaults ANSI mode ON (wrap-around
+# hash arithmetic in MinHash/SimHash would throw on overflow) and the session
+# timezone may not be UTC (epoch conversions would shift vs the UTC-naive
+# DuckDB oracle).
+_SEMANTIC_CONFS = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_semantic_confs(spark: SparkSession) -> None:
+    for k, v in _SEMANTIC_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_semantic_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
     if name != "events":
         return spark.read.parquet(path)
