@@ -1113,6 +1113,52 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "returnflag_metrics_unpivot",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2)      AS total_qty,
+         round(sum(l_extendedprice), 2) AS total_price
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, 'total_qty' AS metric, total_qty AS value FROM m
+UNION ALL
+SELECT l_returnflag, 'total_price' AS metric, total_price AS value FROM m
+""",
+)
+def returnflag_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (§2.7 family): wide per-flag metrics -> long
+    (flag, metric, value) via stack()."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(2, 'total_qty', total_qty, 'total_price', total_price) AS (metric, value)",
+    )
+
+
+@query(
+    "events_json_key_counts",
+    oracle="""
+WITH k AS (SELECT unnest(json_keys(props)) AS key FROM events)
+SELECT key, count(*) AS n FROM k GROUP BY key
+""",
+)
+def events_json_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: parse the JSON props into map<string,int>,
+    explode its keys, count occurrences."""
+    e = _t(spark, sf_dir, "events")
+    keys = F.map_keys(F.from_json("props", "map<string,int>"))
+    return (
+        e.select(F.explode(keys).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "scalar_function_showcase",
     oracle="""
 SELECT printf('order-%d-%s', o_orderkey, lower(o_orderstatus)) AS tag,
