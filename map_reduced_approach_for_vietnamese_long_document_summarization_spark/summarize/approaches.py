@@ -82,6 +82,15 @@ def mapreduce_summarize(
     )
 
 
+def default_refine_prompt(summary: str, chunk: str) -> str:
+    """Input to the refine step: previous summary + new context. The
+    reference's iterative runner uses a fuller Vietnamese prompt pair
+    (runners/run_summarization_ollama_iterative.py:106-147) — pass a custom
+    ``refine_fn`` to reproduce it verbatim with a live LLM; the
+    concatenation default keeps the mock pipeline deterministic."""
+    return summary + "\n\n" + chunk
+
+
 def iterative_refine_summarize(
     docs: DataFrame,
     summarizer: Summarizer,
@@ -89,6 +98,7 @@ def iterative_refine_summarize(
     chunk_overlap: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    refine_fn=default_refine_prompt,
 ) -> DataFrame:
     """Iterative refinement (IT, runners/run_summarization_ollama_iterative.py
     :154-187): summary_0 = summarize(chunk_0); summary_i = refine(summary_{i-1},
@@ -114,8 +124,7 @@ def iterative_refine_summarize(
             if not summary:
                 summary = fn.summarize_text(chunk)
             else:
-                # refine: previous summary + new context, as one prompt input
-                summary = fn.summarize_text(summary + "\n\n" + chunk)
+                summary = fn.summarize_text(refine_fn(summary, chunk))
         return pd.DataFrame({id_col: [pdf[id_col].iloc[0]], "summary": [summary]})
 
     out = chunks.groupBy(id_col).applyInPandas(fold, schema)

@@ -61,6 +61,51 @@ def read_tree_json(spark, path: str) -> DataFrame:
     return trees
 
 
+def split_root_tree(trees: DataFrame, json_col: str = "tree_json") -> DataFrame:
+    """Split the reference's corpus-level tree file into per-document trees.
+
+    ``data_1/document_tree.json`` is one Root whose children are Document
+    nodes keyed by filename stem (run_full_evaluation_pipeline.py:505-529).
+    Output: one row per Document child — ``(doc_id, tree_json)`` — ready for
+    ``flatten_tree_json``/``hierarchical_summarize``. The doc_id is the
+    Document node's ``text``, i.e. the J4 tree-lookup join key.
+    """
+    import json as _json
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField(json_col, T.StringType(), False),
+        ]
+    )
+
+    def split(batches):
+        for pdf in batches:
+            rows = []
+            for tree in pdf[json_col]:
+                root = _json.loads(tree) if isinstance(tree, str) else tree
+                for child in root.get("children", []):
+                    if child.get("type") == "Document":
+                        rows.append(
+                            {"doc_id": child.get("text", ""), json_col: _json.dumps(child)}
+                        )
+            yield pd.DataFrame(rows, columns=["doc_id", json_col])
+
+    return trees.mapInPandas(split, out_schema)
+
+
+def pair_docs_with_trees(
+    docs: DataFrame, doc_trees: DataFrame, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """J4 tree-lookup join: documents matched to their tree (broadcast — the
+    tree table is one row per doc of structure, tiny next to the corpus),
+    plus the 'not found in tree structure, skipping' report side
+    (run_full_evaluation_pipeline.py:527-529) as an anti-join."""
+    matched = docs.join(F.broadcast(doc_trees), id_col, "inner")
+    missing = docs.join(F.broadcast(doc_trees.select(id_col)), id_col, "left_anti")
+    return matched, missing
+
+
 def flatten_tree_json(trees: DataFrame, json_col: str = "tree_json", id_col: str = "doc_id") -> DataFrame:
     """JSON tree source (S3) -> flattened node table.
 

@@ -49,6 +49,20 @@ def test_iterative_refine_folds_in_order(spark):
     assert rows[2] == "short doc two tokens here"
 
 
+def test_iterative_custom_refine_prompt(spark):
+    # pluggable refine template (the real-LLM prompt hook): a template that
+    # drops the old summary makes the fold keep only the LAST chunk
+    docs = spark.createDataFrame([(1, " ".join(f"t{i}" for i in range(900)))], ["doc_id", "text"])
+    out = iterative_refine_summarize(
+        docs,
+        MockSummarizer(10),
+        chunk_size=300,
+        chunk_overlap=0,
+        refine_fn=lambda summary, chunk: chunk,
+    ).first()
+    assert out.summary.split()[0] == "t600"  # last chunk's first token
+
+
 def test_mapreduce_deterministic(spark):
     a = mapreduce_summarize(_docs(spark), MockSummarizer(48), 400, 0, 200)
     b = mapreduce_summarize(_docs(spark), MockSummarizer(48), 400, 0, 200)

@@ -41,6 +41,39 @@ def test_read_tree_json_source(spark, tmp_path):
     assert nodes[0].doc_id == "t1"
 
 
+def test_split_root_tree_and_doc_pairing(spark):
+    import json as _json
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize.hierarchical import (
+        pair_docs_with_trees,
+        split_root_tree,
+    )
+
+    root = {
+        "type": "Root",
+        "text": "",
+        "children": [
+            {"type": "Document", "text": "doc_a",
+             "children": [{"type": "Paragraph", "text": "body a"}]},
+            {"type": "Document", "text": "doc_b",
+             "children": [{"type": "Paragraph", "text": "body b"}]},
+            {"type": "Header", "text": "stray non-document node"},
+        ],
+    }
+    trees = spark.createDataFrame([(json.dumps(root),)], ["tree_json"])
+    per_doc = split_root_tree(trees)
+    rows = {r.doc_id: _json.loads(r.tree_json) for r in per_doc.collect()}
+    assert set(rows) == {"doc_a", "doc_b"}  # stray Header ignored
+    assert rows["doc_a"]["children"][0]["text"] == "body a"
+
+    docs = spark.createDataFrame(
+        [("doc_a", "text a"), ("doc_c", "no tree for me")], ["doc_id", "text"]
+    )
+    matched, missing = pair_docs_with_trees(docs, per_doc)
+    assert [r.doc_id for r in matched.collect()] == ["doc_a"]
+    assert [r.doc_id for r in missing.collect()] == ["doc_c"]  # skip-report side
+
+
 def test_hf_token_count_gated():
     # transformers is not installed in this runtime -> the hook must
     # signal unavailability rather than raise
