@@ -249,9 +249,13 @@ def simhash_signatures(
     as minhash_signatures): one xxhash64 per token row, then ``bits``
     sum-of-±1 aggregates on cheap shift/mask ops — all map-side combinable —
     and a driver-built shift-or expression assembles the final long.
-    Equivalent to ``simhash_expr`` (equivalence-tested); ~5x faster because
-    the vote loop runs in codegen instead of interpreted HOF lambdas.
-    Token-less docs get signature 0."""
+    Equivalent to ``simhash_expr`` (equivalence-tested); faster because the
+    vote loop runs in codegen instead of interpreted HOF lambdas.
+
+    Token-less (empty/whitespace/NULL) docs are EXCLUDED: a shared sentinel
+    signature would make every pair of empty docs a 'near-duplicate' and
+    pile a quadratic posting list onto one band key — content-free docs
+    belong to exact dedup, not similarity banding."""
     toks = df.select(id_col, F.explode(tokenize_ws(text_col)).alias("_t")).select(
         id_col, F.xxhash64("_t").alias("_h")
     )
@@ -268,12 +272,7 @@ def simhash_signatures(
             F.lit(0).cast("long")
         )
         acc = F.shiftleft(acc, 1).bitwiseOR(bit)
-    sigs = votes.select(id_col, acc.alias("simhash"))
-    return (
-        df.select(id_col)
-        .join(sigs, id_col, "left")
-        .select(id_col, F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
-    )
+    return votes.select(id_col, acc.alias("simhash"))
 
 
 def simhash_near_dup_pairs(

@@ -74,7 +74,6 @@ def srp_signature_expr(vec: Column | str, dim: int, n_planes: int = 16, seed: in
 
 def ivf_build_index(
     corpus: DataFrame,
-    dim: int,
     n_lists: int = 16,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
@@ -87,20 +86,17 @@ def ivf_build_index(
     column and centroids is a small driver-side list (n_lists x dim — a few
     KB, broadcast to queries). At 100 TB the assignment is a one-off scan
     (train on a sample, assign everywhere); queries then touch only
-    n_probe/n_lists of the data."""
+    n_probe/n_lists of the data. The corpus columns ride through the
+    transform — no join-back shuffle."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+    from pyspark.ml.functions import array_to_vector
 
-    vecs = corpus.select(
-        F.col(corpus_id).alias("_id"), array_to_vector(F.col(corpus_vec)).alias("features")
-    )
+    vecs = corpus.withColumn("features", array_to_vector(F.col(corpus_vec)))
     km = KMeans(k=n_lists, seed=seed, maxIter=20)
     model = km.fit(vecs)
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
-    assigned = (
-        model.transform(vecs)
-        .select(F.col("_id").alias(corpus_id), F.col("prediction").alias("cell"))
-        .join(corpus, corpus_id)
+    assigned = model.transform(vecs).withColumnRenamed("prediction", "cell").drop(
+        "features"
     )
     return assigned, centroids
 
@@ -147,6 +143,7 @@ def ivf_topk(
 
 def embedding_near_dup_pairs(
     vectors: DataFrame,
+    dim: int,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -156,8 +153,11 @@ def embedding_near_dup_pairs(
     SRP-bucket the vectors (multi-probe hamming-1), verify candidates with
     exact cosine >= threshold. Near-duplicates have cosine ~1, i.e. tiny
     angles, so the probability a plane separates them is theta/pi ~ 0 —
-    banding recall is high exactly in the regime the operator targets."""
-    dim = len(vectors.select(vec_col).first()[0])
+    banding recall is high exactly in the regime the operator targets.
+
+    ``dim`` is explicit (like the other SRP operators) so building the plan
+    stays lazy — deriving it from ``first()`` would run a job at
+    construction time and crash on empty input."""
     sig = srp_signature_expr(vec_col, dim, n_planes)
     base = vectors.select(id_col, vec_col, sig.alias("_sig"))
     probes = F.array(

@@ -1468,7 +1468,7 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_near_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    out = embedding_near_dup_pairs(e, threshold=0.35, n_planes=8)
+    out = embedding_near_dup_pairs(e, dim=64, threshold=0.35, n_planes=8)
     return out.select("id1", "id2")
 
 
@@ -1479,7 +1479,7 @@ def embedding_ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_build_index, ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    assigned, centroids = ivf_build_index(e, dim=64, n_lists=8)
+    assigned, centroids = ivf_build_index(e, n_lists=8)
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )

@@ -123,12 +123,13 @@ def enrich_stream_with_dim(events: DataFrame, dim: DataFrame, key_map: dict[str,
 
 
 def dedup_events_stream(
-    events: DataFrame, keys: list[str] = ["event_id"], watermark: str = "1 hour"
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
 ) -> DataFrame:
     """Streaming exact dedup: drop duplicate events by key, keeping state
     only within the watermark horizon (``dropDuplicatesWithinWatermark``),
     so at-least-once sources (Kafka redeliveries) don't double-count and
     state stays bounded — the streaming twin of operators.dedup.exact_dedup."""
+    keys = keys or ["event_id"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
@@ -145,9 +146,10 @@ def incremental_summarize_stream(
     Output (update mode): one row per doc per batch with the current summary
     and the number of chunks folded so far.
     """
+    id_type = chunks.schema[id_col].dataType  # honor string/long doc ids
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            T.StructField(id_col, id_type),
             T.StructField("summary", T.StringType()),
             T.StructField("n_chunks", T.LongType()),
         ]
@@ -161,14 +163,16 @@ def incremental_summarize_stream(
 
     def fold(key, pdfs, state: GroupState):
         summary, n = state.get if state.exists else ("", 0)
-        for pdf in pdfs:
-            for chunk in pdf.sort_values("chunk_idx")["chunk"]:
-                summary = (
-                    summarizer.summarize_text(chunk)
-                    if not summary
-                    else summarizer.summarize_text(summary + "\n\n" + chunk)
-                )
-                n += 1
+        # a micro-batch may arrive as several Arrow batches: concatenate and
+        # sort ONCE so the fold respects chunk_idx across batch boundaries
+        all_pdf = pd.concat(list(pdfs), ignore_index=True)
+        for chunk in all_pdf.sort_values("chunk_idx")["chunk"]:
+            summary = (
+                summarizer.summarize_text(chunk)
+                if not summary
+                else summarizer.summarize_text(summary + "\n\n" + chunk)
+            )
+            n += 1
         state.update((summary, n))
         yield pd.DataFrame({id_col: [key[0]], "summary": [summary], "n_chunks": [n]})
 

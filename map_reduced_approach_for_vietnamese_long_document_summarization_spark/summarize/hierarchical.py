@@ -84,6 +84,8 @@ def split_root_tree(trees: DataFrame, json_col: str = "tree_json") -> DataFrame:
             rows = []
             for tree in pdf[json_col]:
                 root = _json.loads(tree) if isinstance(tree, str) else tree
+                if not isinstance(root, dict):  # null/malformed row: skip
+                    continue
                 for child in root.get("children", []):
                     if child.get("type") == "Document":
                         rows.append(

@@ -21,7 +21,7 @@ def _clustered(spark, n_centers=4, per=25, dim=16, noise=0.05, seed=7):
 
 def test_ivf_index_and_search(spark):
     corpus = _clustered(spark)
-    assigned, centroids = ivf_build_index(corpus, dim=16, n_lists=4)
+    assigned, centroids = ivf_build_index(corpus, n_lists=4)
     assert len(centroids) == 4 and len(centroids[0]) == 16
     # every vector assigned to exactly one cell
     assert assigned.count() == 100
@@ -54,6 +54,6 @@ def test_embedding_near_dup_pairs(spark):
         (2, [float(x) for x in rng.standard_normal(16)]),  # unrelated
     ]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    pairs = embedding_near_dup_pairs(df, threshold=0.95).collect()
+    pairs = embedding_near_dup_pairs(df, dim=16, threshold=0.95).collect()
     assert [(p.id1, p.id2) for p in pairs] == [(0, 1)]
     assert pairs[0].cosine > 0.99
