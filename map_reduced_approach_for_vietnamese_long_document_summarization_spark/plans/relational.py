@@ -520,6 +520,32 @@ def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_in_trailing_90d",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       count(*) OVER (PARTITION BY o_custkey
+                      ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+         AS n_orders_90d
+FROM orders
+""",
+)
+def orders_in_trailing_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame window (value-based, not row-based): per order, how many
+    of the same customer's orders fall in the trailing 90 days. Ordered by
+    epoch seconds so the frame bound is 90*86400."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", F.count(F.lit(1)).over(w).alias("n_orders_90d")
+    )
+
+
+@query(
     "nation_top_customer",
     oracle="""
 SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal FROM (

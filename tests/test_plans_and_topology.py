@@ -56,6 +56,21 @@ def test_jvm_path_queries_have_no_python(spark, sf_dir):
         assert "Python" not in p, f"{q} plan contains a Python stage"
 
 
+def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned parquet sink + partition pruning: a lang filter on
+    the partitioned layout must prune directories at planning time."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs_by_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    assert back.count() == docs.filter("lang = 'en'").count()
+
+
 def test_collapse_round_topology(spark):
     # 16 chunks x 100 tokens, token_max 200, mock emits 50 tokens:
     # round 1: 8 groups x 50 = 400 -> still > 200
