@@ -1596,6 +1596,53 @@ def rouge1_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rouge2_per_doc",
+    oracle=f"""
+WITH t AS (SELECT doc_id, list_transform({_DUCK_TOKS}, x -> x) AS toks FROM documents),
+pair AS (SELECT doc_id, toks[1:60] AS g, toks[31:120] AS r FROM t),
+gg AS (SELECT doc_id,
+              list_transform(range(1, greatest(len(g), 1)),
+                             i -> g[i] || ' ' || g[i+1]) AS grams
+       FROM pair WHERE len(g) >= 2),
+rg AS (SELECT doc_id,
+              list_transform(range(1, greatest(len(r), 1)),
+                             i -> r[i] || ' ' || r[i+1]) AS grams
+       FROM pair WHERE len(r) >= 2),
+gc AS (SELECT doc_id, gram, count(*) AS c
+       FROM (SELECT doc_id, unnest(grams) AS gram FROM gg) GROUP BY 1, 2),
+rc AS (SELECT doc_id, gram, count(*) AS c
+       FROM (SELECT doc_id, unnest(grams) AS gram FROM rg) GROUP BY 1, 2),
+i AS (SELECT gc.doc_id, sum(least(gc.c, rc.c)) AS inter
+      FROM gc JOIN rc ON gc.doc_id = rc.doc_id AND gc.gram = rc.gram GROUP BY 1),
+l AS (SELECT pair.doc_id,
+             greatest(len(g) - 1, 0) AS lg,
+             greatest(len(r) - 1, 0) AS lr,
+             coalesce(inter, 0) AS inter
+      FROM pair LEFT JOIN i ON pair.doc_id = i.doc_id)
+SELECT doc_id,
+       round(CASE WHEN lg > 0 AND lr > 0 AND inter > 0
+                  THEN 2.0 * inter / (lg + lr) ELSE 0.0 END, 6) AS rouge2_f
+FROM l
+""",
+)
+def rouge2_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 F1 per pair (M1's bigram member) via the vectorized n-gram
+    explode-join path (rouge_n_f1_df) — bigram multisets, not distinct
+    shingles."""
+    from ..metrics.rouge import rouge_n_f1_df
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokenize_ws("text")
+    pair = d.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 60), " ").alias("g"),
+        F.array_join(F.slice(toks, 31, 90), " ").alias("r"),
+    )
+    out = rouge_n_f1_df(pair, 2, out_col="rouge2")
+    return out.select("doc_id", F.round("rouge2", 6).alias("rouge2_f"))
+
+
+@query(
     "rouge1_moments_by_lang",
     oracle=_DUCK_ROUGE1
     + """
