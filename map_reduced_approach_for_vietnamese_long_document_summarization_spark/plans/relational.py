@@ -631,6 +631,68 @@ def part_heavy_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_both_flags_all",
+    oracle="""
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+INTERSECT ALL
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+""",
+)
+def part_both_flags_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL (duplicate cardinality = min of the sides)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_partkey")
+        .intersectAll(li.filter(F.col("l_returnflag") == "A").select("l_partkey"))
+    )
+
+
+@query(
+    "lang_source_roster",
+    oracle="""
+SELECT lang,
+       array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+       count(DISTINCT source)                                 AS n_sources
+FROM documents
+GROUP BY lang
+""",
+)
+def lang_source_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation surface: per-language sorted distinct source roster,
+    rendered to a string so the value-hash is representation-independent."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "doc_keyword_mentions",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\b(join|merge|sort)\\b'))  AS n_mentions,
+       len(regexp_extract_all(text, '\\bstream\\w*'))            AS n_stream_terms
+FROM documents
+""",
+)
+def doc_keyword_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all surface: occurrence counting with word boundaries
+    and prefix patterns."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\b(join|merge|sort)\b"), 0)).alias(
+            "n_mentions"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(r"\bstream\w*"), 0)).alias(
+            "n_stream_terms"
+        ),
+    )
+
+
+@query(
     "priority_slices_union",
     oracle="""
 SELECT 'urgent' AS slice, o_orderkey, round(o_totalprice, 2) AS total
