@@ -91,6 +91,61 @@ def test_flatten_tree_json(spark):
     assert nodes[1].parent_id == 0
 
 
+def test_hierarchical_max_depth_cap(spark):
+    """max_depth caps collapse at min(max_depth, actual) (HI:289-290): with
+    max_depth=1 only level-1 headers collapse, but their summaries must
+    still cover descendant paragraphs from deeper levels (D14 gathers the
+    whole subtree)."""
+    deep = {
+        "type": "Document",
+        "text": "d",
+        "children": [
+            {
+                "type": "Header",
+                "text": "H1",
+                "children": [
+                    {
+                        "type": "Header",
+                        "text": "H2-nested",
+                        "children": [
+                            {"type": "Paragraph", "text": "deep paragraph content"},
+                        ],
+                    },
+                ],
+            },
+        ],
+    }
+    trees = spark.createDataFrame([("d", json.dumps(deep))], ["doc_id", "tree_json"])
+    out = hierarchical_summarize(
+        trees, MockSummarizer(64), max_depth=1, chunk_size=100, chunk_overlap=0,
+        token_max=80, polish=False,
+    ).first()
+    # level-1 header collapsed with ALL descendant paragraphs gathered;
+    # the nested header title itself is not a paragraph so only the body text
+    # must appear
+    assert "H1:" in out.summary
+    assert "deep paragraph content" in out.summary
+
+
+def test_collapse_mixed_convergence(spark):
+    """Docs leave the collapse loop as soon as they fit: the small doc's rows
+    must pass through unchanged while the big doc collapses."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.collapse import (
+        collapse_until_fits,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(1, i, f"big{i} " * 100, 100) for i in range(10)]  # 1000 > 200
+    rows += [(2, 0, "small doc text", 3)]  # already fits
+    df = spark.createDataFrame(rows, ["doc_id", "chunk_idx", "text", "n_tokens"])
+    stats: dict = {}
+    out = collapse_until_fits(df, MockSummarizer(40), token_max=200, stats=stats)
+    small = out.filter("doc_id = 2").collect()
+    assert [(r.chunk_idx, r.text) for r in small] == [(0, "small doc text")]
+    big_total = out.filter("doc_id = 1").agg(F.sum("n_tokens")).first()[0]
+    assert big_total <= 200 and stats["rounds"] >= 1
+
+
 def test_hierarchical_summarize_end_to_end(spark):
     trees = spark.createDataFrame(
         [("d1", json.dumps(_tree("d1"))), ("d2", json.dumps(_tree("d2")))],
