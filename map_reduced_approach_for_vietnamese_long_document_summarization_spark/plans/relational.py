@@ -1000,6 +1000,48 @@ def doc_collapse_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_greedy_buckets",
+    oracle=f"""
+WITH RECURSIVE t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+n AS (SELECT doc_id, toks,
+             greatest(1, CAST(ceil(len(toks) / 20.0) AS INT)) AS nc
+      FROM t),
+x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM n),
+chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         len(toks[i*20+1 : (i+1)*20]) AS n_tokens
+  FROM x),
+walk AS (
+  SELECT doc_id, chunk_idx, n_tokens, 0 AS gid, CAST(n_tokens AS BIGINT) AS acc
+  FROM chunks WHERE chunk_idx = 0
+  UNION ALL
+  SELECT c.doc_id, c.chunk_idx, c.n_tokens,
+         CASE WHEN w.acc > 0 AND w.acc + c.n_tokens > 25
+              THEN w.gid + 1 ELSE w.gid END,
+         CASE WHEN w.acc > 0 AND w.acc + c.n_tokens > 25
+              THEN CAST(c.n_tokens AS BIGINT) ELSE w.acc + c.n_tokens END
+  FROM walk w JOIN chunks c
+    ON c.doc_id = w.doc_id AND c.chunk_idx = w.chunk_idx + 1)
+SELECT doc_id, chunk_idx, gid AS group_id FROM walk
+""",
+)
+def doc_greedy_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FAITHFUL greedy packing (D5, the reference's split_list_of_docs:
+    new group when adding would exceed token_max) — oracle-checked: Spark
+    runs the JVM aggregate-fold; DuckDB replays the same sequential walk as
+    a recursive CTE. Complements doc_collapse_buckets' running-sum
+    approximation."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = chunk_fixed_tokens(d, 20).select("doc_id", "chunk_idx", "n_tokens")
+    from ..operators.collapse import bucket_by_token_budget
+
+    out = bucket_by_token_budget(
+        chunks.withColumn("text", F.lit("")), 25
+    )
+    return out.select("doc_id", "chunk_idx", "group_id")
+
+
+@query(
     "doc_quality_scores",
     oracle="""
 WITH s AS (
