@@ -1042,6 +1042,70 @@ def doc_greedy_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mock_collapse_level",
+    oracle=f"""
+WITH RECURSIVE t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+n AS (SELECT doc_id, toks,
+             greatest(1, CAST(ceil(len(toks) / 60.0) AS INT)) AS nc
+      FROM t),
+x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM n),
+-- map stage: chunk(60) then mock-summarize (first 24 tokens of each chunk)
+mapped AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         array_to_string(toks[i*60+1 : least((i+1)*60, i*60+24)], ' ') AS summary,
+         least(greatest(len(toks) - i*60, 0), 24) AS n_tokens
+  FROM x),
+-- greedy packing of summaries into <=50-token groups (split_list_of_docs)
+walk AS (
+  SELECT doc_id, chunk_idx, n_tokens, 0 AS gid, CAST(n_tokens AS BIGINT) AS acc
+  FROM mapped WHERE chunk_idx = 0
+  UNION ALL
+  SELECT m.doc_id, m.chunk_idx, m.n_tokens,
+         CASE WHEN w.acc > 0 AND w.acc + m.n_tokens > 50
+              THEN w.gid + 1 ELSE w.gid END,
+         CASE WHEN w.acc > 0 AND w.acc + m.n_tokens > 50
+              THEN CAST(m.n_tokens AS BIGINT) ELSE w.acc + m.n_tokens END
+  FROM walk w JOIN mapped m
+    ON m.doc_id = w.doc_id AND m.chunk_idx = w.chunk_idx + 1),
+-- reduce: concat each group's summaries in order, mock-summarize the concat
+grouped AS (
+  SELECT m.doc_id, w.gid AS group_id,
+         string_agg(m.summary, e'\n\n' ORDER BY m.chunk_idx) AS joined
+  FROM mapped m JOIN walk w
+    ON m.doc_id = w.doc_id AND m.chunk_idx = w.chunk_idx
+  GROUP BY m.doc_id, w.gid)
+SELECT doc_id, group_id,
+       md5(array_to_string(list_slice(
+             regexp_split_to_array(regexp_replace(joined, '^\\s+|\\s+$', '', 'g'), '\\s+'),
+             1, 24), ' ')) AS reduced_hash
+FROM grouped
+""",
+)
+def mock_collapse_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One COMPLETE collapse level oracle-checked end-to-end (D2+D5+D6):
+    fixed-token chunking -> mock map -> faithful greedy bucketing -> ordered
+    group concat -> mock reduce. Spark runs the engine's real operators
+    (chunk_fixed_tokens, Summarizer.summarize_df, bucket_by_token_budget,
+    reduce_groups); DuckDB replays the identical dataflow with a recursive
+    CTE for the greedy walk."""
+    from ..operators.collapse import bucket_by_token_budget, reduce_groups
+    from ..summarize import MockSummarizer
+
+    d = _t(spark, sf_dir, "documents")
+    s = MockSummarizer(24)
+    chunks = chunk_fixed_tokens(d, 60)
+    mapped = s.summarize_df(chunks, "chunk", "summary").select(
+        "doc_id",
+        "chunk_idx",
+        F.col("summary").alias("text"),
+        F.least(F.col("n_tokens"), F.lit(24)).alias("n_tokens"),
+    )
+    bucketed = bucket_by_token_budget(mapped, 50)
+    reduced = reduce_groups(bucketed, s, ("doc_id", "group_id"))
+    return reduced.select("doc_id", "group_id", F.md5("text").alias("reduced_hash"))
+
+
+@query(
     "doc_quality_scores",
     oracle="""
 WITH s AS (
