@@ -1978,11 +1978,24 @@ def pipeline_mapreduce_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pipeline_iterative_mock")  # rows-only: ordered per-doc fold
+@query(
+    "pipeline_iterative_mock",
+    oracle=f"""
+SELECT doc_id,
+       array_to_string(list_slice({_DUCK_TOKS}, 1, 32), ' ') AS summary
+FROM documents
+""",
+)
 def pipeline_iterative_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative-refinement approach end-to-end: per-doc left fold in
     chunk_idx order inside applyInPandas (D11) — sequential within a doc,
-    parallel across docs."""
+    parallel across docs.
+
+    With the first-k-tokens mock the fold has a closed form — once the
+    running summary reaches k tokens, refining can't change it, so the
+    result is exactly the doc's first min(k, n) tokens. The oracle checks
+    that closed form, which pins BOTH the mock semantics and the fold's
+    ordering (any out-of-order fold would surface non-prefix tokens)."""
     from ..summarize import MockSummarizer, iterative_refine_summarize
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
