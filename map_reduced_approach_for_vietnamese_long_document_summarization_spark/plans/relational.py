@@ -1963,13 +1963,25 @@ def pipeline_truncated_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truncated_summarize(d, MockSummarizer(64), max_input_tokens=16384)
 
 
-@query("pipeline_mapreduce_mock")  # rows-only: driver checks rowcount/schema
+@query(
+    "pipeline_mapreduce_mock",
+    oracle=f"""
+SELECT doc_id,
+       array_to_string(list_slice({_DUCK_TOKS}, 1, 24), ' ') AS summary
+FROM documents
+""",
+)
 def pipeline_mapreduce_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-reduce approach end-to-end with the mock summarizer: chunk ->
     map -> greedy bucket -> recursive collapse -> final reduce -> clean.
-    The collapse convergence loop is driver-orchestrated iteration — not
-    single-statement SQL — so this entry takes the weaker rows-only check;
-    unit tests assert its topology (chunk counts, collapse rounds, totals)."""
+
+    On this corpus the pipeline has a closed form the oracle can check:
+    every doc is <= ~100 tokens, so map outputs total <= 48 <= token_max
+    (zero collapse rounds — the driver loop is exercised but never fires),
+    and the final mock reduce keeps the first 24 tokens of the first chunk's
+    summary, i.e. the doc's first min(24, n) tokens. Non-trivial collapse
+    rounds are cross-engine-checked by mock_collapse_level and golden-tested
+    for round counts in tests/test_plans_and_topology.py."""
     from ..summarize import MockSummarizer, mapreduce_summarize
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
