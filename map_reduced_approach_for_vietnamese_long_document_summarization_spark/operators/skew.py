@@ -31,6 +31,9 @@ def salted_agg(
     task retries recompute identical salts, so a shuffle-fetch failure can't
     split one row's contributions across salt replicas (rand() is
     order-dependent and breaks exactly-once semantics under recomputation).
+    Caveat: byte-identical duplicate rows share a salt and stay co-located —
+    dedup such rows (or pre-aggregate a count) before salting if exact
+    duplicates are themselves the hot key.
     """
     salted = df.withColumn("_salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt)).cast("int"))
     partial = salted.groupBy(*key_cols, "_salt").agg(

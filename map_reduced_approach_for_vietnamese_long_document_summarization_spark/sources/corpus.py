@@ -43,3 +43,20 @@ def write_per_doc_text(df: DataFrame, out_dir: str, id_col: str = "doc_id", text
     df.select(id_col, F.col(text_col).alias("value")).write.mode("overwrite").partitionBy(
         id_col
     ).text(out_dir)
+
+
+def collect_to_files(
+    df, out_dir: str, id_col: str = "doc_id", text_col: str = "summary", ext: str = ".txt"
+) -> int:
+    """Exact reference-layout sink: one ``<out_dir>/<doc_id>.txt`` per row
+    (run_full_evaluation_pipeline.py:569-570). DRIVER-SIDE collect — for
+    demo/small outputs only; the distributed path is ``write_per_doc_text``.
+    Returns the number of files written."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = df.select(id_col, text_col).collect()
+    for r in rows:
+        with open(os.path.join(out_dir, f"{r[id_col]}{ext}"), "w", encoding="utf-8") as f:
+            f.write(r[text_col] or "")
+    return len(rows)

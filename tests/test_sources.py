@@ -28,6 +28,22 @@ def test_text_corpus_roundtrip(spark, tmp_path):
     assert "ALPHA TEXT" in back[0].value
 
 
+def test_collect_to_files_reference_layout(spark, tmp_path):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.sources.corpus import (
+        collect_to_files,
+    )
+
+    df = spark.createDataFrame([("a", "sum a"), ("b", None)], ["doc_id", "summary"])
+    out = tmp_path / "flat"
+    n = collect_to_files(df, str(out))
+    assert n == 2
+    assert (out / "a.txt").read_text() == "sum a"
+    assert (out / "b.txt").read_text() == ""  # null summary -> empty file
+    # round-trip through the corpus reader restores (doc_id, text)
+    back = {r.doc_id: r.text for r in read_text_corpus(spark, str(out)).collect()}
+    assert back == {"a": "sum a", "b": ""}
+
+
 def test_positional_zip_join(spark):
     # J3: the reference's zip(generated, references) made deterministic
     left = spark.createDataFrame([("b", 2), ("a", 1)], ["k", "v"])
