@@ -21,7 +21,8 @@ def read_text_corpus(
 
     ``pathGlobFilter`` is the extension filter (S2) applied at listing time —
     filtered files are never opened. doc_id = filename stem, the reference's
-    join key.
+    join key. Note: the binaryFile source skips zero-byte files — empty
+    documents don't produce rows.
     """
     raw = (
         spark.read.format("binaryFile")

