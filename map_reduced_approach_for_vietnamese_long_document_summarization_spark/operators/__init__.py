@@ -5,11 +5,20 @@ from .collapse import bucket_by_token_budget, bucket_running_sum, collapse_until
 from .dedup import (
     exact_dedup,
     minhash_dedup_pairs,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
+    simhash_signatures,
 )
-from .pairing import anti_pairs, pair_docs_with_refs, skip_existing
-from .similarity import cosine_topk, random_hyperplane_lsh_topk
+from .pairing import anti_pairs, pair_docs_with_refs, positional_zip_join, skip_existing
+from .similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_build_index,
+    ivf_topk,
+    random_hyperplane_lsh_topk,
+)
+from .skew import salted_agg, salted_join
 
 __all__ = [
     "chunk_documents",
@@ -20,11 +29,19 @@ __all__ = [
     "collapse_until_fits",
     "anti_pairs",
     "pair_docs_with_refs",
+    "positional_zip_join",
     "skip_existing",
     "exact_dedup",
+    "minhash_signatures",
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",
+    "simhash_signatures",
     "simhash_near_dup_pairs",
     "cosine_topk",
     "random_hyperplane_lsh_topk",
+    "embedding_near_dup_pairs",
+    "ivf_build_index",
+    "ivf_topk",
+    "salted_agg",
+    "salted_join",
 ]

@@ -1,6 +1,10 @@
 """Structured Streaming extension over the events table (SURVEY §2.10)."""
 
 from .events import (
+    correlate_event_pairs,
+    dedup_events_stream,
+    enrich_stream_with_dim,
+    incremental_summarize_stream,
     read_events_stream,
     session_event_counts,
     sliding_event_counts,
@@ -14,4 +18,8 @@ __all__ = [
     "sliding_event_counts",
     "session_event_counts",
     "stateful_user_running_stats",
+    "correlate_event_pairs",
+    "dedup_events_stream",
+    "enrich_stream_with_dim",
+    "incremental_summarize_stream",
 ]
