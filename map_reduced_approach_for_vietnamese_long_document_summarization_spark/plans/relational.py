@@ -1105,6 +1105,85 @@ def mock_collapse_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduced.select("doc_id", "group_id", F.md5("text").alias("reduced_hash"))
 
 
+def _collapse_loop_level_sql(i: int, token_max: int = 16, k: int = 8) -> str:
+    """One unrolled collapse-loop level as DuckDB CTEs: totals -> over-budget
+    doc set -> recursive greedy walk -> mock group-reduce -> pass-through
+    union. MATERIALIZED hints are load-bearing: without them the chained
+    level CTEs re-evaluate exponentially."""
+    p, c = f"L{i}", f"L{i + 1}"
+    return f"""
+tot{i} AS MATERIALIZED (SELECT doc_id, sum(n_tokens) AS tot FROM {p} GROUP BY doc_id),
+over{i} AS MATERIALIZED (SELECT doc_id FROM tot{i} WHERE tot > {token_max}),
+walk{i} AS MATERIALIZED (
+  WITH RECURSIVE w{i} AS (
+    SELECT l.doc_id, l.chunk_idx, l.n_tokens, 0 AS gid, CAST(l.n_tokens AS BIGINT) AS acc
+    FROM {p} l JOIN over{i} o ON l.doc_id = o.doc_id
+    WHERE l.chunk_idx = 0
+    UNION ALL
+    SELECT nx.doc_id, nx.chunk_idx, nx.n_tokens,
+           CASE WHEN w.acc > 0 AND w.acc + nx.n_tokens > {token_max}
+                THEN w.gid + 1 ELSE w.gid END,
+           CASE WHEN w.acc > 0 AND w.acc + nx.n_tokens > {token_max}
+                THEN CAST(nx.n_tokens AS BIGINT) ELSE w.acc + nx.n_tokens END
+    FROM w{i} w JOIN {p} nx ON nx.doc_id = w.doc_id AND nx.chunk_idx = w.chunk_idx + 1)
+  SELECT * FROM w{i}),
+red{i} AS MATERIALIZED (
+  SELECT l.doc_id, CAST(w.gid AS INT) AS chunk_idx,
+         array_to_string(list_slice(
+           regexp_split_to_array(string_agg(l.summary, ' ' ORDER BY l.chunk_idx), ' '),
+           1, {k}), ' ') AS summary,
+         least({k}, CAST(sum(l.n_tokens) AS INT)) AS n_tokens
+  FROM {p} l JOIN walk{i} w ON l.doc_id = w.doc_id AND l.chunk_idx = w.chunk_idx
+  GROUP BY l.doc_id, w.gid),
+{c} AS MATERIALIZED (
+  SELECT l.* FROM {p} l LEFT JOIN over{i} o ON l.doc_id = o.doc_id WHERE o.doc_id IS NULL
+  UNION ALL
+  SELECT doc_id, chunk_idx, n_tokens, summary FROM red{i})
+"""
+
+
+@query(
+    "mock_collapse_loop",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+n AS (SELECT doc_id, toks, greatest(1, CAST(ceil(len(toks) / 10.0) AS INT)) AS nc FROM t),
+x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM n),
+L0 AS MATERIALIZED (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         least(greatest(len(toks) - i*10, 0), 8) AS n_tokens,
+         array_to_string(toks[i*10+1 : least((i+1)*10, i*10+8)], ' ') AS summary
+  FROM x),
+{_collapse_loop_level_sql(0)}, {_collapse_loop_level_sql(1)},
+{_collapse_loop_level_sql(2)}, {_collapse_loop_level_sql(3)}
+SELECT doc_id, chunk_idx, md5(summary) AS s_hash, n_tokens FROM L4
+""",
+)
+def mock_collapse_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL recursive collapse convergence loop (D7) oracle-checked:
+    chunk(10) -> mock map(8) -> collapse_until_fits(token_max=16), which on
+    this corpus takes up to 3 rounds per doc (10 chunks -> 5 -> 3 -> 2) with
+    early per-doc exit. The oracle unrolls four loop levels in DuckDB — each
+    a greedy recursive-CTE walk + mock reduce + converged-doc pass-through —
+    so the driver loop's split/reduce/union semantics themselves are
+    cross-engine verified, not just the single level."""
+    from ..operators.collapse import collapse_until_fits
+    from ..summarize import MockSummarizer
+
+    d = _t(spark, sf_dir, "documents")
+    s = MockSummarizer(8)
+    chunks = chunk_fixed_tokens(d, 10)
+    mapped = s.summarize_df(chunks, "chunk", "summary").select(
+        "doc_id",
+        "chunk_idx",
+        F.col("summary").alias("text"),
+        F.least(F.col("n_tokens"), F.lit(8)).alias("n_tokens"),
+    )
+    out = collapse_until_fits(mapped, s, token_max=16, max_rounds=10)
+    return out.select(
+        "doc_id", "chunk_idx", F.md5("text").alias("s_hash"), "n_tokens"
+    )
+
+
 @query(
     "doc_quality_scores",
     oracle="""
