@@ -130,10 +130,13 @@ def rouge_n_f1_df(
         .groupBy(*ids)
         .agg(F.sum(F.least("_cg", "_cr")).alias("_inter"))
     )
+    # gram count is arithmetic on the token count — no need to rebuild the
+    # gram arrays just to size them
+    def _n_grams(col):
+        return F.greatest(F.size(tokenize_ws(col)) - (n - 1), F.lit(0))
+
     sizes = pairs.select(
-        *ids,
-        F.size(_ngram_arr(gen_col, n)).alias("_lg"),
-        F.size(_ngram_arr(ref_col, n)).alias("_lr"),
+        *ids, _n_grams(gen_col).alias("_lg"), _n_grams(ref_col).alias("_lr")
     )
     out = sizes.join(inter, ids, "left")
     f1 = F.when(

@@ -1035,9 +1035,7 @@ def doc_greedy_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = chunk_fixed_tokens(d, 20).select("doc_id", "chunk_idx", "n_tokens")
     from ..operators.collapse import bucket_by_token_budget
 
-    out = bucket_by_token_budget(
-        chunks.withColumn("text", F.lit("")), 25
-    )
+    out = bucket_by_token_budget(chunks, 25)
     return out.select("doc_id", "chunk_idx", "group_id")
 
 
@@ -1154,18 +1152,25 @@ L0 AS MATERIALIZED (
          array_to_string(toks[i*10+1 : least((i+1)*10, i*10+8)], ' ') AS summary
   FROM x),
 {_collapse_loop_level_sql(0)}, {_collapse_loop_level_sql(1)},
-{_collapse_loop_level_sql(2)}, {_collapse_loop_level_sql(3)}
-SELECT doc_id, chunk_idx, md5(summary) AS s_hash, n_tokens FROM L4
+{_collapse_loop_level_sql(2)}, {_collapse_loop_level_sql(3)},
+{_collapse_loop_level_sql(4)}, {_collapse_loop_level_sql(5)}
+SELECT doc_id, chunk_idx, md5(summary) AS s_hash, n_tokens FROM L6
 """,
 )
 def mock_collapse_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL recursive collapse convergence loop (D7) oracle-checked:
     chunk(10) -> mock map(8) -> collapse_until_fits(token_max=16), which on
     this corpus takes up to 3 rounds per doc (10 chunks -> 5 -> 3 -> 2) with
-    early per-doc exit. The oracle unrolls four loop levels in DuckDB — each
+    early per-doc exit. The oracle unrolls SIX loop levels in DuckDB — each
     a greedy recursive-CTE walk + mock reduce + converged-doc pass-through —
     so the driver loop's split/reduce/union semantics themselves are
-    cross-engine verified, not just the single level."""
+    cross-engine verified, not just the single level.
+
+    Precondition: six levels cover docs up to ~1,500 tokens (each round
+    roughly halves the summary count; harness docs are <= 100 tokens, 3
+    rounds). A corpus regenerated with far larger docs would need more
+    unrolled levels — the mismatch would surface as a parity failure here,
+    not silently."""
     from ..operators.collapse import collapse_until_fits
     from ..summarize import MockSummarizer
 
@@ -2059,8 +2064,12 @@ def pipeline_mapreduce_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zero collapse rounds — the driver loop is exercised but never fires),
     and the final mock reduce keeps the first 24 tokens of the first chunk's
     summary, i.e. the doc's first min(24, n) tokens. Non-trivial collapse
-    rounds are cross-engine-checked by mock_collapse_level and golden-tested
-    for round counts in tests/test_plans_and_topology.py."""
+    rounds are cross-engine-checked by mock_collapse_loop/-level and golden-
+    tested for round counts in tests/test_plans_and_topology.py.
+
+    Precondition (as in pipeline_iterative_mock): multi-chunk docs' first
+    chunk carries >= 24 tokens, else overlap-duplicated tokens would enter
+    the first-24 slice and fail parity loudly."""
     from ..summarize import MockSummarizer, mapreduce_summarize
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2086,7 +2095,12 @@ def pipeline_iterative_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     running summary reaches k tokens, refining can't change it, so the
     result is exactly the doc's first min(k, n) tokens. The oracle checks
     that closed form, which pins BOTH the mock semantics and the fold's
-    ordering (any out-of-order fold would surface non-prefix tokens)."""
+    ordering (any out-of-order fold would surface non-prefix tokens).
+
+    Precondition: every multi-chunk doc's FIRST chunk carries >= k=32
+    tokens (true for chunk_size=60 on this corpus; verified across all
+    shipped scale factors) — a shorter first chunk would pull overlap-
+    duplicated tokens into positions k0+1..k and fail parity loudly."""
     from ..summarize import MockSummarizer, iterative_refine_summarize
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")

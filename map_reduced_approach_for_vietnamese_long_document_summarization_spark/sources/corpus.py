@@ -52,12 +52,18 @@ def collect_to_files(
     """Exact reference-layout sink: one ``<out_dir>/<doc_id>.txt`` per row
     (run_full_evaluation_pipeline.py:569-570). DRIVER-SIDE collect — for
     demo/small outputs only; the distributed path is ``write_per_doc_text``.
-    Returns the number of files written."""
+    doc_ids are sanitized to safe filenames (path separators replaced);
+    returns the number of distinct files written (last row wins on
+    duplicate ids)."""
     import os
+    import re
 
     os.makedirs(out_dir, exist_ok=True)
-    rows = df.select(id_col, text_col).collect()
-    for r in rows:
-        with open(os.path.join(out_dir, f"{r[id_col]}{ext}"), "w", encoding="utf-8") as f:
+    written = set()
+    for r in df.select(id_col, text_col).collect():
+        safe = re.sub(r"[^\w.-]", "_", str(r[id_col]))
+        path = os.path.join(out_dir, f"{safe}{ext}")
+        with open(path, "w", encoding="utf-8") as f:
             f.write(r[text_col] or "")
-    return len(rows)
+        written.add(path)
+    return len(written)
