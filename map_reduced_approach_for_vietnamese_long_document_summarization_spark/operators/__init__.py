@@ -4,6 +4,7 @@ from .chunking import chunk_documents, chunk_fixed_tokens, recursive_split_text
 from .collapse import bucket_by_token_budget, bucket_running_sum, collapse_until_fits
 from .dedup import (
     exact_dedup,
+    lsh_band_table,
     minhash_dedup_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -32,6 +33,7 @@ __all__ = [
     "positional_zip_join",
     "skip_existing",
     "exact_dedup",
+    "lsh_band_table",
     "minhash_signatures",
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",

@@ -105,16 +105,17 @@ def minhash_signature_expr(shingles: Column, n_hashes: int = 64) -> Column:
     return F.array(*sigs)
 
 
-def minhash_lsh_candidates(
+def lsh_band_table(
     df: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "minhash",
     n_bands: int = 16,
     n_hashes: int = 64,
 ) -> DataFrame:
-    """LSH banding: split the signature into n_bands, bucket-join docs that
-    share any (band_idx, band_hash). Output: (id1, id2) candidate pairs with
-    the estimated Jaccard (fraction of agreeing minhashes)."""
+    """Exploded LSH band table: exactly (id, band_idx, band_hash) — the
+    signature column is deliberately NOT carried, so the band self-join
+    shuffles 3 narrow columns per (doc x band) row instead of n_bands copies
+    of the 64-long signature (a ~16x band-shuffle-width cut at n_bands=16)."""
     sig = F.col(sig_col)
     rpb = n_hashes // n_bands
     bands = F.array(
@@ -131,12 +132,30 @@ def minhash_lsh_candidates(
             for b in range(n_bands)
         ]
     )
-    exploded = df.select(id_col, sig_col, F.explode(bands).alias("b")).select(
-        id_col, sig_col, "b.band_idx", "b.band_hash"
+    return df.select(id_col, F.explode(bands).alias("b")).select(
+        id_col, "b.band_idx", "b.band_hash"
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    n_bands: int = 16,
+    n_hashes: int = 64,
+) -> DataFrame:
+    """LSH banding: split the signature into n_bands, bucket-join docs that
+    share any (band_idx, band_hash). Output: (id1, id2) candidate pairs with
+    the estimated Jaccard (fraction of agreeing minhashes).
+
+    The band self-join runs on ids only (``lsh_band_table``); signatures are
+    joined back ONCE per pair side afterwards — callers that persist the
+    (id, signature) input (``minhash_dedup_pairs`` does) pay the signature
+    scan twice total, not once per band."""
+    exploded = lsh_band_table(df, id_col, sig_col, n_bands, n_hashes)
     left = exploded.alias("l")
     right = exploded.alias("r")
-    pairs = (
+    pair_ids = (
         left.join(
             right,
             (F.col("l.band_idx") == F.col("r.band_idx"))
@@ -146,11 +165,13 @@ def minhash_lsh_candidates(
         .select(
             F.col(f"l.{id_col}").alias("id1"),
             F.col(f"r.{id_col}").alias("id2"),
-            F.col(f"l.{sig_col}").alias("_s1"),
-            F.col(f"r.{sig_col}").alias("_s2"),
         )
         .dropDuplicates(["id1", "id2"])
     )
+    sigs = df.select(id_col, sig_col)
+    pairs = pair_ids.join(
+        sigs.select(F.col(id_col).alias("id1"), F.col(sig_col).alias("_s1")), "id1"
+    ).join(sigs.select(F.col(id_col).alias("id2"), F.col(sig_col).alias("_s2")), "id2")
     agree = F.size(F.filter(F.zip_with("_s1", "_s2", lambda a, b: a == b), lambda x: x))
     return pairs.select(
         "id1", "id2", (agree / F.size("_s1")).alias("est_jaccard")

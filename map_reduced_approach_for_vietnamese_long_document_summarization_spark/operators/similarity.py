@@ -78,22 +78,34 @@ def ivf_build_index(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     seed: int = 42,
+    fit_sample_size: int = 100_000,
 ):
     """IVF (inverted-file) index: k-means centroids partition the corpus into
     ``n_lists`` cells; each vector is assigned to its nearest centroid.
 
     Returns (assigned_df, centroids) where assigned_df adds a ``cell``
     column and centroids is a small driver-side list (n_lists x dim — a few
-    KB, broadcast to queries). At 100 TB the assignment is a one-off scan
-    (train on a sample, assign everywhere); queries then touch only
-    n_probe/n_lists of the data. The corpus columns ride through the
-    transform — no join-back shuffle."""
+    KB, broadcast to queries). Train-on-a-sample, assign-everywhere: the
+    k-means fit input is bounded by ``fit_sample_size`` rows (seeded
+    ``sample`` sized via a column-pruned count, plus a hard ``limit``), so
+    at 100 TB the multi-pass fit touches a bounded table while assignment
+    stays a one-off full scan; queries then touch only n_probe/n_lists of
+    the data. The corpus columns ride through the transform — no join-back
+    shuffle."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     vecs = corpus.withColumn("features", array_to_vector(F.col(corpus_vec)))
+    n = corpus.select(corpus_id).count()
+    if n > fit_sample_size:
+        # oversample slightly so the seeded Bernoulli sample rarely lands
+        # under the target, then cap with a hard limit.
+        frac = min(1.0, 1.1 * fit_sample_size / n)
+        train = vecs.sample(False, frac, seed).limit(fit_sample_size)
+    else:
+        train = vecs
     km = KMeans(k=n_lists, seed=seed, maxIter=20)
-    model = km.fit(vecs)
+    model = km.fit(train)
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     assigned = model.transform(vecs).withColumnRenamed("prediction", "cell").drop(
         "features"

@@ -53,6 +53,23 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert pairs[0].est_jaccard > 0.7
 
 
+def test_lsh_band_table_carries_no_signature(spark):
+    """The band self-join input must shuffle ids + band keys ONLY — carrying
+    the 64-long signature per (doc x band) row multiplies the band shuffle
+    width by n_bands (the round-1 verdict's scale hazard #2)."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        lsh_band_table,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(
+        spark.createDataFrame([(1, LONG_A), (2, LONG_B)], ["doc_id", "text"])
+    )
+    band = lsh_band_table(sigs)
+    assert band.columns == ["doc_id", "band_idx", "band_hash"]
+    assert band.count() == 2 * 16
+
+
 def test_simhash_signatures_match_expr(spark):
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
         simhash_signatures,
