@@ -2174,3 +2174,55 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"))
     )
+
+
+_DUCK_BUCKET = (
+    "list_reduce(list_prepend(0, list_transform(string_split_regex({tok}, ''), "
+    "c -> unicode(c))), (a, x) -> (a * 31 + x) % 1000003) % 4093"
+)
+
+
+@query(
+    "bertscore_mock_pairs",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+pair AS (SELECT doc_id, toks[1:40] AS cand, toks[21:60] AS ref FROM t),
+bk AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(cand, t -> {_DUCK_BUCKET.format(tok='t')}) AS cb,
+         list_transform(ref, t -> {_DUCK_BUCKET.format(tok='t')}) AS rb
+  FROM pair),
+pr AS (
+  SELECT doc_id,
+         CASE WHEN len(cb) = 0 THEN 0.0
+              ELSE len(list_filter(cb, b -> list_contains(rb, b))) / len(cb) END AS p,
+         CASE WHEN len(rb) = 0 THEN 0.0
+              ELSE len(list_filter(rb, b -> list_contains(cb, b))) / len(rb) END AS r
+  FROM bk)
+SELECT doc_id, round(p, 6) AS bert_precision, round(r, 6) AS bert_recall,
+       round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END, 6) AS bert_f1
+FROM pr
+""",
+)
+def bertscore_mock_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERTScore greedy-match P/R/F1 (M2, reference EVAL:150-166) over
+    (candidate, reference) pairs derived from overlapping token windows of
+    each document, scored with the hard-match (one-hot-bucket) kernel —
+    the Catalyst path of metrics.bertscore, per-row array expressions only
+    (zero shuffle; the soft hashed-trigram encoder path is
+    equivalence-tested against this in tests/test_metrics.py)."""
+    from ..metrics.bertscore import bertscore_hard_match
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokenize_ws("text")
+    pairs = d.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 40), " ").alias("candidate"),
+        F.array_join(F.slice(toks, 21, 40), " ").alias("reference"),
+    )
+    return bertscore_hard_match(pairs).select(
+        "doc_id",
+        F.round("bert_precision", 6).alias("bert_precision"),
+        F.round("bert_recall", 6).alias("bert_recall"),
+        F.round("bert_f1", 6).alias("bert_f1"),
+    )

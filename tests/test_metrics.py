@@ -102,3 +102,94 @@ def test_moments_and_best(spark):
     assert len(best) == 1 and best[0]["model"] == "m1"
     h = similarity_histogram(df, "score").first()
     assert (h["n_high"], h["n_mid"], h["n_low"]) == (2, 1, 1)
+
+
+def test_bertscore_hard_match_known_values(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.metrics import (
+        bertscore_hard_match,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat", "the cat ran"),   # 2/3 both ways
+            (2, "a b", "a b"),                   # identical
+            (3, "", "a b"),                      # empty candidate
+            (4, "x y", ""),                      # empty reference
+        ],
+        ["doc_id", "candidate", "reference"],
+    )
+    rows = {r.doc_id: r for r in bertscore_hard_match(df).collect()}
+    assert math.isclose(rows[1].bert_precision, 2 / 3)
+    assert math.isclose(rows[1].bert_recall, 2 / 3)
+    assert math.isclose(rows[1].bert_f1, 2 / 3)
+    assert rows[2].bert_f1 == 1.0
+    assert rows[3].bert_precision == 0.0 and rows[3].bert_f1 == 0.0
+    assert rows[4].bert_recall == 0.0 and rows[4].bert_f1 == 0.0
+
+
+def test_bertscore_soft_one_hot_matches_hard_path(spark):
+    """bertscore_greedy_pairs with the one-hot bucket encoder must reproduce
+    the Catalyst hard-match path bit-for-bit — the bridge proving the pandas
+    encoder pipeline implements the same greedy-match reduction."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.metrics import (
+        bertscore_greedy_pairs,
+        bertscore_hard_match,
+        one_hot_bucket_encoder,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "the cat ran to the mat"),
+            (2, "xin chào thế giới", "chào thế giới mới"),
+            (3, "alpha beta", "gamma delta"),
+            (4, "", ""),
+        ],
+        ["doc_id", "candidate", "reference"],
+    )
+    hard = {r.doc_id: r for r in bertscore_hard_match(df).collect()}
+    soft = {
+        r.doc_id: r
+        for r in bertscore_greedy_pairs(
+            df, encoder=one_hot_bucket_encoder(64)  # small dim to keep matmul tiny
+        ).collect()
+    }
+    # small n_buckets must match hard path at the same n_buckets
+    hard64 = {
+        r.doc_id: r
+        for r in bertscore_hard_match(df, n_buckets=64).collect()
+    }
+    for k in hard:
+        assert math.isclose(soft[k].bert_precision, hard64[k].bert_precision)
+        assert math.isclose(soft[k].bert_recall, hard64[k].bert_recall)
+        assert math.isclose(soft[k].bert_f1, hard64[k].bert_f1)
+    # default bucket count: identical/disjoint pairs behave sanely
+    assert hard[3].bert_f1 == 0.0 and hard[4].bert_f1 == 0.0
+
+
+def test_bertscore_trigram_encoder_soft_kernel(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.metrics import (
+        bertscore_corpus_mean,
+        bertscore_greedy_pairs,
+        hashed_trigram_encoder,
+    )
+
+    enc = hashed_trigram_encoder()
+    v = enc(["summarization", "summarizations", "xyzzy"])
+    import numpy as np
+
+    # unit rows; morphological neighbors similar, unrelated tokens not
+    assert np.allclose(np.linalg.norm(v, axis=1), 1.0)
+    near = float(v[0] @ v[1])
+    far = float(v[0] @ v[2])
+    assert near > 0.8 and near > far
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat", "the cat sat"), (2, "alpha beta", "unrelated words")],
+        ["doc_id", "candidate", "reference"],
+    )
+    scored = bertscore_greedy_pairs(df, encoder=enc)
+    rows = {r.doc_id: r for r in scored.collect()}
+    assert math.isclose(rows[1].bert_f1, 1.0, abs_tol=1e-9)
+    assert rows[2].bert_f1 < rows[1].bert_f1
+    mean = bertscore_corpus_mean(scored).first()
+    assert 0.0 <= mean.bert_f1 <= 1.0
