@@ -5,8 +5,12 @@ reference implements these as per-row Python helpers; on Spark the same
 semantics compile to Catalyst expressions that run vectorized on executors.
 """
 
+from .bpe import TinyBPETokenizer
 from .text import (
+    bpe_token_count_udf,
+    bpe_truncate_udf,
     clean_thinking_tokens,
+    hf_token_count_udf,
     filename_stem,
     normalize_whitespace,
     sanitize_model_name,
@@ -23,6 +27,10 @@ from .textstats import (
 )
 
 __all__ = [
+    "TinyBPETokenizer",
+    "bpe_token_count_udf",
+    "bpe_truncate_udf",
+    "hf_token_count_udf",
     "clean_thinking_tokens",
     "filename_stem",
     "normalize_whitespace",

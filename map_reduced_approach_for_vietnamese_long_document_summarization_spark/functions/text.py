@@ -84,16 +84,59 @@ def truncate_tokens(col: Column | str, max_tokens: int) -> Column:
     return F.array_join(F.slice(tokenize_ws(col), 1, max_tokens), " ")
 
 
-def hf_token_count_udf(model_name: str = "Qwen/Qwen3-4B"):
+def bpe_token_count_udf():
+    """Token counting with the vendored deterministic BPE-ish tokenizer
+    (functions.bpe) as an Arrow-batched pandas UDF — per-executor singleton
+    tokenizer, rank cache warm across batches."""
+    from pyspark.sql import functions as _F
+
+    _tok = {}
+
+    @_F.pandas_udf("int")
+    def _udf(texts):  # annotation-free: returnType carries the schema
+        from .bpe import TinyBPETokenizer
+
+        if "t" not in _tok:
+            _tok["t"] = TinyBPETokenizer()
+        t = _tok["t"]
+        return texts.map(lambda x: t.count(x or ""))
+
+    return _udf
+
+
+def bpe_truncate_udf(max_tokens: int):
+    """Tokenizer-backed truncation (F6's HF-tokenizer variant, reference
+    runners/run_summarization_ollama.py:9-13) with the vendored BPE-ish
+    tokenizer: encode, keep max_tokens subword symbols, decode losslessly."""
+    from pyspark.sql import functions as _F
+
+    _tok = {}
+
+    @_F.pandas_udf("string")
+    def _udf(texts):  # annotation-free: returnType carries the schema
+        from .bpe import TinyBPETokenizer
+
+        if "t" not in _tok:
+            _tok["t"] = TinyBPETokenizer()
+        t = _tok["t"]
+        return texts.map(lambda x: t.truncate(x or "", max_tokens))
+
+    return _udf
+
+
+def hf_token_count_udf(model_name: str = "Qwen/Qwen3-4B", fallback: str = "bpe"):
     """HF-tokenizer token counting (C1, run_full_evaluation_pipeline.py
-    :348-349) as a pandas UDF with per-executor lazy model init — gated
-    behind an import-try because ``transformers`` is not assumed in the
-    runtime. Returns None when unavailable; callers fall back to
-    ``ws_token_count`` (the reference itself uses both length functions)."""
+    :348-349) as a pandas UDF with per-executor lazy model init — the real
+    model path is gated behind an import-try because ``transformers`` is
+    not assumed in the runtime. When unavailable: ``fallback="bpe"``
+    (default) returns the vendored deterministic BPE-ish counter
+    (functions.bpe) so tokenizer-backed paths stay live; ``fallback="none"``
+    restores the old None-gate for callers that prefer ``ws_token_count``
+    (the reference itself uses both length functions)."""
     try:
         import transformers  # noqa: F401
     except ImportError:
-        return None
+        return bpe_token_count_udf() if fallback == "bpe" else None
 
     import pandas as pd
     from pyspark.sql import functions as _F

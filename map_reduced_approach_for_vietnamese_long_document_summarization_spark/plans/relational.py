@@ -2226,3 +2226,36 @@ def bertscore_mock_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("bert_recall", 6).alias("bert_recall"),
         F.round("bert_f1", 6).alias("bert_f1"),
     )
+
+
+@query("bpe_token_counts")
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics with the vendored BPE-ish tokenizer (C1,
+    reference run_full_evaluation_pipeline.py:348-349 / utils/
+    calculate_tokens.py:10-11 — there with the Qwen tokenizer, here with
+    functions.bpe's deterministic stand-in since ``transformers`` is not
+    assumed). Arrow-batched pandas UDF over the scan, then a tiny 1-row agg:
+    the iterative per-pretoken merge loop is inherently imperative, hence
+    rows-only (no SQL oracle). Scale shape: embarrassingly parallel scan;
+    only (lang, partial sums) shuffle."""
+    from ..functions.text import bpe_token_count_udf
+
+    d = _t(spark, sf_dir, "documents")
+    cnt = bpe_token_count_udf()
+    per_doc = d.select(
+        "lang",
+        cnt(F.col("text")).alias("bpe_tokens"),
+        ws_token_count("text").alias("ws_tokens"),
+        F.length("text").alias("chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("chars").alias("total_chars"),
+            F.round(F.avg("bpe_tokens"), 4).alias("avg_bpe_tokens"),
+            F.round(F.sum("chars") / F.sum("bpe_tokens"), 4).alias("chars_per_bpe_token"),
+        )
+    )

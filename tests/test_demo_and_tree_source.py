@@ -75,6 +75,8 @@ def test_split_root_tree_and_doc_pairing(spark):
 
 
 def test_hf_token_count_gated():
-    # transformers is not installed in this runtime -> the hook must
-    # signal unavailability rather than raise
-    assert hf_token_count_udf() is None
+    # transformers is not installed in this runtime -> the strict gate must
+    # signal unavailability rather than raise, and the default must fall
+    # back to the vendored BPE-ish counter (a live pandas UDF)
+    assert hf_token_count_udf(fallback="none") is None
+    assert hf_token_count_udf() is not None

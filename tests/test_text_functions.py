@@ -63,3 +63,46 @@ def test_doc_fingerprint_normalizes_whitespace(spark):
     b = _one(spark, doc_fingerprint(F.col("v")), "hello world\n")
     c = _one(spark, doc_fingerprint(F.col("v")), "hello worlds")
     assert a == b != c
+
+
+def test_tiny_bpe_tokenizer_properties():
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions.bpe import (
+        TinyBPETokenizer,
+    )
+
+    t = TinyBPETokenizer()
+    text = "Xin chào thế giới! The quick brown fox jumps over 1234 lazy dogs."
+    toks = t.tokenize(text)
+    assert "".join(toks) == text  # lossless
+    assert t.count(text) == len(toks) == len(t.encode(text))
+    # subword granularity: between word count and char count
+    assert len(text.split()) < t.count(text) < len(text)
+    # deterministic across instances
+    assert TinyBPETokenizer().tokenize(text) == toks
+    # truncate keeps a prefix of the token stream
+    assert t.truncate(text, 3) == "".join(toks[:3])
+    assert t.truncate(text, 10_000) == text
+    assert t.count("") == 0 and t.tokenize("") == [] and t.truncate("", 5) == ""
+
+
+def test_bpe_udfs_on_spark(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions.bpe import (
+        TinyBPETokenizer,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions.text import (
+        bpe_token_count_udf,
+        bpe_truncate_udf,
+    )
+
+    t = TinyBPETokenizer()
+    data = [(1, "Xin chào thế giới"), (2, "hello world again"), (3, ""), (4, None)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    cnt = bpe_token_count_udf()
+    trunc = bpe_truncate_udf(2)
+    rows = {
+        r.doc_id: r
+        for r in df.select("doc_id", cnt("text").alias("n"), trunc("text").alias("tr")).collect()
+    }
+    for doc_id, text in data:
+        assert rows[doc_id].n == t.count(text or "")
+        assert rows[doc_id].tr == t.truncate(text or "", 2)
