@@ -44,10 +44,11 @@ class MockJudge(Judge):
         return correctness, coherence
 
 
-class OpenAICompatibleJudge(Judge):  # pragma: no cover - needs a live service
+class OpenAICompatibleJudge(Judge):
     """HTTP judge against any OpenAI-compatible /chat/completions endpoint
     (the reference's OpenRouterModel, evaluate_summaries_semantic.py:38-122).
-    Network services are not assumed in CI."""
+    Exercised against an in-thread fake server in tests/test_http_clients.py;
+    live network services are still not assumed in CI."""
 
     def __init__(self, base_url: str, api_key: str, model: str, timeout: float = 60.0):
         self.base_url = base_url
