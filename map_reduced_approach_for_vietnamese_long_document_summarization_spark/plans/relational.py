@@ -2107,10 +2107,39 @@ def pipeline_iterative_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iterative_refine_summarize(d, MockSummarizer(32), chunk_size=60)
 
 
-@query("pipeline_critique_mock")  # rows-only: critique loop is conditional LLM chaining
+@query(
+    "pipeline_critique_mock",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, len(toks) AS n,
+             '[PHẦN 1] ' || array_to_string(toks[1:least(19, len(toks))], ' ') AS s0,
+             least(21, len(toks) + 2) AS m
+      FROM t)
+SELECT doc_id, CASE WHEN n = 0 THEN ''
+                    WHEN m % 2 = 1 THEN '[refined] ' || s0
+                    ELSE s0 END AS summary
+FROM b
+""",
+)
 def pipeline_critique_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-reduce + critique/refine end-to-end (D9/D10) with the mock
-    summarizer and the every-other-group mock critic."""
+    summarizer and the parity mock critic.
+
+    Closed form the oracle checks: on this corpus map outputs total
+    <= 2 chunks x 21 tokens = 42, under token_max=100 and the
+    pre-collapse threshold 50, so only the FINAL critique-reduce runs.
+    Its section-tagged input starts "[PHẦN 1]\\n<s1>" where s1 is a prefix
+    of the doc, hence initial = "[PHẦN 1] " + first min(19, n) doc tokens
+    with m = min(21, n+2) tokens total; MockCritic then refines exactly
+    when m is odd (stop-phrase branch when even) — so BOTH critic branches
+    run corpus-wide and the oracle pins tagging, truncation algebra, stop
+    phrase, and refine marker. Non-trivial collapse rounds stay covered by
+    mock_collapse_loop; the pre-collapse threshold branch by
+    tests/test_critique_hierarchical.py.
+
+    Precondition (as pipeline_mapreduce_mock): multi-chunk docs' first
+    chunk carries >= 21 tokens, else overlap-duplicated tokens would enter
+    the first-19 slice and fail parity loudly."""
     from ..summarize import MockCritic, MockSummarizer, mapreduce_critique_summarize
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2120,16 +2149,45 @@ def pipeline_critique_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
         MockCritic(),
         chunk_size=60,
         chunk_overlap=10,
-        token_max=80,
+        token_max=100,
         max_critique_iterations=2,
     )
 
 
-@query("pipeline_hierarchical_mock")  # rows-only: per-level driver loop
+@query(
+    "pipeline_hierarchical_mock",
+    oracle=f"""
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_DUCK_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, toks, len(toks) AS n, CAST(floor(len(toks) / 2) AS INT) AS hf FROM t),
+parts AS (
+  SELECT doc_id,
+         list_concat(
+           CASE WHEN hf = 0 THEN ['Part', '1']
+                ELSE list_concat(['Part', '1:', 'Part', '1'], toks[1:least(hf, 22)]) END,
+           CASE WHEN n - hf = 0 THEN ['Part', '2']
+                ELSE list_concat(['Part', '2:', 'Part', '2'],
+                                 toks[hf + 1:hf + least(n - hf, 22)]) END
+         ) AS l
+  FROM h)
+SELECT doc_id, array_to_string(l[1:24], ' ') AS summary FROM parts
+""",
+)
 def pipeline_hierarchical_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical tree collapse end-to-end (D12-D17): each document is
     lifted into a two-section tree (Document -> Header -> Paragraph), then
-    collapsed bottom-up."""
+    collapsed bottom-up.
+
+    Closed form the oracle checks, with hf = floor(n/2) the Part-1 half:
+    each Header's section input "Part i\\n\\nbody" is single-chunk (body
+    <= ~50 tokens), so its summary is the first 24 tokens = "Part i" +
+    first 22 body tokens, spliced back as "Part i:\\n<summary>"; an empty
+    half keeps the bare title (F8 guard). The final doc-level reduce sees
+    at most 8 + 22 + 22 = 52 tokens (single chunk again) and keeps the
+    first 24; the polish pass is idempotent on a 24-token mock summary.
+    The oracle therefore pins descendant gathering, node-order assembly,
+    title splicing, the empty-body guard, and the level-collapse loop in
+    one expression. Deeper trees / multi-round collapses stay covered by
+    tests/test_critique_hierarchical.py golden tests."""
     from ..functions.text import tokenize_ws as _tok
     from ..summarize import MockSummarizer, hierarchical_summarize
 
