@@ -44,11 +44,34 @@ class MockJudge(Judge):
         return correctness, coherence
 
 
+# The reference defines two named G-Eval metrics (evaluate_summaries_
+# semantic.py:274-307): "Summary Correctness" judges the generated summary
+# AGAINST the reference (ACTUAL_OUTPUT + EXPECTED_OUTPUT params), "Summary
+# Coherence" judges the generated text ALONE (ACTUAL_OUTPUT only). Criteria
+# below mirror that rubric pair.
+CORRECTNESS_RUBRIC = (
+    "Summary Correctness (1-5): how accurately the generated summary captures "
+    "the key information and main points of the reference summary — amount of "
+    "correct information relative to the reference, absence of contradictions "
+    "with the source, and coverage of key points, themes, and events."
+)
+COHERENCE_RUBRIC = (
+    "Summary Coherence (1-5): logical flow, structure, and organization of the "
+    "generated summary — clear sentence-to-sentence progression, consistent "
+    "style and tone, appropriate transitions, a cohesive narrative rather than "
+    "a collection of disconnected facts."
+)
+
+
 class OpenAICompatibleJudge(Judge):
     """HTTP judge against any OpenAI-compatible /chat/completions endpoint
     (the reference's OpenRouterModel, evaluate_summaries_semantic.py:38-122).
-    Exercised against an in-thread fake server in tests/test_http_clients.py;
-    live network services are still not assumed in CI."""
+
+    Faithful to the reference's G-Eval setup: one call per named metric —
+    correctness sees generated + reference, coherence sees the generated
+    text only (EVAL:283-307). Exercised against an in-thread fake server in
+    tests/test_http_clients.py; live network services are not assumed in CI.
+    """
 
     def __init__(self, base_url: str, api_key: str, model: str, timeout: float = 60.0):
         self.base_url = base_url
@@ -56,17 +79,17 @@ class OpenAICompatibleJudge(Judge):
         self.model = model
         self.timeout = timeout
 
-    def __call__(self, generated: str, reference: str) -> tuple[float, float]:
+    def _score(self, rubric: str, sections: list[tuple[str, str]]) -> float:
         import json as _json
         import urllib.request
 
-        prompt = (
-            "Rate the summary for correctness vs the reference and coherence, "
-            'each 1-5. Answer as JSON {"correctness": x, "coherence": y}.\n\n'
-            f"SUMMARY:\n{generated}\n\nREFERENCE:\n{reference}"
-        )
+        parts = [rubric, 'Answer as JSON {"score": x} with x in 1-5.']
+        parts += [f"{label}:\n{text}" for label, text in sections]
         body = _json.dumps(
-            {"model": self.model, "messages": [{"role": "user", "content": prompt}]}
+            {
+                "model": self.model,
+                "messages": [{"role": "user", "content": "\n\n".join(parts)}],
+            }
         ).encode()
         req = urllib.request.Request(
             f"{self.base_url}/chat/completions",
@@ -77,9 +100,17 @@ class OpenAICompatibleJudge(Judge):
             },
         )
         resp = _json.loads(urllib.request.urlopen(req, timeout=self.timeout).read())
-        scores = _json.loads(resp["choices"][0]["message"]["content"])
+        score = _json.loads(resp["choices"][0]["message"]["content"])["score"]
         # normalize 1-5 -> 0-1 like the reference's G-Eval output
-        return (float(scores["correctness"]) - 1) / 4, (float(scores["coherence"]) - 1) / 4
+        return (float(score) - 1) / 4
+
+    def __call__(self, generated: str, reference: str) -> tuple[float, float]:
+        correctness = self._score(
+            CORRECTNESS_RUBRIC,
+            [("SUMMARY", generated), ("REFERENCE", reference)],
+        )
+        coherence = self._score(COHERENCE_RUBRIC, [("SUMMARY", generated)])
+        return correctness, coherence
 
 
 _JUDGE_SCHEMA = T.StructType(

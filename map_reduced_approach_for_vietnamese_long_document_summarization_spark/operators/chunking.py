@@ -65,6 +65,12 @@ def recursive_split_text(
     ``chunk_size`` with ``chunk_overlap`` tokens of lookback): split on the
     coarsest separator; any piece still over budget is split recursively with
     the next separator; adjacent small pieces are re-merged greedily.
+
+    Known divergence: merged pieces are re-joined with ``' '`` and stripped,
+    so chunk TEXT can differ byte-wise from langchain's
+    RecursiveCharacterTextSplitter (which preserves original separator
+    placement); token budgets, chunk ordering, and counts match. Preserve the
+    source separators on re-join if byte-level chunk parity ever matters.
     """
     if length_fn(text) <= chunk_size:
         t = text.strip()

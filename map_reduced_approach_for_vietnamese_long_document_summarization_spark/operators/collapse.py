@@ -162,24 +162,44 @@ def collapse_until_fits(
     bucket = bucket_by_token_budget if greedy else bucket_running_sum
     cur = df.select(key_col, order_col, text_col, tokens_col)
     rounds = 0
-    for _ in range(max_rounds):
-        totals = cur.groupBy(key_col).agg(F.sum(tokens_col).alias("_total"))
-        over = totals.filter(F.col("_total") > token_max).select(key_col)
-        if over.isEmpty():
-            break
-        # split: done docs pass through, oversize docs collapse one level
-        todo = cur.join(F.broadcast(over), key_col, "left_semi")
-        done = cur.join(F.broadcast(over), key_col, "left_anti")
-        bucketed = bucket(todo, token_max, (key_col,), order_col, tokens_col)
-        reduced = reduce_groups(
-            bucketed, summarizer, (key_col, "group_id"), order_col, text_col
-        ).withColumnRenamed("group_id", order_col)
-        cur = done.select(key_col, order_col, text_col, tokens_col).unionByName(
-            reduced.select(key_col, order_col, text_col, tokens_col)
+
+    # Per-doc totals ride along as a window-sum column materialized WITH each
+    # round's checkpoint, so one job per round both truncates lineage and
+    # refreshes the loop predicate; the done/todo split is then a filter on
+    # the checkpointed column instead of two joins that re-aggregate totals.
+    w = Window.partitionBy(key_col)
+
+    def _with_total(d: DataFrame) -> DataFrame:
+        return d.select(
+            key_col, order_col, text_col, tokens_col,
+            F.sum(tokens_col).over(w).alias("_total"),
         )
-        # truncate lineage so round N's plan doesn't embed rounds 1..N-1
-        cur = cur.localCheckpoint(eager=True)
-        rounds += 1
+
+    # round-0 predicate: one aggregate job over the input, nothing materialized
+    over0 = (
+        cur.groupBy(key_col)
+        .agg(F.sum(tokens_col).alias("_t"))
+        .filter(F.col("_t") > token_max)
+    )
+    if not over0.isEmpty():
+        cur = _with_total(cur).localCheckpoint(eager=True)
+        while rounds < max_rounds:
+            todo = cur.filter(F.col("_total") > token_max).drop("_total")
+            done = cur.filter(F.col("_total") <= token_max).drop("_total")
+            bucketed = bucket(todo, token_max, (key_col,), order_col, tokens_col)
+            reduced = reduce_groups(
+                bucketed, summarizer, (key_col, "group_id"), order_col, text_col
+            ).withColumnRenamed("group_id", order_col)
+            nxt = done.unionByName(
+                reduced.select(key_col, order_col, text_col, tokens_col)
+            )
+            # one heavy job per round (lineage truncation + totals refresh);
+            # the loop predicate below only scans the checkpointed rows
+            cur = _with_total(nxt).localCheckpoint(eager=True)
+            rounds += 1
+            if cur.filter(F.col("_total") > token_max).isEmpty():
+                break
+        cur = cur.drop("_total")
     if stats is not None:
         stats["rounds"] = rounds
     return cur

@@ -225,11 +225,15 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
     # the band self-join references the signature subtree twice — cache so
     # signatures aren't computed per join side. persist() is LAZY: building
-    # this DataFrame stays side-effect-free (no jobs run until an action);
-    # the cache lives until Spark evicts it or the caller unpersists.
+    # this DataFrame stays side-effect-free (no jobs run until an action).
+    # The cache entry outlives the returned DataFrame (LRU-evicted, not
+    # freed on GC): long-lived sessions issuing many dedup calls should
+    # unpersist via the ``persisted`` hook below or spark.catalog.clearCache().
     sigs = sigs.persist()
     cands = minhash_lsh_candidates(sigs, id_col, "minhash", n_bands, n_hashes)
-    return cands.filter(F.col("est_jaccard") >= threshold)
+    out = cands.filter(F.col("est_jaccard") >= threshold)
+    out._persisted_inputs = [sigs]  # unpersist hook for long-lived sessions
+    return out
 
 
 def simhash_expr(col: Column | str, bits: int = 64) -> Column:
@@ -306,6 +310,8 @@ def simhash_near_dup_pairs(
     keys (any pair within hamming distance 3 shares a band by pigeonhole;
     wider distances are caught with high probability), then verify with
     bit_count(xor) <= max_hamming."""
+    # persist: referenced by both band-join sides (see minhash_dedup_pairs's
+    # note on cache lifetime; unpersist hook attached to the result)
     sigs = simhash_signatures(df, text_col, id_col).persist()
     bands = F.array(
         *[
@@ -334,7 +340,9 @@ def simhash_near_dup_pairs(
         )
         .dropDuplicates(["id1", "id2"])
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    out = pairs.filter(F.col("hamming") <= max_hamming)
+    out._persisted_inputs = [sigs]  # unpersist hook for long-lived sessions
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -390,4 +398,5 @@ def ngram_jaccard_pairs(
         jac = jac.filter(F.col("jaccard") >= threshold)
     if top_k is not None:
         jac = jac.orderBy(F.desc("jaccard"), "id1", "id2").limit(top_k)
+    jac._persisted_inputs = [sh]  # unpersist hook for long-lived sessions
     return jac

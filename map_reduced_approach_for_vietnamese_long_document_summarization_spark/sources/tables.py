@@ -26,12 +26,24 @@ _SEMANTIC_CONFS = {
 
 
 def ensure_semantic_confs(spark: SparkSession) -> None:
+    """Pin ANSI=off and UTC on ``spark`` (see ``_SEMANTIC_CONFS``).
+
+    NOTE: this mutates SESSION-GLOBAL runtime confs — unrelated queries on
+    the same session observe the change (ANSI arithmetic stops throwing,
+    timestamps render in UTC). That is the deliberate contract of
+    ``load_table``: the engine's operators are only correct under these
+    semantics, and neither conf is scope-able per-read in Spark. Callers
+    embedding this engine in a session whose other workloads need ANSI-on
+    or a local timezone should use a separate SparkSession."""
     for k, v in _SEMANTIC_CONFS.items():
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a harness table, pinning session confs the engine depends on
+    (``ensure_semantic_confs`` — session-global, see its docstring; plus
+    ``nanosAsLong`` for the events table's ns timestamps)."""
     ensure_semantic_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
     if name != "events":

@@ -172,36 +172,53 @@ def mapreduce_critique_summarize(
         F.col("chunk").alias("orig"),  # level-1 critique reference = original chunks
     )
 
+    # Per-doc totals ride along as a window-sum column materialized with each
+    # round's checkpoint (same one-job-per-round shape as
+    # operators.collapse.collapse_until_fits); the pre-collapse predicate
+    # then reuses the materialized column instead of a third totals scan.
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(id_col)
+    cols = (id_col, "chunk_idx", "text", "n_tokens", "orig")
+
+    def _with_total(d: DataFrame) -> DataFrame:
+        return d.select(*cols, F.sum("n_tokens").over(w).alias("_total"))
+
     cur = mapped
     iteration = 0
-    for _ in range(max_rounds):
-        totals = cur.groupBy(id_col).agg(F.sum("n_tokens").alias("_total"))
-        over = totals.filter(F.col("_total") > token_max).select(id_col)
-        if over.isEmpty():
-            break
-        todo = cur.join(F.broadcast(over), id_col, "left_semi")
-        done = cur.join(F.broadcast(over), id_col, "left_anti")
-        reduced = _critique_collapse_level(
-            todo, summarizer, critic, token_max, iteration, max_critique_iterations, id_col
-        )
-        cur = done.select(id_col, "chunk_idx", "text", "n_tokens", "orig").unionByName(
-            reduced.select(id_col, "chunk_idx", "text", "n_tokens", "orig")
-        )
-        cur = cur.localCheckpoint(eager=True)
-        iteration += 1
+    over0 = (
+        cur.groupBy(id_col)
+        .agg(F.sum("n_tokens").alias("_t"))
+        .filter(F.col("_t") > token_max)
+    )
+    if not over0.isEmpty():
+        cur = _with_total(cur).localCheckpoint(eager=True)
+        while iteration < max_rounds:
+            todo = cur.filter(F.col("_total") > token_max).drop("_total")
+            done = cur.filter(F.col("_total") <= token_max).drop("_total")
+            reduced = _critique_collapse_level(
+                todo, summarizer, critic, token_max, iteration, max_critique_iterations, id_col
+            )
+            nxt = done.unionByName(reduced.select(*cols))
+            cur = _with_total(nxt).localCheckpoint(eager=True)
+            iteration += 1
+            if cur.filter(F.col("_total") > token_max).isEmpty():
+                break
 
-    # pre-collapse intermediates that exceed token_max//2 (CR:315-346)
-    totals = cur.groupBy(id_col).agg(F.sum("n_tokens").alias("_total"))
-    over_half = totals.filter(F.col("_total") > token_max // 2).select(id_col)
-    if not over_half.isEmpty():
-        todo = cur.join(F.broadcast(over_half), id_col, "left_semi")
-        done = cur.join(F.broadcast(over_half), id_col, "left_anti")
+    # pre-collapse intermediates that exceed token_max//2 (CR:315-346); when
+    # the loop ran, _total is already materialized and the split is a filter
+    half = token_max // 2
+    if "_total" not in cur.columns:
+        cur = _with_total(cur)
+    if not cur.filter(F.col("_total") > half).isEmpty():
+        todo = cur.filter(F.col("_total") > half).drop("_total")
+        done = cur.filter(F.col("_total") <= half).drop("_total")
         reduced = _critique_collapse_level(
-            todo, summarizer, critic, token_max // 2, iteration, max_critique_iterations, id_col
+            todo, summarizer, critic, half, iteration, max_critique_iterations, id_col
         )
-        cur = done.select(id_col, "chunk_idx", "text", "n_tokens", "orig").unionByName(
-            reduced.select(id_col, "chunk_idx", "text", "n_tokens", "orig")
-        )
+        cur = done.unionByName(reduced.select(*cols))
+    else:
+        cur = cur.drop("_total")
 
     # final critique-reduce over each doc's remaining summaries
     final = _critique_collapse_level(

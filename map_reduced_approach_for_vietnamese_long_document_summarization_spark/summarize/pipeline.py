@@ -85,6 +85,13 @@ def run_evaluation_pipeline(
     existing (approach, model) partitions contribute their rows and are not
     regenerated."""
     approaches = approaches or list(APPROACHES)
+    if not approaches:
+        raise ValueError("no approaches given")
+    if not summarizers:
+        raise ValueError("no summarizers given")
+    unknown = [a for a in approaches if a not in APPROACHES]
+    if unknown:
+        raise ValueError(f"unknown approaches: {unknown}")
     config = config or {}
     t_start = time.time()
     per_cell: list[DataFrame] = []
@@ -110,6 +117,12 @@ def run_evaluation_pipeline(
             t0 = time.time()
             fresh = build(todo, summarizer, config.get(approach, {}))
             if cell_dir:
+                if os.path.isdir(cell_dir):
+                    # the incremental plan lazily READS cell_dir (skip_existing
+                    # anti-join); materialize before append-writing the same
+                    # directory, or a task retry / mid-write re-listing could
+                    # double-read or treat a partial cell as complete
+                    fresh = fresh.localCheckpoint(eager=True)
                 fresh.write.mode("append").parquet(cell_dir)
                 fresh = docs.sparkSession.read.parquet(cell_dir)
             else:

@@ -78,8 +78,10 @@ class _Handler(BaseHTTPRequestHandler):
             content = body["messages"][0]["content"]
             if "__MALFORMED__" in content:
                 inner = "not json at all"
+            elif "Summary Coherence" in content:
+                inner = json.dumps({"score": 5})
             else:
-                inner = json.dumps({"correctness": 4, "coherence": 5})
+                inner = json.dumps({"score": 4})
             self._send(
                 json.dumps(
                     {"choices": [{"message": {"content": inner}}]}
@@ -169,11 +171,19 @@ def test_openai_judge_happy_and_malformed(server_url):
     c, h = j("generated summary", "reference summary")
     # 1-5 normalized to 0-1 exactly as the G-Eval output
     assert (c, h) == (0.75, 1.0)
-    r = REQUESTS[0]
-    assert r["path"] == "/v1/chat/completions"
-    assert r["auth"] == "Bearer test-key"
-    assert r["body"]["model"] == "judge-1"
-    assert r["body"]["messages"][0]["role"] == "user"
+    # one call per named metric (EVAL:283-307): correctness sees generated +
+    # reference, coherence sees the generated text only
+    assert len(REQUESTS) == 2
+    corr, coh = REQUESTS[0], REQUESTS[1]
+    for r in (corr, coh):
+        assert r["path"] == "/v1/chat/completions"
+        assert r["auth"] == "Bearer test-key"
+        assert r["body"]["model"] == "judge-1"
+        assert r["body"]["messages"][0]["role"] == "user"
+    assert "Summary Correctness" in corr["body"]["messages"][0]["content"]
+    assert "REFERENCE" in corr["body"]["messages"][0]["content"]
+    assert "Summary Coherence" in coh["body"]["messages"][0]["content"]
+    assert "REFERENCE" not in coh["body"]["messages"][0]["content"]
     with pytest.raises(Exception):
         j("__MALFORMED__", "reference")
 
