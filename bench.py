@@ -38,6 +38,11 @@ HEADLINE = [
     "events_sliding_10m_5m",
     "pipeline_truncated_mock",
     "pipeline_mapreduce_mock",
+    "pipeline_iterative_mock",
+    "pipeline_critique_mock",
+    "pipeline_hierarchical_mock",
+    "bertscore_mock_pairs",
+    "bpe_token_counts",
 ]
 
 

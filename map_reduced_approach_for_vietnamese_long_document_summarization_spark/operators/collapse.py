@@ -160,13 +160,15 @@ def collapse_until_fits(
     observable topology (SURVEY §5) and golden-tested.
     """
     bucket = bucket_by_token_budget if greedy else bucket_running_sum
-    cur = df.select(key_col, order_col, text_col, tokens_col)
-    rounds = 0
 
     # Per-doc totals ride along as a window-sum column materialized WITH each
-    # round's checkpoint, so one job per round both truncates lineage and
-    # refreshes the loop predicate; the done/todo split is then a filter on
-    # the checkpointed column instead of two joins that re-aggregate totals.
+    # checkpoint, so one job per round both truncates lineage and refreshes
+    # the loop predicate; the done/todo split is then a filter on the
+    # checkpointed column instead of joins that re-aggregate totals. The
+    # INPUT is checkpointed too (round 0), so the upstream chunk+map subtree
+    # runs exactly once no matter how many predicates/actions follow — with
+    # an LLM-backed summarizer a recompute would mean re-calling the model
+    # for every chunk.
     w = Window.partitionBy(key_col)
 
     def _with_total(d: DataFrame) -> DataFrame:
@@ -175,31 +177,21 @@ def collapse_until_fits(
             F.sum(tokens_col).over(w).alias("_total"),
         )
 
-    # round-0 predicate: one aggregate job over the input, nothing materialized
-    over0 = (
-        cur.groupBy(key_col)
-        .agg(F.sum(tokens_col).alias("_t"))
-        .filter(F.col("_t") > token_max)
-    )
-    if not over0.isEmpty():
-        cur = _with_total(cur).localCheckpoint(eager=True)
-        while rounds < max_rounds:
-            todo = cur.filter(F.col("_total") > token_max).drop("_total")
-            done = cur.filter(F.col("_total") <= token_max).drop("_total")
-            bucketed = bucket(todo, token_max, (key_col,), order_col, tokens_col)
-            reduced = reduce_groups(
-                bucketed, summarizer, (key_col, "group_id"), order_col, text_col
-            ).withColumnRenamed("group_id", order_col)
-            nxt = done.unionByName(
-                reduced.select(key_col, order_col, text_col, tokens_col)
-            )
-            # one heavy job per round (lineage truncation + totals refresh);
-            # the loop predicate below only scans the checkpointed rows
-            cur = _with_total(nxt).localCheckpoint(eager=True)
-            rounds += 1
-            if cur.filter(F.col("_total") > token_max).isEmpty():
-                break
-        cur = cur.drop("_total")
+    cur = _with_total(df.select(key_col, order_col, text_col, tokens_col))
+    cur = cur.localCheckpoint(eager=True)
+    rounds = 0
+    while rounds < max_rounds and not cur.filter(F.col("_total") > token_max).isEmpty():
+        todo = cur.filter(F.col("_total") > token_max).drop("_total")
+        done = cur.filter(F.col("_total") <= token_max).drop("_total")
+        bucketed = bucket(todo, token_max, (key_col,), order_col, tokens_col)
+        reduced = reduce_groups(
+            bucketed, summarizer, (key_col, "group_id"), order_col, text_col
+        ).withColumnRenamed("group_id", order_col)
+        nxt = done.unionByName(
+            reduced.select(key_col, order_col, text_col, tokens_col)
+        )
+        cur = _with_total(nxt).localCheckpoint(eager=True)
+        rounds += 1
     if stats is not None:
         stats["rounds"] = rounds
-    return cur
+    return cur.drop("_total")

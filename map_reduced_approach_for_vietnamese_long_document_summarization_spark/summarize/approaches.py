@@ -66,6 +66,8 @@ def mapreduce_summarize(
             ws_token_count("text").alias("n_tokens"),
         )
     )
+    # collapse_until_fits checkpoints its input, so the Python chunker + map
+    # run exactly once; the final reduce reads the checkpointed output
     collapsed = collapse_until_fits(
         mapped, summarizer, token_max, max_rounds, key_col=id_col
     )

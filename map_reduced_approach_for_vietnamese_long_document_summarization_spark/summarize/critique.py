@@ -173,9 +173,11 @@ def mapreduce_critique_summarize(
     )
 
     # Per-doc totals ride along as a window-sum column materialized with each
-    # round's checkpoint (same one-job-per-round shape as
-    # operators.collapse.collapse_until_fits); the pre-collapse predicate
-    # then reuses the materialized column instead of a third totals scan.
+    # checkpoint (same one-job-per-round shape as operators.collapse.
+    # collapse_until_fits, incl. the round-0 input checkpoint: the chunk+map
+    # subtree runs exactly once — an LLM-backed summarizer is never re-called
+    # for the same chunk); the loop, pre-collapse, and final stages all split
+    # on the materialized column instead of re-aggregating totals.
     from pyspark.sql import Window as _W
 
     w = _W.partitionBy(id_col)
@@ -184,32 +186,21 @@ def mapreduce_critique_summarize(
     def _with_total(d: DataFrame) -> DataFrame:
         return d.select(*cols, F.sum("n_tokens").over(w).alias("_total"))
 
-    cur = mapped
+    cur = _with_total(mapped).localCheckpoint(eager=True)
     iteration = 0
-    over0 = (
-        cur.groupBy(id_col)
-        .agg(F.sum("n_tokens").alias("_t"))
-        .filter(F.col("_t") > token_max)
-    )
-    if not over0.isEmpty():
-        cur = _with_total(cur).localCheckpoint(eager=True)
-        while iteration < max_rounds:
-            todo = cur.filter(F.col("_total") > token_max).drop("_total")
-            done = cur.filter(F.col("_total") <= token_max).drop("_total")
-            reduced = _critique_collapse_level(
-                todo, summarizer, critic, token_max, iteration, max_critique_iterations, id_col
-            )
-            nxt = done.unionByName(reduced.select(*cols))
-            cur = _with_total(nxt).localCheckpoint(eager=True)
-            iteration += 1
-            if cur.filter(F.col("_total") > token_max).isEmpty():
-                break
+    while iteration < max_rounds and not cur.filter(F.col("_total") > token_max).isEmpty():
+        todo = cur.filter(F.col("_total") > token_max).drop("_total")
+        done = cur.filter(F.col("_total") <= token_max).drop("_total")
+        reduced = _critique_collapse_level(
+            todo, summarizer, critic, token_max, iteration, max_critique_iterations, id_col
+        )
+        nxt = done.unionByName(reduced.select(*cols))
+        cur = _with_total(nxt).localCheckpoint(eager=True)
+        iteration += 1
 
-    # pre-collapse intermediates that exceed token_max//2 (CR:315-346); when
-    # the loop ran, _total is already materialized and the split is a filter
+    # pre-collapse intermediates that exceed token_max//2 (CR:315-346);
+    # _total is materialized, so the predicate and split are cheap filters
     half = token_max // 2
-    if "_total" not in cur.columns:
-        cur = _with_total(cur)
     if not cur.filter(F.col("_total") > half).isEmpty():
         todo = cur.filter(F.col("_total") > half).drop("_total")
         done = cur.filter(F.col("_total") <= half).drop("_total")
