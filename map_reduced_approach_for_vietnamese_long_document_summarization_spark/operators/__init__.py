@@ -2,6 +2,7 @@
 
 from .chunking import chunk_documents, chunk_fixed_tokens, recursive_split_text
 from .collapse import bucket_by_token_budget, bucket_running_sum, collapse_until_fits
+from .grouped import grouped_apply_sorted
 from .dedup import (
     exact_dedup,
     lsh_band_table,
@@ -28,6 +29,7 @@ __all__ = [
     "bucket_by_token_budget",
     "bucket_running_sum",
     "collapse_until_fits",
+    "grouped_apply_sorted",
     "anti_pairs",
     "pair_docs_with_refs",
     "positional_zip_join",

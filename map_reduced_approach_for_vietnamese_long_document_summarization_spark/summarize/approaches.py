@@ -9,7 +9,6 @@ SURVEY §4).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -17,6 +16,7 @@ from pyspark.sql import types as T
 from ..functions.text import clean_thinking_tokens, truncate_tokens, ws_token_count
 from ..operators.chunking import chunk_documents
 from ..operators.collapse import collapse_until_fits, reduce_groups
+from ..operators.grouped import grouped_apply_sorted
 from .summarizer import Summarizer
 
 
@@ -107,9 +107,11 @@ def iterative_refine_summarize(
     chunk_i), folding left-to-right in chunk order.
 
     Inherently sequential *within* a document, embarrassingly parallel
-    *across* documents: ``applyInPandas`` gives each doc's ordered chunk list
-    to one task (D11). Order comes from an explicit sort on ``chunk_idx``,
-    never row order."""
+    *across* documents: ``grouped_apply_sorted`` hands each doc's chunk_idx-
+    ordered chunk list to one task (D11), batching many docs per Python
+    invocation — per-group applyInPandas overhead dominated wall time on
+    many-small-docs corpora. Order comes from the explicit ``chunk_idx``
+    partition sort, never row order."""
     chunks = chunk_documents(docs, chunk_size, chunk_overlap, text_col, (id_col,))
     fn = summarizer
     schema = T.StructType(
@@ -118,18 +120,19 @@ def iterative_refine_summarize(
             T.StructField("summary", T.StringType(), True),
         ]
     )
+    chunk_i = chunks.columns.index("chunk")
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("chunk_idx")
+    def fold(key: tuple, rows: list[tuple]) -> list[tuple]:
         summary = ""
-        for chunk in pdf["chunk"]:
+        for row in rows:
+            chunk = row[chunk_i]
             if not summary:
                 summary = fn.summarize_text(chunk)
             else:
                 summary = fn.summarize_text(refine_fn(summary, chunk))
-        return pd.DataFrame({id_col: [pdf[id_col].iloc[0]], "summary": [summary]})
+        return [(key[0], summary)]
 
-    out = chunks.groupBy(id_col).applyInPandas(fold, schema)
+    out = grouped_apply_sorted(chunks, (id_col,), "chunk_idx", fold, schema)
     folded = out.select(id_col, clean_thinking_tokens("summary").alias("summary"))
     return docs.select(id_col).join(folded, id_col, "left").select(
         id_col, F.coalesce("summary", F.lit("")).alias("summary")

@@ -9,9 +9,10 @@ refine once. The final reduce pre-collapses intermediates when they exceed
 ``token_max // 2`` (CR:305-346).
 
 Spark design: the critique-reduce is a composed per-group function (LLM call
-chain + string conditional), so it runs in ``applyInPandas`` over
-``(doc_id, group_id)`` — one Arrow batch per group, parallel across the
-corpus. Reference content for level 1 is the group's original chunks
+chain + string conditional), so it runs as Python per ``(doc_id, group_id)``
+group via ``operators.grouped.grouped_apply_sorted`` — one shuffle on doc_id,
+many docs per Arrow invocation, parallel across the corpus. Reference content
+for level 1 is the group's original chunks
 (positional alignment J5 made explicit by carrying ``orig`` alongside each
 summary row); later levels critique against the summaries being collapsed,
 exactly as the reference does.
@@ -19,7 +20,6 @@ exactly as the reference does.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 from ..functions.text import clean_thinking_tokens, ws_token_count
 from ..operators.chunking import chunk_documents
 from ..operators.collapse import bucket_by_token_budget
+from ..operators.grouped import grouped_apply_sorted
 from .summarizer import Summarizer
 
 STOP_PHRASES = ("không có vấn đề", "no issues")
@@ -118,28 +119,34 @@ def _critique_collapse_level(
         ]
     )
 
-    def reduce_doc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        # one Arrow batch per DOC, looping its groups in-process — one
-        # shuffle key (doc) instead of (doc, group), so a doc's groups never
-        # scatter across executors and per-group Arrow overhead is paid once
-        # per doc (locally ~equal wall-clock; at cluster scale the shuffle
-        # is the difference)
-        ids, idxs, texts = [], [], []
-        for gid, g in pdf.sort_values("chunk_idx").groupby("group_id"):
-            out = _reduce_with_critique(
-                list(g["text"]),
-                list(g["orig"]),
-                summarizer,
-                critic,
-                iteration,
-                max_critique_iterations,
-            )
-            ids.append(key[0])
-            idxs.append(int(gid))
-            texts.append(out)
-        return pd.DataFrame({id_col: ids, "chunk_idx": idxs, "text": texts})
+    cols = bucketed.columns
+    gid_i, text_i, orig_i = cols.index("group_id"), cols.index("text"), cols.index("orig")
 
-    reduced = bucketed.groupBy(id_col).applyInPandas(reduce_doc, schema)
+    def reduce_doc(key: tuple, rows: list[tuple]) -> list[tuple]:
+        # one Python call per DOC, looping its groups in-process (rows arrive
+        # chunk_idx-sorted; greedy group_ids are nondecreasing in chunk order,
+        # re-sorted defensively) — and grouped_apply_sorted batches many docs
+        # per Arrow invocation, so per-group overhead never scales with corpus
+        # size. Shuffle key stays (doc), so a doc's groups never scatter.
+        out = []
+        rows = sorted(rows, key=lambda r: (r[gid_i],))  # stable: keeps chunk order
+        start = 0
+        for i in range(1, len(rows) + 1):
+            if i == len(rows) or rows[i][gid_i] != rows[start][gid_i]:
+                g = rows[start:i]
+                reduced = _reduce_with_critique(
+                    [r[text_i] for r in g],
+                    [r[orig_i] for r in g],
+                    summarizer,
+                    critic,
+                    iteration,
+                    max_critique_iterations,
+                )
+                out.append((key[0], int(rows[start][gid_i]), reduced))
+                start = i
+        return out
+
+    reduced = grouped_apply_sorted(bucketed, (id_col,), "chunk_idx", reduce_doc, schema)
     return reduced.withColumn("n_tokens", ws_token_count("text")).withColumn(
         "orig", F.col("text")  # later levels critique against the summaries themselves
     )
