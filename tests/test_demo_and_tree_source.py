@@ -7,6 +7,7 @@ from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summa
     MockSummarizer,
 )
 from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize.demo import (
+    compare_approaches,
     summarize_document,
 )
 from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize.hierarchical import (
@@ -24,6 +25,34 @@ def test_summarize_document_all_approaches(spark):
     for cell in out.values():
         assert cell["summary"]
         assert 0.0 <= cell["rouge1_f"] <= 1.0
+
+
+def test_compare_approaches_five_tabs(spark):
+    text = " ".join(f"tok{i}" for i in range(300))
+    tree = json.dumps(
+        {
+            "type": "Document",
+            "text": "t1",
+            "children": [{"type": "Paragraph", "text": text}],
+        }
+    )
+    ref = " ".join(f"tok{i}" for i in range(40))
+    df = compare_approaches(spark, text, MockSummarizer(16), reference=ref, tree_json=tree)
+    rows = {r.approach: r for r in df.collect()}
+    # all five demo tabs, tabulated with the demo's metric columns
+    assert set(rows) == {
+        "truncated", "mapreduce", "iterative", "mapreduce_critique", "mapreduce_hierarchical",
+    }
+    assert df.columns == ["approach", "summary", "rouge1_f", "rouge2_f", "rougeL_f"]
+    for r in rows.values():
+        assert r.summary
+        assert 0.0 <= r.rouge1_f <= 1.0
+
+    # missing-tree branch mirrors the demo's placeholder
+    out = summarize_document(
+        spark, text, MockSummarizer(16), approaches=["mapreduce_hierarchical"]
+    )
+    assert out["mapreduce_hierarchical"]["summary"] == "(No tree file found)"
 
 
 def test_read_tree_json_source(spark, tmp_path):
