@@ -6,7 +6,11 @@ from .grouped import grouped_apply_sorted
 from .dedup import (
     exact_dedup,
     lsh_band_table,
+    md5_hash32,
+    md5_hash60,
     minhash_dedup_pairs,
+    minhash_md5_pairs,
+    minhash_md5_signatures,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
@@ -36,8 +40,12 @@ __all__ = [
     "skip_existing",
     "exact_dedup",
     "lsh_band_table",
+    "md5_hash32",
+    "md5_hash60",
     "minhash_signatures",
     "minhash_dedup_pairs",
+    "minhash_md5_signatures",
+    "minhash_md5_pairs",
     "ngram_jaccard_pairs",
     "simhash_signatures",
     "simhash_near_dup_pairs",

@@ -178,6 +178,65 @@ def minhash_lsh_candidates(
     )
 
 
+def md5_hash60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative long — bit-identical in DuckDB
+    via ``('0x' || substring(md5(x),1,15))::BIGINT``. The cross-engine-
+    computable hash used by the verification-twin dedup operators (xxhash64,
+    the production hash, exists only in Spark)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_hash32(col: Column) -> Column:
+    """First 32 bits of md5 as a long (DuckDB:
+    ``('0x' || substring(md5(x),1,8))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_md5_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-engine verification twin of ``minhash_signatures``: hash family
+    h_i(s) = md5("i:" || s) first-60-bits, so a SQL oracle (DuckDB) can
+    reproduce signatures bit-for-bit. Same explode + min-aggregate shape as
+    the production path; n_hashes full string hashes per shingle instead of
+    one, so keep it for correctness harnesses and use the xxhash64 family at
+    scan scale. Docs with no shingles (< shingle_n tokens) are dropped —
+    sentinel signatures would band every content-free doc together."""
+    sh = df.select(id_col, F.explode(shingles_expr(text_col, shingle_n)).alias("_sh"))
+    aggs = [
+        F.min(md5_hash60(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"_h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs).select(
+        id_col, F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("minhash")
+    )
+
+
+def minhash_md5_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pairs on the md5 twin family — the
+    oracle-checkable mirror of ``minhash_dedup_pairs`` (band-bucket join and
+    agreement-fraction logic shared via ``minhash_lsh_candidates``)."""
+    sigs = minhash_md5_signatures(df, text_col, id_col, n_hashes, shingle_n).persist()
+    cands = minhash_lsh_candidates(sigs, id_col, "minhash", n_bands, n_hashes)
+    out = cands.select(
+        "id1", "id2", F.round("est_jaccard", 6).alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= threshold)
+    out._persisted_inputs = [sigs]  # unpersist hook for long-lived sessions
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -268,7 +327,11 @@ def simhash_expr(col: Column | str, bits: int = 64) -> Column:
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_col_fn=None,
 ) -> DataFrame:
     """SimHash via explode + bit-vote aggregates (the scale path, same shape
     as minhash_signatures): one xxhash64 per token row, then ``bits``
@@ -280,9 +343,14 @@ def simhash_signatures(
     Token-less (empty/whitespace/NULL) docs are EXCLUDED: a shared sentinel
     signature would make every pair of empty docs a 'near-duplicate' and
     pile a quadratic posting list onto one band key — content-free docs
-    belong to exact dedup, not similarity banding."""
+    belong to exact dedup, not similarity banding.
+
+    ``hash_col_fn`` swaps the per-token hash (default xxhash64) — pass
+    ``md5_hash32`` with ``bits=32`` for the cross-engine verification twin
+    a DuckDB oracle can replicate."""
+    hash_col_fn = hash_col_fn or F.xxhash64
     toks = df.select(id_col, F.explode(tokenize_ws(text_col)).alias("_t")).select(
-        id_col, F.xxhash64("_t").alias("_h")
+        id_col, hash_col_fn(F.col("_t")).alias("_h")
     )
     aggs = [
         F.sum(
@@ -305,19 +373,26 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
+    bits: int = 64,
+    hash_col_fn=None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit signature into 4 x 16-bit
-    keys (any pair within hamming distance 3 shares a band by pigeonhole;
-    wider distances are caught with high probability), then verify with
-    bit_count(xor) <= max_hamming."""
+    """Near-dup pairs by SimHash: band the ``bits``-bit signature into 4
+    equal-width keys (any pair within hamming distance 3 shares a band by
+    pigeonhole; wider distances are caught with high probability), then
+    verify with bit_count(xor) <= max_hamming. ``bits=32`` +
+    ``hash_col_fn=md5_hash32`` gives the oracle-checkable twin."""
+    band_width = bits // 4
+    band_mask = (1 << band_width) - 1
     # persist: referenced by both band-join sides (see minhash_dedup_pairs's
     # note on cache lifetime; unpersist hook attached to the result)
-    sigs = simhash_signatures(df, text_col, id_col).persist()
+    sigs = simhash_signatures(df, text_col, id_col, bits, hash_col_fn).persist()
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_key"),
+                F.shiftright(F.col("simhash"), b * band_width)
+                .bitwiseAND(F.lit(band_mask))
+                .alias("band_key"),
             )
             for b in range(4)
         ]

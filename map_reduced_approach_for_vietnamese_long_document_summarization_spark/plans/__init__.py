@@ -33,7 +33,9 @@ _PRIORITY = [
     "doc_exact_dedup",
     "ngram_jaccard_top20",
     "minhash_lsh_dedup",
+    "minhash_md5_dedup",
     "simhash_near_dups",
+    "simhash_md5_near_dups",
     "embedding_cosine_pairs_exact",
     "embedding_near_dups_lsh",
     "embedding_knn_top3",
@@ -41,6 +43,7 @@ _PRIORITY = [
     "embedding_ann_lsh_top3",
     "embedding_label_centroids",
     "multimodal_decode_features",
+    "multimodal_decode_dims",
     # -- metric engine (SURVEY §2.9 M1-M5) ----------------------------------
     "rouge1_per_doc",
     "rouge2_per_doc",
@@ -64,8 +67,9 @@ _PRIORITY = [
     "pricing_summary",
     "top_revenue_orders",
     "shipping_priority_q3",
-    "nation_top_customer",
-    "customer_running_spend",
+    # nation_top_customer / customer_running_spend: driver-green in r01,
+    # demoted past the window to make room for the md5-twin dedup oracles
+    # (still in the local parity suite)
     # -- streaming batch twins ----------------------------------------------
     "events_tumbling_10min",
     "events_sessionization",

@@ -1710,6 +1710,82 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minhash_md5_dedup",
+    oracle=f"""
+WITH t AS (SELECT doc_id, list_transform({_DUCK_TOKS}, x -> lower(x)) AS toks
+           FROM documents),
+e AS MATERIALIZED (
+    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+    FROM t WHERE len(toks) >= 3),
+hi AS (SELECT doc_id, i,
+              min(('0x' || substring(md5(i::VARCHAR || ':' || sh), 1, 15))::BIGINT) AS h
+       FROM e, unnest(range(16)) AS u(i)
+       GROUP BY doc_id, i),
+sigs AS MATERIALIZED (SELECT doc_id, list(h ORDER BY i) AS sig FROM hi GROUP BY doc_id),
+bands AS MATERIALIZED (
+    SELECT doc_id, b, sig[b*4+1:b*4+4]::VARCHAR AS bk
+    FROM sigs, unnest(range(4)) AS u(b)),
+cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+         FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id),
+paired AS (SELECT id1, id2,
+                  len(list_filter(range(1, 17), i -> s1.sig[i] = s2.sig[i])) / 16.0 AS est
+           FROM cand
+           JOIN sigs s1 ON s1.doc_id = cand.id1
+           JOIN sigs s2 ON s2.doc_id = cand.id2)
+SELECT id1, id2, round(est, 6) AS est_jaccard
+FROM paired WHERE est >= 0.5
+""",
+)
+def minhash_md5_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands) near-dup pairs on the md5 hash family —
+    the cross-engine verification twin of ``minhash_lsh_dedup``: signatures,
+    banding, candidate join, and agreement fraction are all replicated
+    bit-for-bit by the DuckDB oracle (md5 exists in both engines; xxhash64
+    is Spark-only). Shares the band-join/agreement plan with the production
+    path via ``minhash_lsh_candidates``."""
+    from ..operators.dedup import minhash_md5_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_md5_pairs(d, threshold=0.5)
+
+
+@query(
+    "simhash_md5_near_dups",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+e AS MATERIALIZED (
+    SELECT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h
+    FROM t, unnest(toks) AS u(tok)),
+votes AS (SELECT doc_id, b,
+                 CAST(sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+          FROM e, unnest(range(32)) AS ub(b)
+          GROUP BY doc_id, b),
+sigs AS MATERIALIZED (
+    SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+    FROM votes GROUP BY doc_id),
+bands AS MATERIALIZED (
+    SELECT doc_id, sig, b, (sig >> (b * 8)) & 255 AS bk
+    FROM sigs, unnest(range(4)) AS u(b)),
+cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2, a.sig AS s1, c.sig AS s2
+         FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id)
+SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= 6
+""",
+)
+def simhash_md5_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash near-dup pairs (hamming <= 6, 4x8-bit bands) on the
+    md5-32 hash family — the oracle-checkable twin of ``simhash_near_dups``:
+    the DuckDB oracle reproduces the bit-vote signatures, banding, and
+    hamming verify exactly."""
+    from ..operators.dedup import md5_hash32, simhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = simhash_near_dup_pairs(d, max_hamming=6, bits=32, hash_col_fn=md5_hash32)
+    return out.select("id1", "id2", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
     "embedding_cosine_pairs_exact",
     oracle="""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 300)
@@ -1739,10 +1815,54 @@ def embedding_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("_cos") >= 0.3).select("id1", "id2")
 
 
-@query("embedding_near_dups_lsh")  # rows-only: banding recall is probabilistic
+def _srp_planes_values_sql(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
+    """The seeded SRP hyperplanes as a DuckDB VALUES list — the SAME literal
+    doubles Spark's ``srp_signature_expr`` embeds in its plan (numpy
+    ``default_rng(seed)``; ``repr(float)`` round-trips IEEE doubles), so the
+    oracle reproduces bucket assignment bit-for-bit."""
+    from ..operators.similarity import _planes
+
+    planes = _planes(dim, n_planes, seed)
+    return ", ".join(
+        f"({p}, [{', '.join(repr(float(x)) for x in row)}]::DOUBLE[])"
+        for p, row in enumerate(planes)
+    )
+
+
+@query(
+    "embedding_near_dups_lsh",
+    oracle=f"""
+WITH planes AS (SELECT * FROM (VALUES {_srp_planes_values_sql()}) p(pid, w)),
+base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN list_dot_product(v, w) > 0
+                       THEN (1::BIGINT << pid) ELSE 0 END) AS BIGINT) AS sig
+  FROM base, planes GROUP BY vec_id),
+probes AS (
+  SELECT vec_id,
+         unnest(list_concat([sig],
+                list_transform(range(8), p -> xor(sig, 1::BIGINT << p)))) AS bucket
+  FROM sigs),
+cand AS (
+  SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2
+  FROM probes l JOIN sigs r ON r.sig = l.bucket AND l.vec_id < r.vec_id)
+SELECT id1, id2
+FROM cand
+JOIN base b1 ON b1.vec_id = id1
+JOIN base b2 ON b2.vec_id = id2
+WHERE list_dot_product(b1.v, b2.v)
+        / (sqrt(list_dot_product(b1.v, b1.v)) * sqrt(list_dot_product(b2.v, b2.v)))
+      >= 0.35
+""",
+)
 def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-banded embedding near-dup pairs with exact-cosine verify — the
-    scale path whose candidate set is ~1/2^planes of the quadratic space."""
+    scale path whose candidate set is ~1/2^planes of the quadratic space.
+
+    Oracle-checked: the seeded hyperplanes make bucketing deterministic, so
+    the DuckDB oracle replays banding, multi-probe, and the exact-cosine
+    verify (summation-order parity per embedding_knn_top3)."""
     from ..operators.similarity import embedding_near_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1766,10 +1886,49 @@ def embedding_ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_ann_lsh_top3")  # rows-only: ANN recall is probabilistic
+@query(
+    "embedding_ann_lsh_top3",
+    oracle=f"""
+WITH planes AS (SELECT * FROM (VALUES {_srp_planes_values_sql()}) p(pid, w)),
+base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN list_dot_product(v, w) > 0
+                       THEN (1::BIGINT << pid) ELSE 0 END) AS BIGINT) AS sig
+  FROM base, planes GROUP BY vec_id),
+probes AS (
+  SELECT vec_id AS query_id,
+         unnest(list_concat([sig],
+                list_transform(range(8), p -> xor(sig, 1::BIGINT << p)))) AS bucket
+  FROM sigs WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT probes.query_id, s.vec_id AS neighbor_id
+  FROM probes JOIN sigs s ON s.sig = probes.bucket
+  WHERE s.vec_id <> probes.query_id),
+sims AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(bq.v, bn.v)
+           / (sqrt(list_dot_product(bq.v, bq.v))
+              * sqrt(list_dot_product(bn.v, bn.v))) AS sim
+  FROM cand c
+  JOIN base bq ON bq.vec_id = c.query_id
+  JOIN base bn ON bn.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM sims) t
+WHERE rnk <= 3
+""",
+)
 def embedding_ann_lsh_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (the scale path next to embedding_knn_top3's
-    exact baseline): SRP bucket join + multi-probe + exact rerank."""
+    exact baseline): SRP bucket join + multi-probe + exact rerank.
+
+    Fully oracle-checked despite 'approximate': the hyperplanes are seeded
+    literals, so bucketing — and therefore the exact candidate set — is
+    deterministic and the DuckDB oracle replays signature, multi-probe,
+    and rerank bit-for-bit (only rank ints are output; see
+    embedding_knn_top3 on summation-order parity)."""
     from ..operators.similarity import random_hyperplane_lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1789,6 +1948,33 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return decode_media(attach_fake_media(d))
+
+
+@query(
+    "multimodal_decode_dims",
+    oracle="""
+SELECT doc_id AS media_id,
+       64 + ('0x' || substring(sha256(coalesce(text, '')), 1, 2))::INT % 192 AS width,
+       64 + ('0x' || substring(sha256(coalesce(text, '')), 3, 2))::INT % 192 AS height
+FROM documents
+""",
+)
+def multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked slice of the multimodal decode path: the deterministic
+    fake codec derives dimensions from the sha256 content digest
+    (byte0/byte1 -> width/height), which DuckDB reproduces from the same
+    UTF-8 bytes — pinning attach_fake_media's binary lift + decode_media's
+    Arrow-batched mapInPandas end-to-end with scalar outputs (the float32
+    feature vector stays in the rows-only twin above: cross-engine
+    float32-vs-double array hashing is not stable)."""
+    from ..operators.multimodal import attach_fake_media, decode_media
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_media(attach_fake_media(d)).select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+    )
 
 
 # ---------------------------------------------------------------------------
