@@ -98,6 +98,15 @@ def test_single_group_and_fanout(spark):
     assert got == {(1, "a", 1), (1, "b", 1), (1, "c", 1), (1, "a|b|c", 3)}
 
 
+def test_single_exchange_in_plan(spark):
+    # the whole point vs groupBy.applyInPandas: same ONE shuffle on the key,
+    # no extra exchange introduced by the partition sort or the mapInPandas
+    df = _make(spark)
+    out = grouped_apply_sorted(df, ("k",), "o", _concat_fn(df.columns), SCHEMA)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_multi_column_key(spark):
     df = spark.createDataFrame(
         [(1, "x", 1, "a"), (1, "x", 2, "b"), (1, "y", 1, "c"), (2, "x", 1, "d")],
