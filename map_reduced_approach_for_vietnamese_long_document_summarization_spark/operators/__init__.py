@@ -15,6 +15,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
     simhash_signatures,
+    winnowing_fingerprints,
 )
 from .pairing import anti_pairs, pair_docs_with_refs, positional_zip_join, skip_existing
 from .similarity import (
@@ -49,6 +50,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_signatures",
     "simhash_near_dup_pairs",
+    "winnowing_fingerprints",
     "cosine_topk",
     "random_hyperplane_lsh_topk",
     "embedding_near_dup_pairs",

@@ -475,3 +475,58 @@ def ngram_jaccard_pairs(
         jac = jac.orderBy(F.desc("jaccard"), "id1", "id2").limit(top_k)
     jac._persisted_inputs = [sh]  # unpersist hook for long-lived sessions
     return jac
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the rolling-hash fingerprinting used by MOSS-style plagiarism and
+    near-dup detection): hash every character k-gram of the whitespace-
+    normalized, lowercased text, slide a w-wide window over the hash
+    sequence, keep each window's minimum, and emit the distinct selected
+    hashes per document. Guarantees: any shared substring of length
+    >= k + w - 1 yields a shared fingerprint; nothing shorter than k does.
+
+    Output: ``(id_col, fingerprint long)`` — one row per distinct selected
+    hash. Docs shorter than k characters produce no rows; docs with fewer
+    than w k-grams contribute their single global-min window.
+
+    Scale design: the char-gram explode is ~len(text) rows per doc, all
+    JVM-side (sequence + substring + md5 in whole-stage codegen); the only
+    shuffle is the final distinct, whose (doc, hash) key is uniform and
+    map-side partially aggregated. The hash is ``md5_hash60`` so a SQL
+    oracle replays selection bit-for-bit (winnowing needs a ~uniform hash,
+    not a fast one — selection quality is the same)."""
+    from ..functions.text import strip_ws
+
+    norm = F.lower(F.regexp_replace(strip_ws(text_col), r"\s+", " "))
+    base = df.select(id_col, norm.alias("_t")).filter(F.length("_t") >= k)
+    n = F.length("_t")
+    grams = base.select(
+        id_col,
+        n.alias("_n"),
+        F.posexplode(F.sequence(F.lit(0), n - k)).alias("_i", "_"),
+        "_t",
+    ).select(
+        id_col,
+        "_n",
+        "_i",
+        md5_hash60(F.expr(f"substring(_t, _i + 1, {k})")).alias("_h"),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("_i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    selected = grams.select(
+        id_col,
+        "_i",
+        "_n",
+        F.min("_h").over(win).alias("fingerprint"),
+    ).filter(F.col("_i") <= F.greatest(F.col("_n") - k - w + 1, F.lit(0)))
+    return selected.select(id_col, "fingerprint").distinct()

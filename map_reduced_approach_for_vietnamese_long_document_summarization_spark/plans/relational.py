@@ -1815,6 +1815,39 @@ def embedding_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("_cos") >= 0.3).select("id1", "id2")
 
 
+@query(
+    "doc_winnow_fingerprints",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         lower(regexp_replace(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                              '\\s+', ' ', 'g')) AS s
+  FROM documents),
+g AS MATERIALIZED (
+  SELECT doc_id, len(s) AS n, i,
+         ('0x' || substring(md5(substring(s, i + 1, 8)), 1, 15))::BIGINT AS h
+  FROM t, unnest(range(len(s) - 7)) AS u(i)
+  WHERE len(s) >= 8),
+m AS (
+  SELECT doc_id, i, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g)
+SELECT DISTINCT doc_id, fp AS fingerprint
+FROM m WHERE i <= greatest(n - 11, 0)
+""",
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=8 char-grams, window w=4) over
+    the corpus — MOSS-style local fingerprinting next to the whole-doc
+    exact-dedup hash. md5-based gram hashing, so the DuckDB oracle replays
+    gram hashing, window-min selection, and the short-doc clamp exactly."""
+    from ..operators.dedup import winnowing_fingerprints
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnowing_fingerprints(d, k=8, w=4)
+
+
 def _srp_planes_values_sql(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
     """The seeded SRP hyperplanes as a DuckDB VALUES list — the SAME literal
     doubles Spark's ``srp_signature_expr`` embeds in its plan (numpy

@@ -180,3 +180,50 @@ def test_lsh_topk_valid_on_uniform_embeddings(spark, sf_dir):
         sims = [s for _, s, _ in lst]
         assert sims == sorted(sims, reverse=True)  # rank order matches sim
         assert all(n != q for _, _, n in lst)  # self excluded
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    # docs 1/2 share a substring of length >= k + w - 1 = 11 -> must share
+    # a fingerprint; doc 3 is disjoint content; doc 4 shorter than k but
+    # >= k after normalization check; doc 5 too short -> no rows
+    shared = "the quick brown fox jumps"
+    df = spark.createDataFrame(
+        [
+            (1, f"AAA {shared} one two three"),
+            (2, f"completely different prefix {shared}"),
+            (3, "unrelated words entirely distinct content here"),
+            (4, "exactlyok"),
+            (5, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnowing_fingerprints(df, k=8, w=4)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared >= k+w-1 substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    assert len(by_doc.get(4, set())) == 1  # single window (fewer than w grams)
+    assert 5 not in by_doc  # shorter than k -> no fingerprints
+
+
+def test_winnowing_normalization_and_null(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    # case + whitespace normalization: same fingerprints either way
+    df = spark.createDataFrame(
+        [(1, "The  Quick\tBrown   Fox Jumps High"), (2, "the quick brown fox jumps high"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = winnowing_fingerprints(df, k=8, w=4)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] == by_doc[2]
+    assert 3 not in by_doc
