@@ -17,6 +17,13 @@ from .dedup import (
     simhash_signatures,
     winnowing_fingerprints,
 )
+from .multimodal import (
+    MEDIA_SCHEMA,
+    attach_fake_media,
+    decode_media,
+    resize_media,
+    sample_frames,
+)
 from .pairing import anti_pairs, pair_docs_with_refs, positional_zip_join, skip_existing
 from .similarity import (
     cosine_topk,
@@ -51,6 +58,11 @@ __all__ = [
     "simhash_signatures",
     "simhash_near_dup_pairs",
     "winnowing_fingerprints",
+    "MEDIA_SCHEMA",
+    "attach_fake_media",
+    "decode_media",
+    "resize_media",
+    "sample_frames",
     "cosine_topk",
     "random_hyperplane_lsh_topk",
     "embedding_near_dup_pairs",

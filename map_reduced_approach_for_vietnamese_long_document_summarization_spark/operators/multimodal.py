@@ -163,3 +163,59 @@ def sample_frames(
             F.col("content"), F.col("frame_idx") * frame_size + 1, frame_size
         ).alias("frame_bytes"),
     )
+
+
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def _fake_resize(content: bytes, width: int, height: int) -> bytes:
+    """DETERMINISTIC FAKE resize: nearest-neighbor sample of the byte stream
+    down/up to exactly width*height bytes. NOT a real scaler — stands in for
+    PIL/ffmpeg so batch shape, output sizing, and schema are testable."""
+    n = width * height
+    if not content:
+        return b"\x00" * n
+    m = len(content)
+    return bytes(content[(i * m) // n] for i in range(n))
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Resize plumbing: mapInPandas over Arrow batches of media rows ->
+    (media_id, width, height, content) with content scaled to the target
+    dimensions. Real pipelines pass a codec-backed ``resizer`` (e.g.
+    PIL.Image.resize); ``strict=True`` raises instead of using the
+    deterministic fake. Same scale posture as ``decode_media``: bytes stay
+    in Arrow batches, work spreads by media_id."""
+    if strict and resizer is None:
+        raise NotImplementedError(
+            "no image scaler available in this runtime: pass resizer= "
+            "(PIL/ffmpeg-backed) or use the deterministic fake (strict=False)"
+        )
+    scale = resizer or _fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": width,
+                    "height": height,
+                    "content": [scale(c, width, height) for c in pdf["content"]],
+                }
+            )
+
+    parted = media.repartition(F.col("media_id"))
+    return parted.mapInPandas(run, _RESIZED_SCHEMA)

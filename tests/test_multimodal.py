@@ -4,6 +4,7 @@ from map_reduced_approach_for_vietnamese_long_document_summarization_spark.opera
     MEDIA_SCHEMA,
     attach_fake_media,
     decode_media,
+    resize_media,
     sample_frames,
 )
 
@@ -71,3 +72,22 @@ def test_sample_frames(media):
     assert len(by_id[1][0].frame_bytes) == 1024
     # short doc -> single frame 0
     assert [f.frame_idx for f in by_id[2]] == [0]
+
+
+def test_resize_media_fake_scaler(media):
+    out = {r.media_id: r for r in resize_media(media, 16, 8).collect()}
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        assert (r.width, r.height) == (16, 8)
+        assert len(r.content) == 16 * 8  # exact target byte count, even empty/NULL
+    # deterministic + downsample preserves constant content
+    assert out[1].content == b"x" * 128
+    again = {r.media_id: r.content for r in resize_media(media, 16, 8).collect()}
+    assert {m: r.content for m, r in out.items()} == again
+
+
+def test_resize_media_strict_and_custom(media):
+    with pytest.raises(NotImplementedError):
+        resize_media(media, 4, 4, strict=True)
+    out = resize_media(media, 4, 4, resizer=lambda b, w, h: b"z" * (w * h)).first()
+    assert out.content == b"z" * 16
