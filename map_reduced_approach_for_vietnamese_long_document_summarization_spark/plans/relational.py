@@ -1437,6 +1437,33 @@ def events_json_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_click_purchase_pairs",
+    oracle="""
+SELECT a.user_id,
+       a.event_id AS first_event,
+       b.event_id AS then_event
+FROM events a
+JOIN events b
+  ON b.user_id = a.user_id
+ AND a.event_type = 'click'
+ AND b.event_type = 'purchase'
+ AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 30 MINUTE
+""",
+)
+def events_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.events.correlate_event_pairs (§2.10
+    stream-stream range join): click -> purchase by the same user within 30
+    minutes. Runs THROUGH the streaming operator (watermarks are no-ops on a
+    batch frame), so the join condition the oracle checks is byte-identical
+    to the one the stream executes."""
+    from ..streaming.events import correlate_event_pairs
+
+    e = _t(spark, sf_dir, "events")
+    return correlate_event_pairs(e, "click", "purchase", "30 minutes")
+
+
+@query(
     "scalar_function_showcase",
     oracle="""
 SELECT printf('order-%d-%s', o_orderkey, lower(o_orderstatus)) AS tag,
