@@ -43,6 +43,7 @@ HEADLINE = [
     "pipeline_hierarchical_mock",
     "bertscore_mock_pairs",
     "bpe_token_counts",
+    "doc_winnow_fingerprints",
 ]
 
 

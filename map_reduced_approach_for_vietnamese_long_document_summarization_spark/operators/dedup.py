@@ -496,37 +496,33 @@ def winnowing_fingerprints(
     hash. Docs shorter than k characters produce no rows; docs with fewer
     than w k-grams contribute their single global-min window.
 
-    Scale design: the char-gram explode is ~len(text) rows per doc, all
-    JVM-side (sequence + substring + md5 in whole-stage codegen); the only
-    shuffle is the final distinct, whose (doc, hash) key is uniform and
-    map-side partially aggregated. The hash is ``md5_hash60`` so a SQL
-    oracle replays selection bit-for-bit (winnowing needs a ~uniform hash,
-    not a fast one — selection quality is the same)."""
+    Scale design: ZERO shuffle. The k-gram hash array is built per row
+    (sequence + substring + md5), the w-window minimum is computed with
+    w-1 shifted ``zip_with``/``least`` passes (the same shifted-array trick
+    as ``shingles_expr`` — no per-index slices, no explode of gram rows),
+    and ``array_distinct`` dedupes per doc before the single explode of
+    selected hashes. An exploded-rows formulation would shuffle ~len(text)
+    rows per doc through a window sort plus a distinct; this one ships only
+    the ~n/w selected fingerprints, already unique per (doc, hash). The
+    hash is ``md5_hash60`` so a SQL oracle replays selection bit-for-bit
+    (winnowing needs a ~uniform hash, not a fast one)."""
     from ..functions.text import strip_ws
 
     norm = F.lower(F.regexp_replace(strip_ws(text_col), r"\s+", " "))
     base = df.select(id_col, norm.alias("_t")).filter(F.length("_t") >= k)
-    n = F.length("_t")
-    grams = base.select(
-        id_col,
-        n.alias("_n"),
-        F.posexplode(F.sequence(F.lit(0), n - k)).alias("_i", "_"),
-        "_t",
-    ).select(
-        id_col,
-        "_n",
-        "_i",
-        md5_hash60(F.expr(f"substring(_t, _i + 1, {k})")).alias("_h"),
+    n_grams = F.length("_t") - k + 1
+    hashes = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: md5_hash60(F.col("_t").substr(i + 1, F.lit(k))),
     )
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy("_i")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    selected = grams.select(
-        id_col,
-        "_i",
-        "_n",
-        F.min("_h").over(win).alias("fingerprint"),
-    ).filter(F.col("_i") <= F.greatest(F.col("_n") - k - w + 1, F.lit(0)))
-    return selected.select(id_col, "fingerprint").distinct()
+    with_h = base.select(id_col, n_grams.alias("_g"), hashes.alias("_h"))
+    # min over h[i..i+w-1] = elementwise least of the w shifted arrays;
+    # zip_with null-pads the short tail and least() skips nulls, which is
+    # exactly the clipped-frame semantics at the partition end
+    mins = F.col("_h")
+    for s in range(1, w):
+        shifted = F.slice(F.col("_h"), s + 1, F.greatest(F.size("_h") - s, F.lit(0)))
+        mins = F.zip_with(mins, shifted, lambda a, b: F.least(a, b))
+    keep = F.greatest(F.col("_g") - w + 1, F.lit(1))
+    selected = F.array_distinct(F.slice(mins, 1, keep))
+    return with_h.select(id_col, F.explode(selected).alias("fingerprint"))

@@ -211,6 +211,16 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert 5 not in by_doc  # shorter than k -> no fingerprints
 
 
+def test_winnowing_zero_shuffle_plan(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    df = spark.createDataFrame([(1, "some words here repeated words")], "doc_id long, text string")
+    plan = winnowing_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+
+
 def test_winnowing_normalization_and_null(spark):
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
         winnowing_fingerprints,
