@@ -2,7 +2,9 @@
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}. Each query is forced end-to-end with the
-noop sink (full materialization, no driver collect cost).
+noop sink (full materialization, no driver collect cost) and timed
+$SPARK_GRAFT_BENCH_REPS times (default 2, best-of — single-run numbers on a
+shared box swing ~2x on JIT/GC noise; min is the standard noise floor).
 """
 
 from __future__ import annotations
@@ -60,12 +62,20 @@ def main() -> None:
     # query doesn't absorb session startup cost
     QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(reps):
+            # drop persisted intermediates: Spark's cache manager matches by
+            # canonicalized plan, so a repeat run would silently reuse the
+            # previous rep's persist() tables and under-report real cost
+            spark.catalog.clearCache()
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
