@@ -28,7 +28,9 @@ from .pairing import anti_pairs, pair_docs_with_refs, positional_zip_join, skip_
 from .similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_assign,
     ivf_build_index,
+    ivf_fixed_centroids,
     ivf_topk,
     random_hyperplane_lsh_topk,
 )
@@ -67,6 +69,8 @@ __all__ = [
     "random_hyperplane_lsh_topk",
     "embedding_near_dup_pairs",
     "ivf_build_index",
+    "ivf_assign",
+    "ivf_fixed_centroids",
     "ivf_topk",
     "salted_agg",
     "salted_join",

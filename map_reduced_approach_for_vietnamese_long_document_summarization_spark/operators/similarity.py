@@ -231,3 +231,34 @@ def random_hyperplane_lsh_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), "neighbor_id")
     return sims.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def ivf_fixed_centroids(dim: int, n_lists: int = 8, seed: int = 7) -> list[list[float]]:
+    """Seeded random coarse-quantizer centroids (no k-means fit): the
+    oracle-checkable twin of ``ivf_build_index``'s learned centroids. Search
+    quality is worse than k-means cells, but the SEARCH path — assignment,
+    n_probe cell pruning, exact rerank — is identical and, with centroids as
+    literals, fully replayable by a SQL oracle."""
+    rng = np.random.default_rng(seed)
+    return [list(map(float, row)) for row in rng.standard_normal((n_lists, dim))]
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared-L2 argmin with a
+    (distance, cell) sort — deterministic tiebreak on cell index), as a pure
+    literal-array expression: no fit, no shuffle, scan-speed at 100 TB."""
+    cs = []
+    for ci, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col(corpus_vec), lit, lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cs.append(F.struct(d.alias("dist"), F.lit(ci).alias("cell")))
+    nearest = F.element_at(F.array_sort(F.array(*cs)), 1)["cell"]
+    return corpus.withColumn("cell", nearest)

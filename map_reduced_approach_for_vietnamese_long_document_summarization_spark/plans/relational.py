@@ -1930,6 +1930,71 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id1", "id2")
 
 
+def _ivf_centroids_values_sql(dim: int = 64, n_lists: int = 8, seed: int = 7) -> str:
+    from ..operators.similarity import ivf_fixed_centroids
+
+    return ", ".join(
+        f"({ci}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for ci, c in enumerate(ivf_fixed_centroids(dim, n_lists, seed))
+    )
+
+
+@query(
+    "embedding_ivf_fixed_top3",
+    oracle=f"""
+WITH cents AS (SELECT * FROM (VALUES {_ivf_centroids_values_sql()}) c(cid, w)),
+base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dists AS MATERIALIZED (
+  SELECT vec_id, cid,
+         list_sum(list_transform(range(64), i -> (v[i+1] - w[i+1]) ** 2)) AS d
+  FROM base, cents),
+assign AS MATERIALIZED (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dists) t WHERE rn = 1),
+qprob AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dists WHERE vec_id < 10) t WHERE rn <= 2),
+cand AS (
+  SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+  FROM qprob q JOIN assign a ON a.cell = q.cell
+  WHERE a.vec_id <> q.query_id),
+sims AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(bq.v, bn.v)
+           / (sqrt(list_dot_product(bq.v, bq.v))
+              * sqrt(list_dot_product(bn.v, bn.v))) AS sim
+  FROM cand c
+  JOIN base bq ON bq.vec_id = c.query_id
+  JOIN base bn ON bn.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM sims) t
+WHERE rnk <= 3
+""",
+)
+def embedding_ivf_fixed_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with seeded FIXED centroids — the oracle-checkable twin of
+    embedding_ivf_top3: same assignment/pruning/rerank machinery
+    (ivf_assign + ivf_topk), but the coarse quantizer is a seeded literal
+    the DuckDB oracle replays (k-means' iterative fit isn't SQL-replayable;
+    its search path is)."""
+    from ..operators.similarity import ivf_assign, ivf_fixed_centroids, ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = ivf_fixed_centroids(dim=64, n_lists=8)
+    assigned = ivf_assign(e, cents)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = ivf_topk(q, assigned, cents, k=3, n_probe=2)
+    return out.select("query_id", "neighbor_id", "rnk")
+
+
 @query("embedding_ivf_top3")  # rows-only: k-means cells are iterative/seeded
 def embedding_ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: k-means cells + n_probe search + exact
