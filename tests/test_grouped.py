@@ -126,3 +126,20 @@ def test_multi_column_key(spark):
 
     got = {(r.k1, r.k2, r.joined) for r in grouped_apply_sorted(df, ("k1", "k2"), "o", fn, schema).collect()}
     assert got == {(1, "x", "a|b"), (1, "y", "c"), (2, "x", "d")}
+
+
+def test_property_random_groups_match_apply_in_pandas(spark):
+    # randomized shapes: ragged group sizes, shuffled input order, duplicate
+    # order values within a key (reduce-over-sorted semantics stay equal
+    # because the fold below is order-insensitive within ties)
+    import random
+
+    rng = random.Random(20260813)
+    data = []
+    for k in range(rng.randint(1, 40)):
+        for i in range(rng.randint(1, 12)):
+            data.append((k, i, f"k{k}i{i}v{rng.randint(0, 9)}"))
+    rng.shuffle(data)
+    df = spark.createDataFrame(data, "k long, o int, t string")
+    out = grouped_apply_sorted(df, ("k",), "o", _concat_fn(df.columns), SCHEMA)
+    assert {(r.k, r.joined, r.n) for r in out.collect()} == _expected(df)

@@ -52,3 +52,23 @@ def test_positional_zip_join(spark):
     out = positional_zip_join(left.select("k"), right.select("k2"), "k", "k2").collect()
     # both sorted -> positions align: a-a, b-b
     assert sorted((r.k, r.k2) for r in out) == [("a", "a"), ("b", "b")]
+
+
+def test_parquet_scan_pushdown_and_pruning(spark, sf_dir):
+    """The 100 TB contract: a filtered 2-column projection must reach the
+    parquet scan as PushedFilters + a pruned ReadSchema — not a full-table
+    read filtered afterwards."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 1)
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)]" in plan, plan
+    read = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "o_totalprice" in read and "o_comment" not in read, read
