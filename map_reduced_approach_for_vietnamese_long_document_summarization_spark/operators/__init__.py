@@ -34,9 +34,16 @@ from .similarity import (
     ivf_topk,
     random_hyperplane_lsh_topk,
 )
+from .components import connected_components, dedup_keep_canonical
+from .sampling import assign_split, hash_uniform, stratified_hash_sample
 from .skew import salted_agg, salted_join
 
 __all__ = [
+    "connected_components",
+    "dedup_keep_canonical",
+    "assign_split",
+    "hash_uniform",
+    "stratified_hash_sample",
     "chunk_documents",
     "chunk_fixed_tokens",
     "recursive_split_text",

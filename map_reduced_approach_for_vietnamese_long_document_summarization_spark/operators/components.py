@@ -1,0 +1,87 @@
+"""Connected components over near-dup pair graphs — dedup canonicalization.
+
+Pairwise dedup (MinHash/SimHash/Jaccard in ``operators/dedup.py``) emits
+*edges*; an actual deduplicated corpus needs the *components* those edges
+form, so each near-dup cluster keeps exactly one canonical document — even
+when A~B and B~C but A and C were never emitted as a pair. No reference
+counterpart (the reference corpus is pre-curated); this is the north-star
+training-data-pipeline surface (BASELINE.json).
+
+Algorithm: iterative min-label propagation (the MapReduce classic — Kang et
+al. HADI / Kiveris et al. "Connected Components in MapReduce", whose
+large-star/small-star variant halves round count; plain flooding is used here
+because near-dup graphs have tiny diameter — a cluster of rewrites/mirrors is
+dense, so 3-5 rounds close it). Per round: one shuffle to propagate each
+node's current label across edges, one map-side-combinable ``min`` aggregate,
+one eager ``localCheckpoint`` to cut lineage (the same driver-loop pattern as
+``collapse_until_fits``). State is exactly (node, label) pairs — 16 bytes a
+node at 100 TB, never the documents themselves. Rounds are bounded by
+``max_rounds``; the loop exits as soon as a round changes no label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Return (``id_col``, ``component``) where ``component`` is the minimum
+    node id in each connected component.
+
+    ``edges`` is an undirected pair table (symmetrized internally, self-loops
+    dropped). ``nodes``, when given, contributes isolated vertices (documents
+    with no near-dup pair become singleton components) — pass the full corpus
+    id column so the output covers every document.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(F.col("a") != F.col("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    vertices = sym.select(F.col("a").alias("id")).distinct()
+    if nodes is not None:
+        vertices = vertices.union(nodes.select(F.col(id_col).alias("id"))).distinct()
+
+    labels = vertices.select("id", F.col("id").alias("lbl")).localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)  # reused every round; freeze it once
+
+    for _ in range(max_rounds):
+        # neighbor labels: for each edge a->b, b's label is a candidate for a
+        prop = sym.join(labels.withColumnRenamed("id", "b"), "b").select(
+            F.col("a").alias("id"), "lbl"
+        )
+        lbl_type = dict(labels.dtypes)["lbl"]
+        merged = (
+            labels.select("id", "lbl", F.col("lbl").alias("prev"))
+            .unionByName(prop.withColumn("prev", F.lit(None).cast(lbl_type)), allowMissingColumns=False)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"), F.min("prev").alias("prev"))
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.filter(F.col("lbl") != F.col("prev")).isEmpty()
+        labels = merged.select("id", "lbl")
+        if changed:
+            break
+
+    return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("component"))
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id1",
+    dst: str = "id2",
+) -> DataFrame:
+    """Deduplicate ``docs`` against a near-dup pair table: cluster the pairs,
+    keep the minimum-id document of every component (singletons keep
+    themselves). The survivors join is on the node-id label table — the
+    documents' payload columns never enter the component iteration."""
+    comp = connected_components(pairs, src=src, dst=dst, nodes=docs, id_col=id_col)
+    keep = comp.groupBy("component").agg(F.min(id_col).alias(id_col)).drop("component")
+    return docs.join(keep, id_col, "left_semi")

@@ -1,0 +1,88 @@
+"""Deterministic dataset splitting and sampling for training-data prep.
+
+A 100 TB training corpus needs splits and samples that are (a) reproducible
+run-to-run, (b) independent of partitioning and executor count, and (c) cheap.
+Spark's ``randomSplit``/``sample`` are none of these (their RNG is seeded per
+partition, so a repartition reshuffles the assignment). The operators here
+hash a stable id column instead: md5(salt || id) -> 60-bit integer -> uniform
+r in [0,1) -> threshold. Pure Catalyst expressions, zero extra shuffle, and
+the arithmetic replays bit-for-bit in other engines (the DuckDB oracles in
+``plans/subqueries.py`` do exactly that).
+
+No reference counterpart: the reference processes a fixed evaluation corpus
+(MR:96-101 globs a directory); splits/sampling are part of this engine's
+training-pipeline surface (BASELINE.json north-star extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^60 — md5's first 15 hex chars as an integer land in [0, 2^60)
+_HASH_SPACE = float(1 << 60)
+
+
+def hash_uniform(id_col: Column | str, salt: str) -> Column:
+    """Uniform r in [0,1) from md5 of the salted id — deterministic and
+    partitioning-independent, unlike ``F.rand``."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))), 1, 15), 16, 10)
+    return h.cast("bigint") / F.lit(_HASH_SPACE)
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Label each row with a split name by hash-bucketing ``id_col``.
+
+    ``weights`` maps split name -> fraction (must sum to ~1; the last split
+    absorbs rounding). Default 80/10/10 train/val/test. Assignment depends
+    only on (salt, id), so it is stable under repartitioning, incremental
+    corpus growth, and engine changes — a document keeps its split for life,
+    which is what prevents train/test leakage across pipeline reruns.
+    """
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    r = hash_uniform(id_col, salt)
+    names = list(weights)
+    expr: Column | None = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond, lit = r < F.lit(cum), F.lit(name)
+        expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic ``fractions[stratum]`` share of each stratum.
+
+    The scalable twin of ``DataFrame.sampleBy``: same semantics, but the
+    keep/drop decision is a pure function of (salt, id), so the sample is
+    identical across reruns, partitionings, and engines. Used for corpus
+    mixing (e.g. upsample Vietnamese, downsample English boilerplate) where
+    reproducibility is a hard requirement. Filter only — no shuffle; at
+    100 TB this runs at scan speed and combines with predicate pushdown.
+    """
+    r = hash_uniform(id_col, salt)
+    s = F.col(strata_col)
+    thr: Column = F.lit(float(default_fraction))
+    for k, v in fractions.items():
+        thr = F.when(s == F.lit(k), F.lit(float(v))).otherwise(thr)
+    return df.filter(r < thr)

@@ -13,6 +13,8 @@ order at the tail.
 """
 
 from .relational import ORACLES, QUERIES
+from . import clusters as _clusters  # noqa: F401  (registers its queries)
+from . import subqueries as _subqueries  # noqa: F401  (registers its queries)
 
 _PRIORITY = [
     # -- summarization pipeline flagships (SURVEY §2.4 D1-D17) --------------
@@ -42,6 +44,8 @@ _PRIORITY = [
     "embedding_ivf_top3",
     "embedding_ann_lsh_top3",
     "embedding_label_centroids",
+    "doc_dup_clusters",
+    "doc_dedup_survivors",
     "multimodal_decode_features",
     "multimodal_decode_dims",
     # -- metric engine (SURVEY §2.9 M1-M5) ----------------------------------
@@ -57,23 +61,26 @@ _PRIORITY = [
     "doc_stats_by_lang",
     "doc_quality_scores",
     "doc_language_id",
-    "source_name_sanitize",
     # -- relational representatives (join/window/set/agg families) ----------
     "customer_order_full_outer",
     "customer_balance_ranks",
     "customer_first_last_order",
-    "segment_price_percentiles",
-    "returnflag_except_all",
-    "pricing_summary",
-    "top_revenue_orders",
-    "shipping_priority_q3",
-    # nation_top_customer / customer_running_spend: driver-green in r01,
-    # demoted past the window to make room for the md5-twin dedup oracles
-    # (still in the local parity suite)
-    # -- streaming batch twins ----------------------------------------------
+    # -- subquery family (EXISTS / NOT EXISTS / IN / correlated scalar) -----
+    "order_priority_exists_late",
+    "brand_small_qty_revenue",
+    "big_order_customers",
+    "dormant_rich_customers",
+    # -- dataset split / sampling (training-data prep) ----------------------
+    "doc_split_assign",
+    # -- streaming batch twins (§2.10 north star) ---------------------------
     "events_tumbling_10min",
     "events_sessionization",
-    "events_sliding_10m_5m",
+    # pricing_summary / top_revenue_orders / shipping_priority_q3 /
+    # events_sliding_10m_5m are driver-green in CORRECTNESS_r01.json;
+    # demoted past the window (round 2) to make room for the never-checked
+    # subquery + split families. nation_top_customer / customer_running_spend
+    # / source_name_sanitize / nation_supplier_scalars / doc_stratified_sample
+    # ride the tail — all remain in the local parity suite.
 ]
 
 

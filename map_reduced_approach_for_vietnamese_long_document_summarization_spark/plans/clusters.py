@@ -1,0 +1,92 @@
+"""Dedup-cluster queries: connected components over near-dup pairs.
+
+The pair-emitting dedup family (`minhash_*`, `simhash_*`, `ngram_jaccard_*`)
+stops at edges; these queries close the loop to actual corpus deduplication:
+components -> canonical doc per cluster. The DuckDB oracle replays the SAME
+md5-SimHash pair generation (shared CTE list, `relational._SIMHASH_MD5_PAIR_CTES`)
+and then computes the transitive closure with a recursive CTE — so the
+iterative Spark label-propagation loop is verified against an independent
+fixed-point construction, the same way `mock_collapse_loop` pinned the
+collapse convergence loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import _SIMHASH_MD5_PAIR_CTES, _t, query
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_SIMHASH_MD5_PAIR_CTES},
+edges AS (SELECT id1 AS a, id2 AS b FROM simpairs
+          UNION ALL
+          SELECT id2 AS a, id1 AS b FROM simpairs),
+reach AS (
+    SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+    SELECT r.id, e.b AS lbl FROM reach r JOIN edges e ON e.a = r.lbl
+),
+comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT comp.doc_id, comp.cluster_id, sizes.cluster_size
+FROM comp JOIN sizes USING (cluster_id)
+"""
+
+
+@query("doc_dup_clusters", oracle=_CLUSTER_ORACLE)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters of the documents corpus: md5-32 SimHash pairs
+    (hamming <= 6) -> connected components (min-label propagation,
+    `operators/components.py`) -> (doc_id, cluster_id, cluster_size) for
+    every document, singletons included. The oracle recomputes the same
+    pairs in DuckDB and closes them with a recursive CTE — an independent
+    fixed-point check of the iterative loop. Scale: the component state is
+    (id, label) pairs only; each round is one edge-join shuffle + a
+    map-side-combinable min."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import md5_hash32, simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = simhash_near_dup_pairs(docs, max_hamming=6, bits=32, hash_col_fn=md5_hash32)
+    comp = connected_components(pairs, nodes=docs, id_col="doc_id")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        "doc_id", F.col("component").alias("cluster_id"), "cluster_size"
+    )
+
+
+@query(
+    "doc_dedup_survivors",
+    oracle=f"""
+WITH RECURSIVE {_SIMHASH_MD5_PAIR_CTES},
+edges AS (SELECT id1 AS a, id2 AS b FROM simpairs
+          UNION ALL
+          SELECT id2 AS a, id1 AS b FROM simpairs),
+reach AS (
+    SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+    SELECT r.id, e.b AS lbl FROM reach r JOIN edges e ON e.a = r.lbl
+),
+comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT lang, count(*) AS n_survivors
+FROM comp JOIN documents USING (doc_id)
+WHERE doc_id = cluster_id
+GROUP BY lang
+""",
+)
+def doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup deduplication: keep one canonical (min-id) doc per
+    SimHash cluster via `dedup_keep_canonical`, then count survivors per
+    language. This is the full training-data dedup shape: pairs -> clusters
+    -> canonical filter — the payload columns only move in the final
+    left-semi join."""
+    from ..operators.components import dedup_keep_canonical
+    from ..operators.dedup import md5_hash32, simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pairs = simhash_near_dup_pairs(
+        docs.select("doc_id", "text"), max_hamming=6, bits=32, hash_col_fn=md5_hash32
+    )
+    kept = dedup_keep_canonical(docs, pairs, id_col="doc_id")
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_survivors"))

@@ -1777,10 +1777,10 @@ def minhash_md5_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_md5_pairs(d, threshold=0.5)
 
 
-@query(
-    "simhash_md5_near_dups",
-    oracle=f"""
-WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+# CTE list reproducing the md5-32 SimHash near-dup PAIRS (shared by the
+# pair query below and the connected-components closure in plans/clusters.py)
+_SIMHASH_MD5_PAIR_CTES = f"""
+t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
 e AS MATERIALIZED (
     SELECT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h
     FROM t, unnest(toks) AS u(tok)),
@@ -1795,9 +1795,16 @@ bands AS MATERIALIZED (
     SELECT doc_id, sig, b, (sig >> (b * 8)) & 255 AS bk
     FROM sigs, unnest(range(4)) AS u(b)),
 cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2, a.sig AS s1, c.sig AS s2
-         FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id)
-SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(s1, s2)) <= 6
+         FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id),
+simpairs AS (SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+             FROM cand WHERE bit_count(xor(s1, s2)) <= 6)"""
+
+
+@query(
+    "simhash_md5_near_dups",
+    oracle=f"""
+WITH {_SIMHASH_MD5_PAIR_CTES}
+SELECT id1, id2, hamming FROM simpairs
 """,
 )
 def simhash_md5_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,233 @@
+"""Subquery query shapes (TPC-H Q4/Q17/Q18/Q22 silhouettes) + dataset splits.
+
+The reference's data plane never needs correlated subqueries (its joins are
+pairing loops, MR:108-126), but any relational user of this engine will write
+them, so the surface is covered here as a first-class family. Spark-first
+design: the queries are declared in ANSI SQL over temp views and planned by
+Catalyst, whose decorrelation rules (``RewritePredicateSubquery``,
+``RewriteCorrelatedScalarSubquery``) turn EXISTS / NOT EXISTS / IN into
+left-semi / left-anti joins and correlated scalars into aggregated left-outer
+joins — i.e. the same shuffle-or-broadcast join physics as every other join in
+this engine, not nested-loop re-execution per row. That is what makes these
+shapes survive 100 TB: the "subquery" never executes per outer row.
+
+Because the text is ANSI SQL, DuckDB replays the *same string* as the oracle —
+a dialect-compatibility statement as well as a correctness check.
+
+The dataset-split queries back the training-data-pipeline surface
+(``operators/sampling.py``): deterministic md5-hash splits, replayed
+bit-for-bit by DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .relational import ORACLES, QUERIES, _t, query
+
+_SQ_TABLES = ("orders", "lineitem", "customer", "supplier", "nation", "part", "documents")
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    """Register the harness tables as temp views and run ``text`` through
+    spark.sql. View registration is idempotent and metadata-only."""
+    for name in _SQ_TABLES:
+        if name in text:
+            _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(text)
+
+
+def _shared_sql_query(name: str, text: str, doc: str):
+    """Register a query whose Spark plan and DuckDB oracle are the SAME SQL."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _sql(spark, sf_dir, text)
+
+    fn.__name__ = name
+    fn.__doc__ = doc
+    return query(name, oracle=text)(fn)
+
+
+# ---------------------------------------------------------------------------
+# correlated EXISTS — TPC-H Q4 shape (adapted: harness lineitem carries only
+# l_shipdate, so "late" means shipped >30 days after the order date)
+# ---------------------------------------------------------------------------
+
+order_priority_exists_late = _shared_sql_query(
+    "order_priority_exists_late",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+""",
+    """TPC-H Q4 shape: correlated EXISTS. Catalyst rewrites the subquery to a
+    left-semi join on l_orderkey with the non-equi ship-lateness predicate as
+    the join condition — one shuffle (or broadcast of the date-filtered
+    orders side), never a per-row probe. The date filter pushes to the
+    orders parquet scan. Scales as a plain semi join.""",
+)
+
+
+# ---------------------------------------------------------------------------
+# correlated scalar aggregate — TPC-H Q17 shape
+# ---------------------------------------------------------------------------
+
+brand_small_qty_revenue = _shared_sql_query(
+    "brand_small_qty_revenue",
+    """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+""",
+    """TPC-H Q17 shape: correlated scalar AVG subquery. Catalyst's
+    RewriteCorrelatedScalarSubquery turns the per-part average into one
+    grouped aggregate over lineitem joined back on l_partkey (left outer),
+    so the 100 TB plan is agg + two joins — the brand filter prunes the
+    part side small enough to broadcast.""",
+)
+
+
+# ---------------------------------------------------------------------------
+# IN + HAVING — TPC-H Q18 shape
+# ---------------------------------------------------------------------------
+
+big_order_customers = _shared_sql_query(
+    "big_order_customers",
+    """
+SELECT c_name, c_custkey, o_orderkey,
+       round(o_totalprice, 2) AS total_price,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+""",
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery. Catalyst plans the
+    IN as a left-semi join against the aggregated order-quantity table; the
+    semi-join output is tiny (heavy orders only), so the customer join
+    broadcasts it. Map-side partial aggregation bounds the HAVING shuffle
+    at any scale.""",
+)
+
+
+# ---------------------------------------------------------------------------
+# uncorrelated scalar + NOT EXISTS — TPC-H Q22 shape
+# ---------------------------------------------------------------------------
+
+dormant_rich_customers = _shared_sql_query(
+    "dormant_rich_customers",
+    """
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+""",
+    """TPC-H Q22 shape: uncorrelated scalar threshold (planned once as a
+    1-row broadcast) + NOT EXISTS planned as a left-anti join against the
+    date-filtered orders. Both sides shuffle at most once; the anti-join
+    side is pre-filtered by the pushed-down date predicate.""",
+)
+
+
+# ---------------------------------------------------------------------------
+# correlated scalars in SELECT (incl. the COUNT-bug case)
+# ---------------------------------------------------------------------------
+
+nation_supplier_scalars = _shared_sql_query(
+    "nation_supplier_scalars",
+    """
+SELECT n_name,
+       (SELECT round(max(s_acctbal), 2) FROM supplier WHERE s_nationkey = n_nationkey)
+           AS max_supp_bal,
+       (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey)
+           AS n_suppliers
+FROM nation
+""",
+    """Correlated scalar subqueries in the SELECT list, including the classic
+    COUNT-bug case: a nation with no suppliers must yield n_suppliers = 0
+    (not NULL), which Catalyst gets right by rewriting to a left-outer join
+    over a pre-grouped supplier aggregate + coalesce. One aggregate + one
+    broadcast join at any scale — never a per-nation scan.""",
+)
+
+
+# ---------------------------------------------------------------------------
+# dataset splits — deterministic md5 train/val/test assignment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_split_assign",
+    oracle="""
+WITH u AS (SELECT lang,
+                  ('0x' || substring(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                    / 1152921504606846976.0 AS r
+           FROM documents)
+SELECT CASE WHEN r < 0.8 THEN 'train' WHEN r < 0.9 THEN 'val' ELSE 'test' END AS split,
+       lang, count(*) AS n_docs
+FROM u GROUP BY 1, 2
+""",
+)
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) for training-data prep:
+    md5 of the salted doc id -> uniform r in [0,1) -> split label, then a
+    count rollup per (split, lang). Pure Catalyst expressions — zero extra
+    shuffle beyond the rollup, reproducible across runs, engines, and
+    repartitioning (unlike ``DataFrame.randomSplit``, whose assignment
+    depends on partitioning). The DuckDB oracle replays the md5 arithmetic
+    bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        assign_split(docs, "doc_id", salt="split")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "doc_stratified_sample",
+    oracle="""
+WITH u AS (SELECT lang,
+                  ('0x' || substring(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                    / 1152921504606846976.0 AS r
+           FROM documents)
+SELECT lang, count(*) AS n_sampled
+FROM u
+WHERE r < (CASE lang WHEN 'vi' THEN 0.5 WHEN 'en' THEN 0.2 ELSE 0.1 END)
+GROUP BY lang
+""",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (per-language fractions) for corpus
+    mixing: hash-threshold filter, no shuffle, exactly reproducible — the
+    scalable alternative to ``sampleBy`` when the sample must be stable
+    across reruns and engines. Counts per language verify the realized
+    rates against the DuckDB replay."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    sampled = stratified_hash_sample(
+        docs, "doc_id", "lang", {"vi": 0.5, "en": 0.2}, default_fraction=0.1, salt="sample"
+    )
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+__all__ = ["QUERIES", "ORACLES"]

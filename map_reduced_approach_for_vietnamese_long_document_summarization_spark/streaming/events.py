@@ -46,13 +46,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered to the events file.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The harness has shipped `ts` both as TIMESTAMP(NANOS) (read as bigint
+    # under nanosAsLong) and as plain µs TIMESTAMP. A stream needs its schema
+    # up front, so probe the parquet footer via the batch reader (metadata
+    # only, no data scan) and pick the matching schema + conversion.
+    ts_type = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+            for f in _EVENTS_RAW.fields
+        ]
+        if ts_type != "bigint"
+        else _EVENTS_RAW.fields
+    )
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 8)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_event_counts(

@@ -1,0 +1,51 @@
+"""connected_components / dedup_keep_canonical on known graphs: chains that
+only close transitively, singletons, convergence on multi-hop paths."""
+
+from pyspark.sql import functions as F
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.components import (
+    connected_components,
+    dedup_keep_canonical,
+)
+
+
+def _components(spark, edges, nodes=None, **kw):
+    e = spark.createDataFrame(edges, "id1 long, id2 long")
+    n = spark.createDataFrame([(i,) for i in nodes], "doc_id long") if nodes else None
+    out = connected_components(e, nodes=n, **kw).collect()
+    return {r["doc_id"]: r["component"] for r in out}
+
+
+def test_transitive_chain_closes(spark):
+    # 1-2, 2-3, 3-4: no direct 1-4 pair, but one component
+    got = _components(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_components_and_singletons(spark):
+    got = _components(spark, [(10, 11), (20, 21), (21, 22)], nodes=[10, 11, 20, 21, 22, 99])
+    assert got[10] == got[11] == 10
+    assert got[20] == got[21] == got[22] == 20
+    assert got[99] == 99
+
+
+def test_long_path_converges_within_rounds(spark):
+    # path of 12 nodes: min label must flood end-to-end
+    edges = [(i, i + 1) for i in range(12)]
+    got = _components(spark, edges)
+    assert set(got.values()) == {0}
+
+
+def test_self_loops_and_duplicate_edges_ignored(spark):
+    got = _components(spark, [(5, 5), (5, 6), (6, 5), (5, 6)])
+    assert got == {5: 5, 6: 5}
+
+
+def test_dedup_keep_canonical_keeps_min_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 4), (3, 5)], "id1 long, id2 long")
+    kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
+    # clusters {1,2,4} -> 1, {3,5} -> 3, singleton {0} -> 0
+    assert kept == [0, 1, 3]

@@ -35,7 +35,13 @@ FLAGSHIPS = [
     # streaming batch twins (§2.10)
     "events_tumbling_10min",
     "events_sessionization",
-    "events_sliding_10m_5m",
+    # subquery family (EXISTS / IN / correlated scalar / NOT EXISTS)
+    "order_priority_exists_late",
+    "brand_small_qty_revenue",
+    "big_order_customers",
+    "dormant_rich_customers",
+    # dataset split (training-data prep)
+    "doc_split_assign",
 ]
 
 

@@ -1,0 +1,105 @@
+"""Dataset-split/sampling operators + subquery family: semantics and the
+decorrelated plans (EXISTS/IN -> left-semi, NOT EXISTS -> left-anti, correlated
+scalar -> aggregate+outer join — never a per-outer-row re-execution)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.sampling import (
+    assign_split,
+    hash_uniform,
+    stratified_hash_sample,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans import QUERIES
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+
+
+def test_assign_split_covers_all_rows_and_weights(spark, ids):
+    out = assign_split(ids, "doc_id").groupBy("split").count().collect()
+    got = {r["split"]: r["count"] for r in out}
+    assert set(got) == {"train", "val", "test"}
+    assert sum(got.values()) == 5000
+    # md5 is uniform; 5000 draws keep realized rates within a few points
+    assert abs(got["train"] / 5000 - 0.8) < 0.03
+    assert abs(got["val"] / 5000 - 0.1) < 0.02
+    assert abs(got["test"] / 5000 - 0.1) < 0.02
+
+
+def test_assign_split_is_partitioning_invariant(spark, ids):
+    a = assign_split(ids, "doc_id").collect()
+    b = assign_split(ids.repartition(17), "doc_id").collect()
+    assert {(r.doc_id, r.split) for r in a} == {(r.doc_id, r.split) for r in b}
+
+
+def test_assign_split_rejects_empty_weights(ids):
+    with pytest.raises(ValueError):
+        assign_split(ids, "doc_id", weights={})
+
+
+def test_hash_uniform_salt_decorrelates(spark, ids):
+    df = ids.select(
+        "doc_id",
+        hash_uniform("doc_id", "a").alias("ra"),
+        hash_uniform("doc_id", "b").alias("rb"),
+    )
+    row = df.agg(
+        F.max("ra").alias("mx"),
+        F.min("ra").alias("mn"),
+        F.corr("ra", "rb").alias("c"),
+    ).first()
+    assert 0.0 <= row["mn"] and row["mx"] < 1.0
+    assert abs(row["c"]) < 0.05  # independent streams per salt
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.range(0, 9000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("stratum"),
+    )
+    out = stratified_hash_sample(df, "doc_id", "stratum", {"0": 0.5, "1": 0.1})
+    got = {r["stratum"]: r["count"] for r in out.groupBy("stratum").count().collect()}
+    assert abs(got["0"] / 3000 - 0.5) < 0.05
+    assert abs(got["1"] / 3000 - 0.1) < 0.03
+    assert "2" not in got  # default fraction 0.0 drops the stratum entirely
+
+
+def _plan(spark, sf_dir, name):
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_exists_plans_as_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "order_priority_exists_late")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_not_exists_plans_as_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dormant_rich_customers")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_in_having_plans_as_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "big_order_customers")
+    assert "LeftSemi" in plan
+
+
+def test_correlated_scalar_decorrelates_to_aggregate(spark, sf_dir):
+    # Q17 shape: the per-part AVG must appear as ONE aggregate feeding a join,
+    # not a re-executed subquery (no InSubquery/ScalarSubquery nodes survive
+    # in the physical plan after decorrelation).
+    plan = _plan(spark, sf_dir, "brand_small_qty_revenue")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_count_bug_yields_zero_not_null(spark, sf_dir):
+    rows = QUERIES["nation_supplier_scalars"](spark, sf_dir).collect()
+    counts = {r["n_name"]: r["n_suppliers"] for r in rows}
+    # every nation gets a row; nations without suppliers must read 0, not None
+    assert all(v is not None for v in counts.values())
+    assert len(counts) == 25
