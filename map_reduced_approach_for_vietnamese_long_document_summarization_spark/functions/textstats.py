@@ -81,6 +81,37 @@ def quality_score(col: Column | str) -> Column:
     return (length_score + token_score + alpha_ratio) / F.lit(3.0)
 
 
+def repetition_stats(col: Column | str) -> Column:
+    """Gopher/RefinedWeb-style repetition filters as one struct column:
+
+    * ``dup_token_ratio``  — 1 - distinct/total tokens (case-folded)
+    * ``dup_bigram_ratio`` — 1 - distinct/total word bigrams
+    * ``top_token_ratio``  — share of the single most frequent token
+
+    All-Catalyst array expressions, so the filters run at scan speed next to
+    ``quality_score``. ``top_token_ratio`` counts occurrences per *distinct*
+    token via a higher-order filter — O(distinct * len) per document, which
+    is bounded because training-pipeline docs are length-capped upstream;
+    for uncapped corpora use an explode+groupBy twin (same trade the ROUGE
+    batch path makes, metrics/rouge.py). Empty/NULL text yields zeros."""
+    from ..operators.dedup import shingles_expr
+
+    toks = F.transform(tokenize_ws(col), F.lower)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    n_bg = F.greatest(n - 1, F.lit(0))
+    nd_bg = F.size(shingles_expr(col, n=2))
+    top = F.array_max(
+        F.transform(F.array_distinct(toks), lambda d: F.size(F.filter(toks, lambda t: t == d)))
+    )
+    zero = F.lit(0.0)
+    return F.struct(
+        F.when(n > 0, 1.0 - nd.cast("double") / n).otherwise(zero).alias("dup_token_ratio"),
+        F.when(n_bg > 0, 1.0 - nd_bg.cast("double") / n_bg).otherwise(zero).alias("dup_bigram_ratio"),
+        F.when(n > 0, top.cast("double") / n).otherwise(zero).alias("top_token_ratio"),
+    )
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Deterministic content fingerprint: md5 of whitespace-normalized text.
 

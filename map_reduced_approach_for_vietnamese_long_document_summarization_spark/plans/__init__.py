@@ -58,9 +58,10 @@ _PRIORITY = [
     "llm_judge_mock_scores",
     "bpe_token_counts",
     # -- text analysis / scalar functions ------------------------------------
-    "doc_stats_by_lang",
+    "doc_repetition_stats",
     "doc_quality_scores",
     "doc_language_id",
+    # doc_stats_by_lang: driver-green in r01, demoted for the repetition stats
     # -- relational representatives (join/window/set/agg families) ----------
     "customer_order_full_outer",
     "customer_balance_ranks",

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .relational import _SIMHASH_MD5_PAIR_CTES, _t, query
+from .relational import _DUCK_TOKS, _SIMHASH_MD5_PAIR_CTES, _t, query
 
 _CLUSTER_ORACLE = f"""
 WITH RECURSIVE {_SIMHASH_MD5_PAIR_CTES},
@@ -90,3 +90,43 @@ def doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = dedup_keep_canonical(docs, pairs, id_col="doc_id")
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_survivors"))
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+WITH t AS (SELECT doc_id, list_transform({_DUCK_TOKS}, x -> lower(x)) AS toks FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n, len(list_distinct(toks)) AS nd,
+             CASE WHEN len(toks) >= 2
+                  THEN len(list_distinct(list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1])))
+                  ELSE 0 END AS nd_bg
+      FROM t),
+top AS (SELECT doc_id, max(cnt) AS topc
+        FROM (SELECT doc_id, tok, count(*) AS cnt
+              FROM t, unnest(toks) AS u(tok) GROUP BY doc_id, tok)
+        GROUP BY doc_id)
+SELECT s.doc_id,
+       round(CASE WHEN n > 0 THEN 1 - nd / n::DOUBLE ELSE 0 END, 6)            AS dup_token_ratio,
+       round(CASE WHEN n >= 2 THEN 1 - nd_bg / (n - 1)::DOUBLE ELSE 0 END, 6)  AS dup_bigram_ratio,
+       round(CASE WHEN n > 0 THEN top.topc / n::DOUBLE ELSE 0 END, 6)          AS top_token_ratio
+FROM s LEFT JOIN top ON s.doc_id = top.doc_id
+""",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters per document (dup-token, dup-bigram,
+    top-token ratios — `functions/textstats.py:repetition_stats`): the
+    standard signals for dropping boilerplate/templated docs from a training
+    corpus. Pure Catalyst array expressions at scan speed; the DuckDB oracle
+    recomputes all three ratios from first principles (unnest+count for the
+    top token rather than the HOF formulation — an independent derivation)."""
+    from ..functions.textstats import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    r = repetition_stats("text")
+    return docs.select(
+        "doc_id",
+        F.round(r["dup_token_ratio"], 6).alias("dup_token_ratio"),
+        F.round(r["dup_bigram_ratio"], 6).alias("dup_bigram_ratio"),
+        F.round(r["top_token_ratio"], 6).alias("top_token_ratio"),
+    )
