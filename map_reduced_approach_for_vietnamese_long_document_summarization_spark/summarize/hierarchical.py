@@ -147,7 +147,14 @@ def flatten_tree_json(trees: DataFrame, json_col: str = "tree_json", id_col: str
 
 
 def _max_depth(nodes: DataFrame) -> int:
-    row = nodes.agg(F.max("depth").alias("d")).first()
+    # deepest level with a collapsible (non-Paragraph) node: levels below it
+    # hold only paragraphs, so starting the collapse loop there skips
+    # guaranteed-no-op rounds (each would cost a scan + re-checkpoint)
+    row = (
+        nodes.filter(F.col("node_type") != "Paragraph")
+        .agg(F.max("depth").alias("d"))
+        .first()
+    )
     return int(row["d"] or 0)
 
 
@@ -287,9 +294,10 @@ def hierarchical_summarize(
     nodes = flatten_tree_json(trees, json_col, id_col).localCheckpoint(eager=True)
     actual = _max_depth(nodes)
     for d in range(min(max_depth, actual), 0, -1):
-        nodes = _collapse_level(
-            nodes, d, summarizer, chunk_size, chunk_overlap, token_max
-        ).localCheckpoint(eager=True)
+        out = _collapse_level(nodes, d, summarizer, chunk_size, chunk_overlap, token_max)
+        if out is nodes:  # empty level: nothing collapsed, keep the checkpoint
+            continue
+        nodes = out.localCheckpoint(eager=True)
 
     final_in = (
         nodes.filter(F.col("node_type") == "Paragraph")
