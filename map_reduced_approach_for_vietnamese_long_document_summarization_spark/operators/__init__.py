@@ -35,12 +35,17 @@ from .similarity import (
     random_hyperplane_lsh_topk,
 )
 from .components import connected_components, dedup_keep_canonical
+from .contamination import ngram_contamination
+from .packing import pack_sequences, packing_stats
 from .sampling import assign_split, hash_uniform, stratified_hash_sample
 from .skew import salted_agg, salted_join
 
 __all__ = [
     "connected_components",
     "dedup_keep_canonical",
+    "ngram_contamination",
+    "pack_sequences",
+    "packing_stats",
     "assign_split",
     "hash_uniform",
     "stratified_hash_sample",

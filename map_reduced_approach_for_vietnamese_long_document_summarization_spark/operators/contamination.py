@@ -1,0 +1,75 @@
+"""Benchmark decontamination: n-gram containment of eval docs in train docs.
+
+Before training, pipelines must find eval/benchmark documents that leak into
+the training split (decontamination — the GPT-3/PaLM appendix procedure): for
+each test doc, the fraction of its n-gram shingles that also appear in some
+train doc. This is the bipartite variant of the dedup family's inverted-index
+join (``operators/dedup.py:ngram_jaccard_pairs``), and reuses its shingle
+expression and stop-shingle cap.
+
+Scale design mirrors the self-join case: candidate generation goes through a
+shingle equi-join (never all test×train pairs); ``max_doc_freq`` caps the
+*train-side* posting list so one boilerplate shingle shared by millions of
+train docs can't explode the join (the cap makes containment a documented
+lower bound, exactly like the Jaccard operator). The metric is containment
+|T∩R| / |T| — asymmetric on purpose: a tiny test doc fully inside a huge
+train doc is 100% contaminated, which Jaccard would hide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles_expr
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_doc_freq: int | None = None,
+    threshold: float | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """(test_id, train_id, n_common, test_shingles, containment) for every
+    test×train pair sharing at least one shingle.
+
+    ``containment`` = shared distinct shingles / test doc's distinct
+    shingles. ``threshold`` keeps pairs at or above a containment floor;
+    ``top_k`` keeps the top pairs by (containment desc, test_id, train_id)
+    — fully deterministic tiebreakers.
+    """
+    tsh = test.select(
+        F.col(id_col).alias("test_id"), F.explode(shingles_expr(text_col, shingle_n)).alias("sh")
+    ).persist()
+    rsh = train.select(
+        F.col(id_col).alias("train_id"), F.explode(shingles_expr(text_col, shingle_n)).alias("sh")
+    )
+    if max_doc_freq is not None:
+        rare = (
+            rsh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        rsh = rsh.join(rare, "sh")
+    sizes = tsh.groupBy("test_id").agg(F.count(F.lit(1)).alias("test_shingles"))
+    pairs = (
+        tsh.join(rsh, "sh")
+        .groupBy("test_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = pairs.join(sizes, "test_id").withColumn(
+        "containment", F.round(F.col("n_common") / F.col("test_shingles"), 6)
+    )
+    if threshold is not None:
+        out = out.filter(F.col("containment") >= threshold)
+    if top_k is not None:
+        out = out.orderBy(
+            F.desc("containment"), F.asc("test_id"), F.asc("train_id")
+        ).limit(top_k)
+    out._persisted_inputs = [tsh]  # unpersist hook for long-lived sessions
+    return out

@@ -15,6 +15,7 @@ order at the tail.
 from .relational import ORACLES, QUERIES
 from . import clusters as _clusters  # noqa: F401  (registers its queries)
 from . import subqueries as _subqueries  # noqa: F401  (registers its queries)
+from . import training as _training  # noqa: F401  (registers its queries)
 
 _PRIORITY = [
     # -- summarization pipeline flagships (SURVEY §2.4 D1-D17) --------------

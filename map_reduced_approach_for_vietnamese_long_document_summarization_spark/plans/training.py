@@ -1,0 +1,100 @@
+"""Training-data preparation queries: sequence packing + decontamination.
+
+North-star extensions (BASELINE.json): the corpus-level operations that sit
+between a deduplicated corpus and an actual training run — packing documents
+into fixed-token sequences, and checking the test split for n-gram leakage
+into the train split. Both oracles replay the md5 split assignment and the
+shingle arithmetic bit-for-bit in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import _DUCK_TOKS, _t, query
+
+# md5-hash uniform r in [0,1) for the 'split' salt — must match
+# operators/sampling.py:hash_uniform (same constant in doc_split_assign)
+_DUCK_SPLIT_R = (
+    "('0x' || substring(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT"
+    " / 1152921504606846976.0"
+)
+
+
+@query(
+    "corpus_pack_512",
+    oracle=f"""
+WITH t AS (SELECT doc_id, doc_id % 8 AS shard, len({_DUCK_TOKS}) AS n FROM documents),
+r AS (SELECT shard, doc_id, n,
+             sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n AS off
+      FROM t)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(floor(off / 512) AS INT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS sum_tokens,
+       round(CAST(sum(n) AS BIGINT) / 512.0, 6) AS fill_frac
+FROM r GROUP BY 1, 2
+""",
+)
+def corpus_pack_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): shard the corpus (id % 8),
+    greedily pack each shard into 512-token training bins by running token
+    offset, and report per-bin fill stats. One window + one aggregate, all
+    JVM; the oracle replays the same running-sum bin arithmetic."""
+    from ..functions.text import ws_token_count
+    from ..operators.packing import pack_sequences, packing_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", ws_token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, max_tokens=512, n_shards=8)
+    return packing_stats(packed, max_tokens=512).withColumn(
+        "sum_tokens", F.col("sum_tokens").cast("long")
+    )
+
+
+@query(
+    "doc_contamination_top20",
+    oracle=f"""
+WITH split AS (SELECT doc_id, text,
+                      CASE WHEN {_DUCK_SPLIT_R} < 0.8 THEN 'train'
+                           WHEN {_DUCK_SPLIT_R} < 0.9 THEN 'val'
+                           ELSE 'test' END AS split
+               FROM documents),
+tok AS (SELECT doc_id, split, list_transform({_DUCK_TOKS}, x -> lower(x)) AS toks
+        FROM split),
+sh AS (SELECT doc_id, split,
+              list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+       FROM tok WHERE len(toks) >= 3),
+tsh AS (SELECT doc_id AS test_id, unnest(shs) AS sh FROM sh WHERE split = 'test'),
+rsh0 AS (SELECT doc_id AS train_id, unnest(shs) AS sh FROM sh WHERE split = 'train'),
+rare AS (SELECT sh FROM rsh0 GROUP BY sh HAVING count(*) <= 64),
+rsh AS (SELECT rsh0.train_id, rsh0.sh FROM rsh0 JOIN rare USING (sh)),
+sizes AS (SELECT test_id, count(*) AS test_shingles FROM tsh GROUP BY test_id),
+pairs AS (SELECT test_id, train_id, count(*) AS n_common
+          FROM tsh JOIN rsh USING (sh) GROUP BY 1, 2)
+SELECT pairs.test_id, pairs.train_id, pairs.n_common, sizes.test_shingles,
+       round(pairs.n_common * 1.0 / sizes.test_shingles, 6) AS containment
+FROM pairs JOIN sizes USING (test_id)
+ORDER BY containment DESC, test_id, train_id
+LIMIT 20
+""",
+)
+def doc_contamination_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination check (operators/contamination.py): split the corpus
+    with the deterministic md5 80/10/10 assignment, then rank test-split
+    documents by 3-gram containment in train-split documents (train-side
+    stop-shingle cap 64). The oracle replays split, shingling, cap, and
+    containment arithmetic end-to-end."""
+    from ..operators.contamination import ngram_contamination
+    from ..operators.sampling import assign_split
+
+    docs = assign_split(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id", salt="split"
+    )
+    train = docs.filter(F.col("split") == "train").select("doc_id", "text")
+    test = docs.filter(F.col("split") == "test").select("doc_id", "text")
+    return ngram_contamination(train, test, shingle_n=3, max_doc_freq=64, top_k=20)
