@@ -34,6 +34,7 @@ from .similarity import (
     ivf_topk,
     random_hyperplane_lsh_topk,
 )
+from .asof import asof_join
 from .components import connected_components, dedup_keep_canonical
 from .contamination import ngram_contamination
 from .packing import pack_sequences, packing_stats
@@ -41,6 +42,7 @@ from .sampling import assign_split, hash_uniform, stratified_hash_sample
 from .skew import salted_agg, salted_join
 
 __all__ = [
+    "asof_join",
     "connected_components",
     "dedup_keep_canonical",
     "ngram_contamination",

@@ -1,0 +1,73 @@
+"""As-of join: match each left row to the latest right row at or before it.
+
+The canonical time-series lookup (trade→latest-quote, purchase→latest-click
+attribution). Spark has no built-in as-of join; the naive formulations are
+both scale hazards — a non-equi range join degenerates to a per-key nested
+loop, and a "max timestamp then self-join back" pass scans twice. The
+scalable formulation used here is the union+window trick:
+
+1. tag right rows 0 and left rows 1, union them on the shared key,
+2. one window per key ordered by (time, side): ``last(right_payload,
+   ignorenulls=True)`` carries the most recent right row forward,
+3. keep left rows — each now holds its as-of match (NULL when no right row
+   precedes it, i.e. LEFT-join semantics).
+
+Cost: ONE shuffle on the join key + a sort within partitions — the same
+physics as any windowed aggregate, no matter how skewed the time axis. At
+equal timestamps the right row sorts first, so "at or before" includes
+simultaneous rows (DuckDB ``ASOF JOIN``'s ``>=`` semantics, which the
+oracle in plans/training.py replays natively).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    right_cols: tuple[str, ...] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """LEFT as-of join: every ``left`` row, plus the latest ``right`` row of
+    the same ``on`` key with ``right_time <= left_time`` (NULLs if none).
+
+    ``right_cols`` selects which right-side payload columns to carry
+    (default: all except the key); each is emitted as ``<name><suffix>``.
+    """
+    if right_cols is None:
+        right_cols = tuple(c for c in right.columns if c != on)
+    payload = F.struct(*[F.col(c).alias(c) for c in (right_time, *right_cols)])
+
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        payload.alias("_p"),
+    )
+    left_cols = left.columns
+    l = left.select(  # noqa: E741
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
+        *[F.col(c) for c in left_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l.unionByName(r, allowMissingColumns=True).withColumn(
+        "_m", F.last("_p", ignorenulls=True).over(w)
+    )
+    out = matched.filter(F.col("_side") == 1).select(
+        *left_cols,
+        *[F.col("_m")[c].alias(f"{c}{suffix}") for c in (right_time, *right_cols)],
+    )
+    return out

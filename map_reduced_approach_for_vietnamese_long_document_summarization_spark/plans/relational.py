@@ -1464,6 +1464,48 @@ def events_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "purchase_click_attribution",
+    oracle="""
+WITH clicks AS (SELECT user_id, ts, min(event_id) AS click_id
+                FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, c.click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_micros
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase matched to the same
+    user's latest click at or before it — last-touch attribution. Clicks are
+    canonicalized to one per (user, instant) first so ties are deterministic
+    on both engines. The union+window formulation costs one shuffle on
+    user_id; the DuckDB oracle uses its native ASOF LEFT JOIN, an
+    independent implementation of the same semantics."""
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    out = asof_join(purchases, clicks, on="user_id", right_cols=("click_id",))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("click_id_right").alias("click_id"),
+        # ts is NTZ; the session tz is pinned UTC (ensure_semantic_confs),
+        # so the LTZ cast is identity and unix_micros == DuckDB epoch_us
+        (
+            F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+            - F.unix_micros(F.col("ts_right").cast("timestamp_ltz"))
+        ).alias("gap_micros"),
+    )
+
+
+@query(
     "scalar_function_showcase",
     oracle="""
 SELECT printf('order-%d-%s', o_orderkey, lower(o_orderstatus)) AS tag,

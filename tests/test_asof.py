@@ -1,0 +1,54 @@
+"""asof_join: known-answer checks vs hand-computed matches (backward as-of,
+LEFT semantics, equal-timestamp inclusion, per-key isolation)."""
+
+import datetime as dt
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.asof import (
+    asof_join,
+)
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def _run(spark, left_rows, right_rows):
+    left = spark.createDataFrame(left_rows, "lid long, user long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "user long, ts timestamp, rid long")
+    out = asof_join(left, right, on="user", right_cols=("rid",))
+    return {r["lid"]: r["rid_right"] for r in out.collect()}
+
+
+def test_matches_latest_at_or_before(spark):
+    got = _run(
+        spark,
+        [(1, 7, _ts(10)), (2, 7, _ts(30))],
+        [(7, _ts(5), 100), (7, _ts(20), 200), (7, _ts(40), 300)],
+    )
+    assert got == {1: 100, 2: 200}
+
+
+def test_no_prior_right_row_yields_null(spark):
+    got = _run(spark, [(1, 7, _ts(3))], [(7, _ts(5), 100)])
+    assert got == {1: None}
+
+
+def test_equal_timestamp_is_included(spark):
+    got = _run(spark, [(1, 7, _ts(5))], [(7, _ts(5), 100)])
+    assert got == {1: 100}
+
+
+def test_keys_do_not_leak(spark):
+    got = _run(
+        spark,
+        [(1, 7, _ts(10)), (2, 8, _ts(10))],
+        [(7, _ts(5), 100), (8, _ts(9), 200)],
+    )
+    assert got == {1: 100, 2: 200}
+
+
+def test_all_left_rows_survive(spark):
+    left = [(i, 7, _ts(i)) for i in range(1, 8)]
+    got = _run(spark, left, [(7, _ts(4), 100)])
+    assert len(got) == 7
+    assert got[3] is None and got[4] == 100 and got[7] == 100

@@ -51,9 +51,26 @@ def test_theta_join_is_broadcast_nested_loop(spark, sf_dir):
 
 def test_jvm_path_queries_have_no_python(spark, sf_dir):
     for q in ["doc_chunk_fixed100", "pipeline_truncated_mock", "doc_exact_dedup",
-              "rouge1_per_doc", "doc_quality_scores"]:
+              "rouge1_per_doc", "doc_quality_scores", "corpus_pack_512",
+              "doc_split_assign", "doc_repetition_stats", "doc_contamination_top20"]:
         p = _plan(spark, sf_dir, q)
         assert "Python" not in p, f"{q} plan contains a Python stage"
+
+
+def test_packing_window_is_sharded(spark, sf_dir):
+    # the packing window must partition by shard — an empty partitionBy
+    # would funnel the whole corpus through one task
+    p = _plan(spark, sf_dir, "corpus_pack_512")
+    assert "Window" in p
+    assert "hashpartitioning(shard" in p  # window exchange keyed by shard
+    assert "SinglePartition" not in p
+
+
+def test_contamination_join_is_shingle_equi(spark, sf_dir):
+    # candidates must come from the shingle equi-join, never a cross product
+    p = _plan(spark, sf_dir, "doc_contamination_top20")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
