@@ -23,6 +23,8 @@ from .textstats import (
     doc_fingerprint,
     language_id,
     quality_score,
+    repetition_stats,
+    repetition_stats_batch,
     word_count,
 )
 
@@ -35,6 +37,8 @@ __all__ = [
     "filename_stem",
     "normalize_whitespace",
     "sanitize_model_name",
+    "repetition_stats",
+    "repetition_stats_batch",
     "tokenize_ws",
     "truncate_tokens",
     "ws_token_count",

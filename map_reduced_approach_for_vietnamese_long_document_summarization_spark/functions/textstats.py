@@ -112,6 +112,62 @@ def repetition_stats(col: Column | str) -> Column:
     )
 
 
+def repetition_stats_batch(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """DataFrame twin of ``repetition_stats`` for uncapped corpora: the
+    top-token count goes through explode + groupBy (hash aggregates, fully
+    codegen'd, map-side combinable) instead of the O(distinct * len)
+    interpreted higher-order filter — the same trade the ROUGE batch path
+    makes. One token-explode shuffle; the cheap array ratios stay row-local.
+    Returns (id_col, dup_token_ratio, dup_bigram_ratio, top_token_ratio).
+    """
+    from ..operators.dedup import shingles_expr
+
+    toks = F.transform(tokenize_ws(text_col), F.lower)
+    zero = F.lit(0.0)
+    # single pass, single generator: tokens (kind 1, with multiplicity) and
+    # the already-distinct bigram shingles (kind 2) explode together as
+    # tagged values. No scalar column rides through the generator — project
+    # collapsing would re-evaluate it per exploded row — and no second scan
+    # of the corpus for a separate bigram branch.
+    tagged = F.concat(
+        F.transform(toks, lambda t: F.struct(F.lit(1).alias("k"), t.alias("v"))),
+        F.transform(
+            shingles_expr(text_col, n=2), lambda s: F.struct(F.lit(2).alias("k"), s.alias("v"))
+        ),
+    )
+    ex = df.select(F.col(id_col), F.explode(tagged).alias("_e")).select(
+        id_col, F.col("_e.k").alias("_k"), F.col("_e.v").alias("_v")
+    )
+    tok = F.col("_k") == 1
+    stats = (
+        ex.groupBy(id_col, "_k", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(tok, F.col("_c"))).alias("_n"),
+            F.sum(F.when(tok, 1)).alias("_nd"),
+            F.max(F.when(tok, F.col("_c"))).alias("_topc"),
+            F.sum(F.when(~tok, 1)).alias("_ndbg"),
+        )
+    )
+    # empty/NULL-text docs emit no tokens: restore them with zero ratios
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(1.0 - F.col("_nd") / F.col("_n"), zero).alias("dup_token_ratio"),
+            F.coalesce(
+                F.when(F.col("_n") > 1, 1.0 - F.coalesce("_ndbg", F.lit(0)) / (F.col("_n") - 1)),
+                zero,
+            ).alias("dup_bigram_ratio"),
+            F.coalesce(F.col("_topc") / F.col("_n"), zero).alias("top_token_ratio"),
+        )
+    )
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Deterministic content fingerprint: md5 of whitespace-normalized text.
 

@@ -43,12 +43,15 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(F.col("a") != F.col("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # checkpoint the edge table FIRST: vertices/labels derive from it, so
+    # freezing it before any action makes the (possibly expensive) upstream
+    # pair generation run exactly once, not once per derived action
+    sym = sym.localCheckpoint(eager=True)  # reused every round; freeze it once
     vertices = sym.select(F.col("a").alias("id")).distinct()
     if nodes is not None:
         vertices = vertices.union(nodes.select(F.col(id_col).alias("id"))).distinct()
 
     labels = vertices.select("id", F.col("id").alias("lbl")).localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)  # reused every round; freeze it once
 
     for _ in range(max_rounds):
         # neighbor labels: for each edge a->b, b's label is a candidate for a
@@ -56,11 +59,17 @@ def connected_components(
             F.col("a").alias("id"), "lbl"
         )
         lbl_type = dict(labels.dtypes)["lbl"]
+        merged = labels.select("id", "lbl", F.col("lbl").alias("prev")).unionByName(
+            prop.withColumn("prev", F.lit(None).cast(lbl_type)), allowMissingColumns=False
+        ).groupBy("id").agg(F.min("lbl").alias("lbl"), F.min("prev").alias("prev"))
+        # pointer jumping (path halving): follow each node's label to ITS
+        # label — flooding alone needs diameter rounds on a chain; combined
+        # with halving, convergence is O(log diameter). The lookup table is
+        # node-sized (same as the aggregate output), never edge-sized.
+        lk = merged.select(F.col("id").alias("lbl"), F.col("lbl").alias("lbl2"))
         merged = (
-            labels.select("id", "lbl", F.col("lbl").alias("prev"))
-            .unionByName(prop.withColumn("prev", F.lit(None).cast(lbl_type)), allowMissingColumns=False)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"), F.min("prev").alias("prev"))
+            merged.join(lk, "lbl", "left")
+            .select("id", F.coalesce("lbl2", "lbl").alias("lbl"), "prev")
             .localCheckpoint(eager=True)
         )
         changed = merged.filter(F.col("lbl") != F.col("prev")).isEmpty()

@@ -115,18 +115,19 @@ FROM s LEFT JOIN top ON s.doc_id = top.doc_id
 )
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters per document (dup-token, dup-bigram,
-    top-token ratios — `functions/textstats.py:repetition_stats`): the
-    standard signals for dropping boilerplate/templated docs from a training
-    corpus. Pure Catalyst array expressions at scan speed; the DuckDB oracle
-    recomputes all three ratios from first principles (unnest+count for the
-    top token rather than the HOF formulation — an independent derivation)."""
-    from ..functions.textstats import repetition_stats
+    top-token ratios): the standard signals for dropping boilerplate/
+    templated docs from a training corpus. Uses the explode+groupBy batch
+    path (`textstats.py:repetition_stats_batch`) — the top-token count as a
+    codegen'd hash aggregate rather than the per-row interpreted HOF, ~10x
+    at sf0.1 (the `repetition_stats` Column twin stays for composition).
+    The DuckDB oracle recomputes all three ratios from first principles."""
+    from ..functions.textstats import repetition_stats_batch
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    r = repetition_stats("text")
-    return docs.select(
+    out = repetition_stats_batch(docs)
+    return out.select(
         "doc_id",
-        F.round(r["dup_token_ratio"], 6).alias("dup_token_ratio"),
-        F.round(r["dup_bigram_ratio"], 6).alias("dup_bigram_ratio"),
-        F.round(r["top_token_ratio"], 6).alias("top_token_ratio"),
+        F.round("dup_token_ratio", 6).alias("dup_token_ratio"),
+        F.round("dup_bigram_ratio", 6).alias("dup_bigram_ratio"),
+        F.round("top_token_ratio", 6).alias("top_token_ratio"),
     )

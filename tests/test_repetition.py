@@ -50,3 +50,31 @@ def test_empty_and_null_yield_zeros(spark):
 def test_single_token_has_no_bigrams(spark):
     dup, dbg, top = _stats(spark, "solo")
     assert (dup, dbg, top) == (0.0, 0.0, 1.0)
+
+
+def test_batch_path_matches_column_path(spark, sf_dir):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions.textstats import (
+        repetition_stats_batch,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.sources import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(80)
+    col = {
+        r["doc_id"]: (
+            round(r["r"]["dup_token_ratio"], 9),
+            round(r["r"]["dup_bigram_ratio"], 9),
+            round(r["r"]["top_token_ratio"], 9),
+        )
+        for r in docs.select("doc_id", repetition_stats("text").alias("r")).collect()
+    }
+    batch = {
+        r["doc_id"]: (
+            round(r["dup_token_ratio"], 9),
+            round(r["dup_bigram_ratio"], 9),
+            round(r["top_token_ratio"], 9),
+        )
+        for r in repetition_stats_batch(docs).collect()
+    }
+    assert col == batch
