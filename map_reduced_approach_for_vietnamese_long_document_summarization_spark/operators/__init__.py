@@ -38,6 +38,7 @@ from .asof import asof_join
 from .components import connected_components, dedup_keep_canonical
 from .contamination import ngram_contamination
 from .packing import pack_sequences, packing_stats
+from .retrieval import bm25_topk, term_postings
 from .sampling import assign_split, hash_uniform, stratified_hash_sample
 from .skew import salted_agg, salted_join
 
@@ -46,6 +47,8 @@ __all__ = [
     "connected_components",
     "dedup_keep_canonical",
     "ngram_contamination",
+    "bm25_topk",
+    "term_postings",
     "pack_sequences",
     "packing_stats",
     "assign_split",

@@ -1,0 +1,87 @@
+"""Lexical retrieval: BM25 scoring and top-k keyword search over a corpus.
+
+The similarity-search family (`operators/similarity.py`) covers the dense
+(embedding) side; this is the sparse side — Okapi BM25, the default lexical
+ranking function, as pure DataFrame aggregates:
+
+    score(D, Q) = Σ_{t in Q} idf(t) * tf(t,D)·(k1+1)
+                              ──────────────────────────────────────
+                              tf(t,D) + k1·(1 - b + b·|D|/avgdl)
+
+    idf(t) = ln( (N - df(t) + 0.5) / (df(t) + 0.5) + 1 )   (Lucene form)
+
+Scale design: the corpus explodes once into (doc, term, tf) postings —
+map-side combinable aggregates, one shuffle keyed by (doc, term). Document
+frequencies for the (few) query terms reduce to a tiny map that joins back
+broadcast; the per-doc score is then one grouped sum over the filtered
+postings. Nothing is ever per-query-per-doc except postings that actually
+contain a query term — the inverted-index access pattern, expressed
+relationally. N and avgdl are scalar aggregates (1-row broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize_ws
+
+
+def term_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, term, tf, doc_len) postings — the inverted-index base table.
+    Terms are case-folded whitespace tokens (matching the engine's token
+    semantics everywhere else)."""
+    toks = F.transform(tokenize_ws(text_col), F.lower)
+    ex = docs.select(F.col(id_col), F.size(toks).alias("doc_len"), F.explode(toks).alias("term"))
+    return ex.groupBy(id_col, "doc_len", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query by BM25 (Lucene idf form).
+
+    Returns (id, score) with deterministic (score desc, id asc) ordering.
+    Only documents containing at least one query term are scored (standard
+    OR semantics)."""
+    if not query_terms:
+        raise ValueError("query_terms must not be empty")
+    terms = [t.lower() for t in query_terms]
+
+    post = term_postings(docs, text_col, id_col)
+    corpus = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokenize_ws(text_col))).alias("avgdl"),
+    )
+    hit = post.filter(F.col("term").isin(terms))
+    df_map = hit.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        hit.join(F.broadcast(df_map), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("doc_len") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
+    )

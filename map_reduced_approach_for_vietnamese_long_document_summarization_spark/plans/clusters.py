@@ -1,4 +1,4 @@
-"""Dedup-cluster queries: connected components over near-dup pairs.
+"""Dedup-cluster, repetition, and lexical-retrieval queries.
 
 The pair-emitting dedup family (`minhash_*`, `simhash_*`, `ngram_jaccard_*`)
 stops at edges; these queries close the loop to actual corpus deduplication:
@@ -131,3 +131,34 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dup_bigram_ratio", 6).alias("dup_bigram_ratio"),
         F.round("top_token_ratio", 6).alias("top_token_ratio"),
     )
+
+
+@query(
+    "bm25_search_top10",
+    oracle=f"""
+WITH t AS (SELECT doc_id, list_transform({_DUCK_TOKS}, x -> lower(x)) AS toks FROM documents),
+corpus AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t),
+post AS (SELECT doc_id, len(toks) AS doc_len, tok AS term, count(*) AS tf
+         FROM t, unnest(toks) AS u(tok) GROUP BY 1, 2, 3),
+hit AS (SELECT * FROM post WHERE term IN ('spark', 'window', 'stream')),
+dfm AS (SELECT term, count(*) AS df FROM hit GROUP BY term)
+SELECT doc_id,
+       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * doc_len / avgdl))), 6) AS score
+FROM hit JOIN dfm USING (term) CROSS JOIN corpus
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+""",
+)
+def bm25_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval (operators/retrieval.py): Okapi BM25 top-10 for the
+    query {spark, window, stream} — the sparse twin of the embedding ANN
+    family. One postings shuffle; document frequencies and corpus stats are
+    broadcast scalars. The oracle recomputes idf/tf/length normalization
+    from first principles."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, ["spark", "window", "stream"], top_k=10)
