@@ -52,6 +52,8 @@ HEADLINE = [
     "doc_split_assign",
     "doc_repetition_stats",
     "order_priority_exists_late",
+    "bm25_search_top10",
+    "purchase_click_attribution",
 ]
 
 
