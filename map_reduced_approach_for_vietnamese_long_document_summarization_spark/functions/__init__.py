@@ -27,6 +27,14 @@ from .textstats import (
     repetition_stats_batch,
     word_count,
 )
+from .vectors import (
+    int8_dequantize,
+    int8_quantize,
+    int8_scale,
+    l2_norm,
+    l2_normalize,
+    quantization_error,
+)
 
 __all__ = [
     "TinyBPETokenizer",
@@ -39,6 +47,12 @@ __all__ = [
     "sanitize_model_name",
     "repetition_stats",
     "repetition_stats_batch",
+    "int8_dequantize",
+    "int8_quantize",
+    "int8_scale",
+    "l2_norm",
+    "l2_normalize",
+    "quantization_error",
     "tokenize_ws",
     "truncate_tokens",
     "ws_token_count",

@@ -162,3 +162,49 @@ def bm25_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return bm25_topk(docs, ["spark", "window", "stream"], top_k=10)
+
+
+@query(
+    "embedding_int8_roundtrip",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (SELECT vec_id, e,
+             CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+                  THEN 127.0 / list_max(list_transform(e, x -> abs(x)))
+                  ELSE 1.0 END AS scale
+      FROM v),
+q AS (SELECT vec_id, scale, e,
+             list_transform(e, x -> floor(x * scale + 0.5) / scale) AS deq
+      FROM s),
+err AS (SELECT vec_id, scale,
+               list_max(list_transform(range(1, len(e) + 1),
+                        i -> abs(e[i] - deq[i]))) AS me
+        FROM q)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       round(me, 9) AS max_err,
+       CAST(me * 2.0 * scale <= 1.0000001 AS INT) AS within_bound
+FROM err
+""",
+)
+def embedding_int8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding int8 quantization round-trip (functions/vectors.py): per
+    vector, the symmetric scale (127/max|x|), the max reconstruction error,
+    and whether it stays within the 0.5/scale bound — the storage-layer
+    check run before shipping quantized embeddings to an ANN index. Pure
+    array expressions; rounding is written as floor(x*scale+0.5) so the
+    DuckDB oracle replays it exactly (round() half-rule differs between
+    engines)."""
+    from ..functions.vectors import int8_scale, quantization_error
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    scale = int8_scale("e")
+    err = quantization_error("e", scale)
+    return e.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.round(err, 9).alias("max_err"),
+        (err * 2.0 * scale <= 1.0000001).cast("int").alias("within_bound"),
+    )
