@@ -52,3 +52,24 @@ def test_all_left_rows_survive(spark):
     got = _run(spark, left, [(7, _ts(4), 100)])
     assert len(got) == 7
     assert got[3] is None and got[4] == 100 and got[7] == 100
+
+
+def test_randomized_against_brute_force(spark):
+    import random
+
+    rng = random.Random(1234)
+    left = [
+        (i, rng.randrange(5), _ts(rng.randrange(60)))
+        for i in range(200)
+    ]
+    # distinct (user, ts) on the right so the match is unambiguous
+    right_keys = {(rng.randrange(5), rng.randrange(60)) for _ in range(120)}
+    right = [(u, _ts(s), 1000 + 60 * u + s) for (u, s) in right_keys]
+
+    def brute(lid, user, ts):
+        cands = [(rts, rid) for (u, rts, rid) in right if u == user and rts <= ts]
+        return max(cands)[1] if cands else None
+
+    want = {lid: brute(lid, u, ts) for (lid, u, ts) in left}
+    got = _run(spark, left, right)
+    assert got == want
