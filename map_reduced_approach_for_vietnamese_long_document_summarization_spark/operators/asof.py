@@ -41,7 +41,10 @@ def asof_join(
     (default: all except the key); each is emitted as ``<name><suffix>``.
     """
     if right_cols is None:
-        right_cols = tuple(c for c in right.columns if c != on)
+        # right_time is always carried separately as the struct's first
+        # field — including it again would duplicate the field name and make
+        # the _m[...] extraction ambiguous
+        right_cols = tuple(c for c in right.columns if c not in (on, right_time))
     payload = F.struct(*[F.col(c).alias(c) for c in (right_time, *right_cols)])
 
     r = right.select(

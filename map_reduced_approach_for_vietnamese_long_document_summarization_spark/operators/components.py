@@ -53,12 +53,12 @@ def connected_components(
 
     labels = vertices.select("id", F.col("id").alias("lbl")).localCheckpoint(eager=True)
 
+    lbl_type = dict(labels.dtypes)["lbl"]
     for _ in range(max_rounds):
         # neighbor labels: for each edge a->b, b's label is a candidate for a
         prop = sym.join(labels.withColumnRenamed("id", "b"), "b").select(
             F.col("a").alias("id"), "lbl"
         )
-        lbl_type = dict(labels.dtypes)["lbl"]
         merged = labels.select("id", "lbl", F.col("lbl").alias("prev")).unionByName(
             prop.withColumn("prev", F.lit(None).cast(lbl_type)), allowMissingColumns=False
         ).groupBy("id").agg(F.min("lbl").alias("lbl"), F.min("prev").alias("prev"))
@@ -92,5 +92,6 @@ def dedup_keep_canonical(
     themselves). The survivors join is on the node-id label table — the
     documents' payload columns never enter the component iteration."""
     comp = connected_components(pairs, src=src, dst=dst, nodes=docs, id_col=id_col)
-    keep = comp.groupBy("component").agg(F.min(id_col).alias(id_col)).drop("component")
+    # the component label IS the minimum member id by construction
+    keep = comp.select(F.col("component").alias(id_col)).distinct()
     return docs.join(keep, id_col, "left_semi")

@@ -55,7 +55,10 @@ def assign_split(
     expr: Column | None = None
     cum = 0.0
     for name in names[:-1]:
-        cum += weights[name]
+        # round the cumulative threshold so float accumulation can't drift
+        # from the literal an oracle (or human) would write: 0.1+0.2 must
+        # threshold at exactly 0.3, not 0.30000000000000004
+        cum = round(cum + weights[name], 12)
         cond, lit = r < F.lit(cum), F.lit(name)
         expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
     last = F.lit(names[-1])

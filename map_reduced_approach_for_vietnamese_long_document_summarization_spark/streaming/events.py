@@ -45,19 +45,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file source requires a directory — ``sf_dir`` is the table directory,
     filtered to the events file.
     """
+    from ..sources.tables import ensure_semantic_confs
+
+    ensure_semantic_confs(spark)  # pin UTC etc. — same contract as load_table
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The harness has shipped `ts` both as TIMESTAMP(NANOS) (read as bigint
-    # under nanosAsLong) and as plain µs TIMESTAMP. A stream needs its schema
-    # up front, so probe the parquet footer via the batch reader (metadata
-    # only, no data scan) and pick the matching schema + conversion.
-    ts_type = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+    # under nanosAsLong) and as plain µs TIMESTAMP (LTZ or NTZ). A stream
+    # needs its schema up front, so probe the parquet footer via the batch
+    # reader (metadata only, no data scan). Non-bigint ts is declared LTZ —
+    # watermarks reject NTZ event time — which reinterprets NTZ wall-clock
+    # via the session timezone; that is exact because ensure_semantic_confs
+    # above pins the session to UTC (the same reason load_table pins it).
+    probed = {f.name: f.dataType for f in spark.read.parquet(f"{sf_dir}/events.parquet").schema}
+    is_ns_bigint = isinstance(probed.get("ts"), T.LongType)
     schema = T.StructType(
         [
-            f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+            f if f.name != "ts" or is_ns_bigint else T.StructField("ts", T.TimestampType())
             for f in _EVENTS_RAW.fields
         ]
-        if ts_type != "bigint"
-        else _EVENTS_RAW.fields
     )
     raw = (
         spark.readStream.schema(schema)
@@ -65,7 +70,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if ts_type == "bigint":
+    if is_ns_bigint:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw
 

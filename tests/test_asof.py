@@ -54,6 +54,15 @@ def test_all_left_rows_survive(spark):
     assert got[3] is None and got[4] == 100 and got[7] == 100
 
 
+def test_default_right_cols_excludes_key_and_time(spark):
+    # default payload must not duplicate the time column in the struct
+    left = spark.createDataFrame([(1, 7, _ts(10))], "lid long, user long, ts timestamp")
+    right = spark.createDataFrame([(7, _ts(5), 100)], "user long, ts timestamp, rid long")
+    out = asof_join(left, right, on="user").collect()
+    assert out[0]["rid_right"] == 100
+    assert out[0]["ts_right"] == _ts(5)
+
+
 def test_randomized_against_brute_force(spark):
     import random
 

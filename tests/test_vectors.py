@@ -52,7 +52,11 @@ def test_quantize_exact_values(spark):
         int8_quantize("v", int8_scale("v")).alias("q"),
         int8_dequantize(int8_quantize("v", int8_scale("v")), int8_scale("v")).alias("d"),
     ).first()
-    # scale = 127: codes 127, -126 (floor(-127+0.5) = -127? floor(-126.5)=-127), 64
+    # scale = 127: floor(x*scale + 0.5) gives 127, floor(-126.5) = -127
+    # (half-toward-minus-infinity — the engine-portable rule both the Spark
+    # expression and the DuckDB oracle implement), and floor(63.5+0.5) = 64
     assert row["q"][0] == 127
-    assert row["q"][2] == 64  # floor(63.5+0.5)
+    assert row["q"][1] == -127
+    assert row["q"][2] == 64
     assert row["d"][0] == pytest.approx(1.0)
+    assert row["d"][1] == pytest.approx(-1.0)
