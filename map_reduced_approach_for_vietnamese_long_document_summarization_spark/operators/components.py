@@ -51,7 +51,14 @@ def connected_components(
     if nodes is not None:
         vertices = vertices.union(nodes.select(F.col(id_col).alias("id"))).distinct()
 
-    labels = vertices.select("id", F.col("id").alias("lbl")).localCheckpoint(eager=True)
+    # seed labels with min(self, min neighbor): flooding round 0 as one
+    # map-side-combinable aggregate instead of a full join round
+    neigh_min = sym.groupBy("a").agg(F.min("b").alias("mb")).withColumnRenamed("a", "id")
+    labels = (
+        vertices.join(neigh_min, "id", "left")
+        .select("id", F.least(F.col("id"), F.coalesce("mb", F.col("id"))).alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
 
     lbl_type = dict(labels.dtypes)["lbl"]
     for _ in range(max_rounds):
