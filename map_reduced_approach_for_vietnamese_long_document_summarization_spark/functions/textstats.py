@@ -121,6 +121,10 @@ def repetition_stats_batch(
     interpreted higher-order filter — the same trade the ROUGE batch path
     makes. One token-explode shuffle; the cheap array ratios stay row-local.
     Returns (id_col, dup_token_ratio, dup_bigram_ratio, top_token_ratio).
+
+    ``id_col`` must be unique: rows sharing an id would have their token
+    pools merged by the groupBy (the per-row Column twin does not merge) —
+    dedupe or add a surrogate key first.
     """
     from ..operators.dedup import shingles_expr
 

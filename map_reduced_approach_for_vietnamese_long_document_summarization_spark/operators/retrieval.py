@@ -51,15 +51,23 @@ def bm25_topk(
 
     Returns (id, score) with deterministic (score desc, id asc) ordering.
     Only documents containing at least one query term are scored (standard
-    OR semantics)."""
+    OR semantics); repeated query terms are deduplicated (set semantics —
+    weight by query tf upstream if instance weighting is wanted). N and
+    avgdl are defined over documents with at least one token, so NULL/empty
+    texts neither skew the length normalization (``size(NULL)`` is -1 under
+    ANSI-off semantics) nor inflate the idf.
+    """
     if not query_terms:
         raise ValueError("query_terms must not be empty")
-    terms = [t.lower() for t in query_terms]
+    terms = sorted({t.lower() for t in query_terms})
 
     post = term_postings(docs, text_col, id_col)
-    corpus = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(tokenize_ws(text_col))).alias("avgdl"),
+    # corpus stats from the postings' carried doc_len — no second
+    # tokenization pass over the corpus
+    corpus = (
+        post.select(id_col, "doc_len")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl"))
     )
     hit = post.filter(F.col("term").isin(terms))
     df_map = hit.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

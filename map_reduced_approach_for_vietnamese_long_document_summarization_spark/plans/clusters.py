@@ -137,7 +137,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bm25_search_top10",
     oracle=f"""
 WITH t AS (SELECT doc_id, list_transform({_DUCK_TOKS}, x -> lower(x)) AS toks FROM documents),
-corpus AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t),
+corpus AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t WHERE len(toks) > 0),
 post AS (SELECT doc_id, len(toks) AS doc_len, tok AS term, count(*) AS tf
          FROM t, unnest(toks) AS u(tok) GROUP BY 1, 2, 3),
 hit AS (SELECT * FROM post WHERE term IN ('spark', 'window', 'stream')),

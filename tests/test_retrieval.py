@@ -57,3 +57,21 @@ def test_tf_saturation_ranks_double_hit_higher(spark, corpus):
 def test_empty_query_rejected(spark, corpus):
     with pytest.raises(ValueError):
         bm25_topk(corpus, [])
+
+
+def test_null_and_empty_text_do_not_skew_stats(spark):
+    base = [(1, "spark spark window"), (2, "spark table"), (3, "table row batch")]
+    clean = spark.createDataFrame(base, "doc_id long, text string")
+    noisy = spark.createDataFrame(
+        base + [(4, None), (5, ""), (6, "   ")], "doc_id long, text string"
+    )
+    want = [(r["doc_id"], float(r["score"])) for r in bm25_topk(clean, ["spark"]).collect()]
+    got = [(r["doc_id"], float(r["score"])) for r in bm25_topk(noisy, ["spark"]).collect()]
+    # NULL/empty docs carry no tokens: N, avgdl, and every score unchanged
+    assert got == want
+
+
+def test_repeated_query_terms_deduplicated(spark, corpus):
+    a = {r["doc_id"]: float(r["score"]) for r in bm25_topk(corpus, ["spark"]).collect()}
+    b = {r["doc_id"]: float(r["score"]) for r in bm25_topk(corpus, ["spark", "spark"]).collect()}
+    assert a == b
