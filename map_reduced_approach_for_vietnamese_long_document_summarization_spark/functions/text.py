@@ -68,8 +68,13 @@ def tokenize_ws(col: Column | str) -> Column:
 
 
 def ws_token_count(col: Column | str) -> Column:
-    """``len(text.split())`` as a codegen'd expression (int)."""
-    return F.size(tokenize_ws(col))
+    """``len(text.split())`` as a codegen'd expression (int).
+
+    NULL text -> NULL (not the -1 that legacy ``size(NULL)`` returns under
+    the engine's ANSI-off confs) — matching DuckDB's ``len(NULL)`` so
+    cross-engine aggregates over corpora with missing text agree. -1 can
+    only arise from a NULL array, so ``nullif`` is exact."""
+    return F.nullif(F.size(tokenize_ws(col)), F.lit(-1))
 
 
 def truncate_tokens(col: Column | str, max_tokens: int) -> Column:

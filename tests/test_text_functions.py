@@ -41,6 +41,13 @@ def test_ws_token_count_matches_python_split(spark):
         assert got == len(text.split()), text
 
 
+def test_ws_token_count_null_propagates(spark):
+    # NULL text -> NULL, never the legacy size(NULL) = -1 (matches DuckDB
+    # len(NULL) so cross-engine aggregates over missing text agree)
+    df = spark.createDataFrame([(None,)], "v string")
+    assert df.select(ws_token_count(F.col("v")).alias("n")).first()["n"] is None
+
+
 def test_truncate_tokens(spark):
     assert _one(spark, truncate_tokens(F.col("v"), 3), "a b c d e") == "a b c"
     assert _one(spark, truncate_tokens(F.col("v"), 10), "a b") == "a b"
