@@ -62,13 +62,16 @@ def bm25_topk(
     terms = sorted({t.lower() for t in query_terms})
 
     post = term_postings(docs, text_col, id_col)
-    # corpus stats from the postings' carried doc_len — no second
-    # tokenization pass over the corpus
-    corpus = (
-        post.select(id_col, "doc_len")
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl"))
-    )
+    # corpus stats via a separate length-only pass (column-pruned scan +
+    # keyless agg, no shuffle): deriving them from `post` instead would
+    # recompute the whole postings aggregate a second time — Catalyst does
+    # not reuse the exchange between the 1-row stats branch and the scoring
+    # branch (measured 5x slower). ws_token_count null-propagates, so the
+    # `> 0` filter drops NULL and empty texts from N/avgdl.
+    from ..functions.text import ws_token_count
+
+    lens = docs.select(ws_token_count(F.col(text_col)).alias("_dl")).filter(F.col("_dl") > 0)
+    corpus = lens.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("_dl").alias("avgdl"))
     hit = post.filter(F.col("term").isin(terms))
     df_map = hit.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
