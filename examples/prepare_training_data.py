@@ -1,0 +1,105 @@
+"""End-to-end example: the training-data preparation pipeline composed from
+the engine's north-star operators (BASELINE.json), on the harness corpus.
+
+    python examples/prepare_training_data.py [sf_dir]
+
+Stages (each one a DataFrame -> DataFrame transform; the whole chain is one
+lazy plan except the dedup-cluster iteration):
+
+  1. quality + language gate   (textstats: scan-speed Catalyst expressions)
+  2. repetition filter         (Gopher dup-token/top-token ratios)
+  3. exact dedup               (md5 fingerprint keep-min-id)
+  4. near-dedup                (SimHash pairs -> connected components ->
+                                canonical doc per cluster)
+  5. train/val/test split      (deterministic md5 hash, leakage-stable)
+  6. decontamination report    (test-split 3-gram containment in train)
+  7. sequence packing          (fixed-token training bins per shard)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark import get_spark
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions import (
+    language_id,
+    quality_score,
+    repetition_stats_batch,
+    ws_token_count,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+    assign_split,
+    dedup_keep_canonical,
+    exact_dedup,
+    md5_hash32,
+    ngram_contamination,
+    pack_sequences,
+    packing_stats,
+    simhash_near_dup_pairs,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.sources import (
+    load_table,
+)
+
+
+def prepare(spark, sf_dir, max_tokens=512, n_shards=8):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # 1-2: quality, language, repetition gates (pure scan-side filters)
+    gated = (
+        docs.withColumn("quality", quality_score("text"))
+        .withColumn("lang_guess", language_id("text"))
+        .filter((F.col("quality") >= 0.5) & (F.col("lang_guess") != "und"))
+        .drop("quality", "lang_guess")
+    )
+    rep = repetition_stats_batch(gated)
+    gated = gated.join(
+        rep.filter((F.col("dup_token_ratio") < 0.95) & (F.col("top_token_ratio") < 0.5))
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+    # 3: exact dedup, 4: near-dedup clusters -> canonical survivors
+    exact = exact_dedup(gated)
+    pairs = simhash_near_dup_pairs(
+        exact.select("doc_id", "text"), max_hamming=3, bits=32, hash_col_fn=md5_hash32
+    )
+    survivors = dedup_keep_canonical(exact, pairs)
+
+    # 5: leakage-stable split
+    split = assign_split(survivors, "doc_id")
+
+    # 6: decontamination report (containment of test docs in train docs)
+    train = split.filter(F.col("split") == "train").select("doc_id", "text")
+    test = split.filter(F.col("split") == "test").select("doc_id", "text")
+    contamination = ngram_contamination(
+        train, test, shingle_n=3, max_doc_freq=64, threshold=0.8
+    )
+
+    # 7: pack the train split into fixed-token bins
+    train_lens = train.select("doc_id", ws_token_count("text").alias("n_tokens"))
+    packed = pack_sequences(train_lens, max_tokens=max_tokens, n_shards=n_shards)
+    bins = packing_stats(packed, max_tokens=max_tokens)
+
+    return split, contamination, bins
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="vlds-example-training-data")
+    split, contamination, bins = prepare(spark, sf_dir)
+
+    counts = {r["split"]: r["count"] for r in split.groupBy("split").count().collect()}
+    flagged = contamination.count()
+    fill = bins.agg(F.round(F.avg("fill_frac"), 4).alias("f")).first()["f"]
+    print(f"splits: {counts}")
+    print(f"contaminated test docs (containment >= 0.8): {flagged}")
+    print(f"train bins: {bins.count()}, mean fill: {fill}")
+
+
+if __name__ == "__main__":
+    main()

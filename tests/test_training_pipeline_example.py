@@ -1,0 +1,65 @@
+"""Integration: the composed training-data prep pipeline (quality gate ->
+repetition filter -> exact+near dedup -> split -> decontamination -> packing)
+runs end-to-end and upholds its invariants on the harness corpus."""
+
+import importlib.util
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, sf_dir):
+    path = os.path.join(os.path.dirname(__file__), "..", "examples", "prepare_training_data.py")
+    spec = importlib.util.spec_from_file_location("prepare_training_data", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.prepare(spark, sf_dir, max_tokens=256, n_shards=4)
+
+
+def test_splits_partition_the_survivors(pipeline):
+    split, _, _ = pipeline
+    counts = {r["split"]: r["count"] for r in split.groupBy("split").count().collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts.get("train", 0) > 0
+    # one split label per doc
+    assert split.select("doc_id").distinct().count() == split.count()
+
+
+def test_contamination_rows_are_valid_pairs(pipeline):
+    split, contamination, _ = pipeline
+    rows = contamination.collect()
+    test_ids = {r["doc_id"] for r in split.filter(F.col("split") == "test").collect()}
+    train_ids = {r["doc_id"] for r in split.filter(F.col("split") == "train").collect()}
+    for r in rows:
+        assert r["test_id"] in test_ids
+        assert r["train_id"] in train_ids
+        assert 0.8 <= float(r["containment"]) <= 1.0
+
+
+def test_bins_conserve_tokens_and_are_contiguous(pipeline, spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions import (
+        ws_token_count,
+    )
+
+    split, _, bins = pipeline
+    rows = bins.collect()
+    assert all(r["n_docs"] >= 1 for r in rows)
+    # conservation: every train token lands in exactly one bin (packing
+    # never drops or splits a document)
+    train_tokens = (
+        split.filter(F.col("split") == "train")
+        .agg(F.sum(ws_token_count("text")).alias("t"))
+        .first()["t"]
+    )
+    assert sum(r["sum_tokens"] for r in rows) == train_tokens
+    # start-offset bucketing bounds overflow by one straddling doc: a bin's
+    # tokens can exceed the budget by strictly less than its largest doc
+    max_doc = (
+        split.filter(F.col("split") == "train")
+        .agg(F.max(ws_token_count("text")).alias("m"))
+        .first()["m"]
+    )
+    for r in rows:
+        assert r["sum_tokens"] < 256 + max_doc
