@@ -1464,6 +1464,35 @@ def events_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lineitem_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the generalization cube/rollup specialize):
+    per-(flag,status), per-flag, and grand-total rows from ONE aggregation
+    pass — Catalyst expands the sets via a single Expand node feeding one
+    hash aggregate, so the input is scanned once regardless of how many
+    sets are requested."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
     "forecast_revenue_q6",
     oracle="""
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue

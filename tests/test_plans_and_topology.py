@@ -66,6 +66,22 @@ def test_packing_window_is_sharded(spark, sf_dir):
     assert "SinglePartition" not in p
 
 
+def test_q14_broadcasts_part_and_pushes_month_filter(spark, sf_dir):
+    p = _plan(spark, sf_dir, "promo_revenue_q14")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "GreaterThanOrEqual(l_shipdate" in p  # month filter reached the scan
+
+
+def test_grouping_sets_expand_single_scan(spark, sf_dir):
+    p = _plan(spark, sf_dir, "lineitem_grouping_sets")
+    assert "Expand" in p
+    # one scan node in the plan tree: a single pass over lineitem feeds
+    # every grouping set (formatted output repeats the node in the detail
+    # section, so count tree-edge occurrences)
+    assert p.count("+- Scan parquet") == 1
+
+
 def test_contamination_join_is_shingle_equi(spark, sf_dir):
     # candidates must come from the shingle equi-join, never a cross product
     p = _plan(spark, sf_dir, "doc_contamination_top20")
