@@ -93,12 +93,18 @@ def main() -> None:
     spark = get_spark(app_name="vlds-example-training-data")
     split, contamination, bins = prepare(spark, sf_dir)
 
+    # cache the shared upstream (gates + dedup + split) across the three
+    # report actions; one aggregate serves both bin stats
+    split = split.persist()
     counts = {r["split"]: r["count"] for r in split.groupBy("split").count().collect()}
     flagged = contamination.count()
-    fill = bins.agg(F.round(F.avg("fill_frac"), 4).alias("f")).first()["f"]
+    stats = bins.agg(
+        F.count(F.lit(1)).alias("n_bins"), F.round(F.avg("fill_frac"), 4).alias("f")
+    ).first()
     print(f"splits: {counts}")
     print(f"contaminated test docs (containment >= 0.8): {flagged}")
-    print(f"train bins: {bins.count()}, mean fill: {fill}")
+    print(f"train bins: {stats['n_bins']}, mean fill: {stats['f']}")
+    split.unpersist()
 
 
 if __name__ == "__main__":

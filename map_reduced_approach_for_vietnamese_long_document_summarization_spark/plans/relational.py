@@ -1480,13 +1480,15 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate, so the input is scanned once regardless of how many
     sets are requested."""
     li = _t(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("lineitem")
+    # unique view name: clobbering a user's own `lineitem` temp view as a
+    # plan-construction side effect would silently change their queries
+    li.createOrReplaceTempView("vlds_lineitem_gsets")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
                count(*) AS n_items,
                round(sum(l_quantity), 2) AS sum_qty
-        FROM lineitem
+        FROM vlds_lineitem_gsets
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )

@@ -38,7 +38,7 @@ def test_contamination_rows_are_valid_pairs(pipeline):
         assert 0.8 <= float(r["containment"]) <= 1.0
 
 
-def test_bins_conserve_tokens_and_are_contiguous(pipeline, spark):
+def test_bins_conserve_tokens_within_overflow_bound(pipeline):
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions import (
         ws_token_count,
     )
