@@ -29,8 +29,6 @@ _PRIORITY = [
     "doc_chunk_fixed100",
     "doc_collapse_buckets",
     "doc_greedy_buckets",
-    "doc_clean_thinking",
-    "doc_truncate_first50",
     "estimated_chunk_counts",
     # -- dedup / similarity / ANN (north-star LLM-data ops) -----------------
     "doc_exact_dedup",
@@ -58,11 +56,12 @@ _PRIORITY = [
     "best_source_by_quality",
     "llm_judge_mock_scores",
     "bpe_token_counts",
-    # -- text analysis / scalar functions ------------------------------------
+    # -- text analysis / retrieval -------------------------------------------
     "doc_repetition_stats",
-    "doc_quality_scores",
-    "doc_language_id",
-    # doc_stats_by_lang: driver-green in r01, demoted for the repetition stats
+    "bm25_search_top10",
+    # doc_stats_by_lang / doc_quality_scores / doc_language_id /
+    # doc_clean_thinking / doc_truncate_first50: driver-green in r01,
+    # demoted for the round-2 training-pipeline families below
     # -- relational representatives (join/window/set/agg families) ----------
     "customer_order_full_outer",
     "customer_balance_ranks",
@@ -72,8 +71,12 @@ _PRIORITY = [
     "brand_small_qty_revenue",
     "big_order_customers",
     "dormant_rich_customers",
-    # -- dataset split / sampling (training-data prep) ----------------------
+    # -- dataset split / packing / decontamination (training-data prep) -----
     "doc_split_assign",
+    "corpus_pack_512",
+    "doc_contamination_top20",
+    # -- as-of join (time-series lookup) ------------------------------------
+    "purchase_click_attribution",
     # -- streaming batch twins (§2.10 north star) ---------------------------
     "events_tumbling_10min",
     "events_sessionization",

@@ -40,8 +40,13 @@ FLAGSHIPS = [
     "brand_small_qty_revenue",
     "big_order_customers",
     "dormant_rich_customers",
-    # dataset split (training-data prep)
+    # training-data prep (split / packing / decontamination / retrieval)
     "doc_split_assign",
+    "corpus_pack_512",
+    "doc_contamination_top20",
+    "bm25_search_top10",
+    # as-of join
+    "purchase_click_attribution",
 ]
 
 
