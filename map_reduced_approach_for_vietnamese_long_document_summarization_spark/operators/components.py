@@ -61,9 +61,16 @@ def connected_components(
     )
 
     lbl_type = dict(labels.dtypes)["lbl"]
+    # semi-naive (delta) iteration: a node's label can only improve because a
+    # neighbor's label improved in the previous round (or via its own label's
+    # label — the jump below, which consults the FULL table), so the edge
+    # join needs only the CHANGED nodes as sources. Round 1 propagates from
+    # everyone (the seed is "new"); later rounds shrink with convergence.
+    delta = labels
     for _ in range(max_rounds):
-        # neighbor labels: for each edge a->b, b's label is a candidate for a
-        prop = sym.join(labels.withColumnRenamed("id", "b"), "b").select(
+        # neighbor labels: for each edge a->b, b's (changed) label is a
+        # candidate for a
+        prop = sym.join(delta.withColumnRenamed("id", "b"), "b").select(
             F.col("a").alias("id"), "lbl"
         )
         merged = labels.select("id", "lbl", F.col("lbl").alias("prev")).unionByName(
@@ -79,9 +86,9 @@ def connected_components(
             .select("id", F.coalesce("lbl2", "lbl").alias("lbl"), "prev")
             .localCheckpoint(eager=True)
         )
-        changed = merged.filter(F.col("lbl") != F.col("prev")).isEmpty()
+        delta = merged.filter(F.col("lbl") != F.col("prev")).select("id", "lbl")
         labels = merged.select("id", "lbl")
-        if changed:
+        if delta.isEmpty():
             break
 
     return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("component"))
