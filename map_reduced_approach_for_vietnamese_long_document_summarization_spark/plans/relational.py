@@ -2206,15 +2206,52 @@ def embedding_ann_lsh_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rnk")
 
 
-@query("multimodal_decode_features")  # rows-only: decode is a stubbed codec
+@query(
+    "multimodal_decode_features",
+    oracle="""
+WITH h AS (SELECT doc_id, sha256(coalesce(text, '')) AS hx FROM documents)
+SELECT doc_id AS media_id,
+       64 + ('0x' || substring(hx, 1, 2))::INT % 192 AS width,
+       64 + ('0x' || substring(hx, 3, 2))::INT % 192 AS height,
+       array_to_string(
+         list_transform(range(8),
+           i -> CAST(round(('0x' || substring(hx, 5 + 2 * i, 2))::INT
+                           * 1000000.0 / 255.0) AS BIGINT)::VARCHAR),
+         ',') AS features_sig
+FROM h
+""",
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end (north-star): lift the corpus into
     binary media rows, decode + feature-extract via mapInPandas (deterministic
-    fake codec), emit (media_id, width, height, features)."""
+    fake codec) — the full (media_id, width, height, features) path of
+    ``decode_media``.
+
+    The library API keeps ``features`` as ``array<float>``; the REGISTERED
+    query projects it to a micro-unit string signature
+    (``round(x * 1e6)`` per component, comma-joined) because the driver's
+    canonicalizer sorts output columns with pandas and cannot hash list
+    cells (the r02 ``unhashable type: 'list'`` crash). The fake codec's
+    features are ``round(byte/255, 6)`` floats, so byte ``b`` maps exactly
+    to integer ``round(b * 1e6 / 255)`` — no tie sits near a float32 ulp
+    (the nearest half-integer is >= 1/102 away at the 1e6 scale), and the
+    DuckDB oracle replays the sha256-derived bytes bit-for-bit."""
     from ..operators.multimodal import attach_fake_media, decode_media
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return decode_media(attach_fake_media(d))
+    out = decode_media(attach_fake_media(d))
+    return out.select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "features",
+                lambda x: F.round(x.cast("double") * 1e6).cast("long").cast("string"),
+            ),
+        ).alias("features_sig"),
+    )
 
 
 @query(
