@@ -2014,6 +2014,22 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import winnowing_fingerprints
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnowing_fingerprints(d, k=8, w=4, gram_hash="md5")
+
+
+@query("doc_winnow_fast")  # rows-only: xxhash64 has no DuckDB twin
+def doc_winnow_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash winnowing twin: identical selection logic to
+    doc_winnow_fingerprints but xxhash64 gram hashing (one JVM hash per
+    gram vs md5's digest+hex+parse chain — ~2x cheaper, the default for
+    non-harness callers). No SQL oracle exists for xxhash64, so this row is
+    rows-only; selection-logic correctness rides on the md5 twin's green
+    oracle (identical code path modulo the hash expression) plus the
+    hash-agnostic property tests (shared-substring guarantee, zero-shuffle
+    plan, normalization) in tests/test_dedup_similarity.py."""
+    from ..operators.dedup import winnowing_fingerprints
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return winnowing_fingerprints(d, k=8, w=4)
 
 
@@ -2204,6 +2220,57 @@ def embedding_ann_lsh_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = random_hyperplane_lsh_topk(q, e, dim=64, k=3, n_planes=8)
     return out.select("query_id", "neighbor_id", "rnk")
+
+
+@query(
+    "ann_recall_at3",
+    # composed from the three already-oracled ANN queries: exact KNN is the
+    # ground truth, SRP-LSH and fixed-centroid IVF are the approximate paths
+    oracle=f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({ORACLES["embedding_knn_top3"]}) t),
+lsh AS (SELECT query_id, neighbor_id FROM ({ORACLES["embedding_ann_lsh_top3"]}) t),
+ivf AS (SELECT query_id, neighbor_id FROM ({ORACLES["embedding_ivf_fixed_top3"]}) t)
+SELECT e.query_id,
+       count(l.neighbor_id) AS lsh_hits,
+       round(count(l.neighbor_id) / 3.0, 6) AS lsh_recall_at3,
+       count(i.neighbor_id) AS ivf_hits,
+       round(count(i.neighbor_id) / 3.0, 6) AS ivf_recall_at3
+FROM exact e
+LEFT JOIN lsh l ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+LEFT JOIN ivf i ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+""",
+)
+def ann_recall_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@3 measured INSIDE the harness (round-2 gap: driver entries
+    for the approximate paths checked shape, not quality): join each
+    approximate method's top-3 against the exact brute-force top-3 and emit
+    per-query hit counts + recall for both SRP-LSH (multi-probe) and
+    fixed-centroid IVF (n_probe=2).
+
+    Every side is deterministic (seeded planes/centroids), so the whole
+    recall computation — candidate sets included — replays in the DuckDB
+    oracle. The final joins touch 30 rows a side; cost lives in the three
+    upstream ANN plans, each individually driver-green."""
+    exact = embedding_knn_top3(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = embedding_ann_lsh_top3(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_lsh")
+    )
+    ivf = embedding_ivf_fixed_top3(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_ivf")
+    )
+    keys = ["query_id", "neighbor_id"]
+    return (
+        exact.join(lsh, keys, "left")
+        .join(ivf, keys, "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_lsh").alias("lsh_hits"),
+            F.round(F.count("_lsh") / 3.0, 6).alias("lsh_recall_at3"),
+            F.count("_ivf").alias("ivf_hits"),
+            F.round(F.count("_ivf") / 3.0, 6).alias("ivf_recall_at3"),
+        )
+    )
 
 
 @query(
@@ -2682,13 +2749,30 @@ def pipeline_hierarchical_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..summarize import MockSummarizer, hierarchical_summarize
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    trees = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _two_part_tree_json().alias("tree_json"),
+    )
+    return hierarchical_summarize(
+        trees, MockSummarizer(24), max_depth=1, chunk_size=60, chunk_overlap=10, token_max=80
+    )
+
+
+def _two_part_tree_json() -> F.Column:
+    """Document -> 2x Header("Part i") -> Paragraph tree as a JSON string
+    column over (doc_id, text): the shared fixture shape of
+    ``pipeline_hierarchical_mock`` (in-memory trees) and
+    ``tree_file_hierarchical`` (trees round-tripped through a
+    document_tree.json file), so both share one closed-form oracle."""
+    from ..functions.text import tokenize_ws as _tok
+
     toks = _tok("text")
     half = (F.size(toks) / 2).cast("int")
     leaf = lambda txt: F.struct(F.lit("Paragraph").alias("type"), txt.alias("text"))  # noqa: E731
     header = lambda title, body: F.struct(  # noqa: E731
         F.lit("Header").alias("type"), F.lit(title).alias("text"), F.array(leaf(body)).alias("children")
     )
-    tree = F.to_json(
+    return F.to_json(
         F.struct(
             F.lit("Document").alias("type"),
             F.col("doc_id").cast("string").alias("text"),
@@ -2698,9 +2782,64 @@ def pipeline_hierarchical_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("children"),
         )
     )
-    trees = d.select(F.col("doc_id").cast("string").alias("doc_id"), tree.alias("tree_json"))
+
+
+def build_tree_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the reference's corpus-tree layout
+    (``document_tree.json``: one Root whose children are Document subtrees,
+    run_full_evaluation_pipeline.py:505-525) from the documents table, and
+    return the fixture directory.
+
+    DRIVER-SIDE by design: the reference artifact is a single JSON value, so
+    assembling it is inherently a collect — this is test scaffolding for the
+    S3 file-source path, not a pipeline operator (pipelines keep trees as a
+    column; see ``pipeline_hierarchical_mock``). Content is deterministic in
+    the input, so the overwrite is idempotent per sf_dir."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        d.select(F.col("doc_id").cast("string").alias("doc_id"), _two_part_tree_json().alias("tj"))
+        .orderBy(F.col("doc_id").cast("long"))
+        .collect()
+    )
+    root = '{"type": "Root", "text": "", "children": [' + ", ".join(r.tj for r in docs) + "]}"
+    fixture_dir = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_tree_fixture_" + _hl.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    os.makedirs(fixture_dir, exist_ok=True)
+    with open(os.path.join(fixture_dir, "document_tree.json"), "w", encoding="utf-8") as f:
+        f.write(root)
+    return fixture_dir
+
+
+@query("tree_file_hierarchical", oracle=ORACLES["pipeline_hierarchical_mock"])
+def tree_file_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 + D12-D17 pinned together through a real FILE source: generate the
+    reference-layout ``document_tree.json`` fixture, then run the reference's
+    exact consumption path — ``read_tree_json`` (binaryFile scan + eager
+    validation) -> ``split_root_tree`` (Root -> per-Document rows) ->
+    ``hierarchical_summarize`` (flatten, gather, collapse, polish).
+
+    The fixture holds the same two-part trees ``pipeline_hierarchical_mock``
+    builds in memory, so the output is identical and this query shares its
+    closed-form oracle — the file round-trip (to_json -> disk -> parse)
+    must be lossless for the row to stay green."""
+    from ..summarize import MockSummarizer, hierarchical_summarize
+    from ..summarize.hierarchical import read_tree_json, split_root_tree
+
+    fixture_dir = build_tree_fixture(spark, sf_dir)
+    trees = read_tree_json(spark, fixture_dir)
+    # the corpus tree is ONE file -> one input partition; fan the per-doc
+    # rows out before the (mapInPandas-heavy) flatten/collapse stages
+    per_doc = split_root_tree(trees.select("tree_json")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return hierarchical_summarize(
-        trees, MockSummarizer(24), max_depth=1, chunk_size=60, chunk_overlap=10, token_max=80
+        per_doc, MockSummarizer(24), max_depth=1, chunk_size=60, chunk_overlap=10, token_max=80
     )
 
 

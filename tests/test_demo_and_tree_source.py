@@ -109,3 +109,45 @@ def test_hf_token_count_gated():
     # back to the vendored BPE-ish counter (a live pandas UDF)
     assert hf_token_count_udf(fallback="none") is None
     assert hf_token_count_udf() is not None
+
+
+def test_tree_fixture_node_counts_per_level(spark, sf_dir):
+    """A6 golden counts for the document_tree.json fixture path: every doc
+    flattens to exactly 1 Document (d0) + 2 Header (d1) + 2 Paragraph (d2)
+    nodes in DFS-preorder, whatever the corpus size."""
+    from pyspark.sql import functions as F
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans.relational import (
+        build_tree_fixture,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize.hierarchical import (
+        split_root_tree,
+    )
+
+    fixture = build_tree_fixture(spark, sf_dir)
+    trees = read_tree_json(spark, fixture)
+    per_doc = split_root_tree(trees.select("tree_json"))
+    nodes = flatten_tree_json(per_doc)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    by_depth = {
+        (r.depth, r.node_type): r.c
+        for r in nodes.groupBy("depth", "node_type").agg(F.count("*").alias("c")).collect()
+    }
+    assert by_depth == {
+        (0, "Document"): n_docs,
+        (1, "Header"): 2 * n_docs,
+        (2, "Paragraph"): 2 * n_docs,
+    }
+    # DFS-preorder ids: per doc exactly nodes 0..4; paragraph paths run
+    # root -> header (closure encoding for the explode+join gather)
+    shape = nodes.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("node_id").alias("mx")
+    )
+    bad = shape.filter((F.col("n") != 5) | (F.col("mx") != 4))
+    assert bad.isEmpty()
+    p = nodes.filter(F.col("node_type") == "Paragraph").select("path", "parent_id")
+    assert p.filter(
+        (F.size("path") != 2) | (F.element_at("path", 1) != 0)
+        | (F.element_at("path", 2) != F.col("parent_id"))
+    ).isEmpty()
