@@ -67,6 +67,7 @@ def connected_components(
     # join needs only the CHANGED nodes as sources. Round 1 propagates from
     # everyone (the seed is "new"); later rounds shrink with convergence.
     delta = labels
+    n_changed = -1  # unknown until a round runs (max_rounds could be 0)
     for _ in range(max_rounds):
         # neighbor labels: for each edge a->b, b's (changed) label is a
         # candidate for a
@@ -81,15 +82,33 @@ def connected_components(
         # with halving, convergence is O(log diameter). The lookup table is
         # node-sized (same as the aggregate output), never edge-sized.
         lk = merged.select(F.col("id").alias("lbl"), F.col("lbl").alias("lbl2"))
+        # lazy checkpoint + count the changed rows in ONE action: the count
+        # below is the round's first action, so it both materializes the
+        # checkpoint and decides convergence — no separate isEmpty job
         merged = (
             merged.join(lk, "lbl", "left")
             .select("id", F.coalesce("lbl2", "lbl").alias("lbl"), "prev")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        n_changed = merged.filter(F.col("lbl") != F.col("prev")).count()
         delta = merged.filter(F.col("lbl") != F.col("prev")).select("id", "lbl")
         labels = merged.select("id", "lbl")
-        if delta.isEmpty():
+        if n_changed == 0:
             break
+    else:
+        # max_rounds exhausted with labels still moving: downstream
+        # canonical-dedup assumes label == min member id, which an
+        # under-merged clustering silently violates — make it loud
+        import warnings
+
+        still = "an unknown number of" if n_changed < 0 else str(n_changed)
+        warnings.warn(
+            f"connected_components did not converge within max_rounds="
+            f"{max_rounds} ({still} labels still changing); components "
+            f"may be under-merged — raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("component"))
 

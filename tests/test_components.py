@@ -49,3 +49,19 @@ def test_dedup_keep_canonical_keeps_min_per_cluster(spark):
     kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
     # clusters {1,2,4} -> 1, {3,5} -> 3, singleton {0} -> 0
     assert kept == [0, 1, 3]
+
+
+def test_non_convergence_warns(spark):
+    import warnings
+
+    # a 16-node path cannot settle in one round even with the min-neighbor
+    # seed + pointer jumping; under-merged output must be loud, not silent
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "id1 long, id2 long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = connected_components(edges, max_rounds=1)
+        out.collect()
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("did not converge" in m for m in msgs)
