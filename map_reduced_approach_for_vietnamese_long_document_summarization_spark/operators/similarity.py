@@ -79,31 +79,31 @@ def ivf_build_index(
     corpus_vec: str = "embedding",
     seed: int = 42,
     fit_sample_size: int = 100_000,
+    fit_fraction: float | None = None,
 ):
     """IVF (inverted-file) index: k-means centroids partition the corpus into
     ``n_lists`` cells; each vector is assigned to its nearest centroid.
 
     Returns (assigned_df, centroids) where assigned_df adds a ``cell``
     column and centroids is a small driver-side list (n_lists x dim — a few
-    KB, broadcast to queries). Train-on-a-sample, assign-everywhere: the
-    k-means fit input is bounded by ``fit_sample_size`` rows (seeded
-    ``sample`` sized via a column-pruned count, plus a hard ``limit``), so
-    at 100 TB the multi-pass fit touches a bounded table while assignment
-    stays a one-off full scan; queries then touch only n_probe/n_lists of
-    the data. The corpus columns ride through the transform — no join-back
-    shuffle."""
+    KB, broadcast to queries). Train-on-a-sample, assign-everywhere: the fit
+    input is bounded by ``fit_sample_size`` rows WITHOUT any pre-count
+    action over the corpus — ``limit`` short-circuits the scan once enough
+    rows arrive (CollectLimit opens partitions incrementally), so building
+    the index costs exactly one bounded read + the full assignment scan.
+    When the corpus's physical layout is sorted/clustered (a prefix would
+    bias the centroids), pass ``fit_fraction`` to spread the sample across
+    all partitions first (seeded Bernoulli ``sample`` — a scan-speed filter,
+    still no count); queries then touch only n_probe/n_lists of the data.
+    The corpus columns ride through the transform — no join-back shuffle."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     vecs = corpus.withColumn("features", array_to_vector(F.col(corpus_vec)))
-    n = corpus.select(corpus_id).count()
-    if n > fit_sample_size:
-        # oversample slightly so the seeded Bernoulli sample rarely lands
-        # under the target, then cap with a hard limit.
-        frac = min(1.0, 1.1 * fit_sample_size / n)
-        train = vecs.sample(False, frac, seed).limit(fit_sample_size)
+    if fit_fraction is not None:
+        train = vecs.sample(False, fit_fraction, seed).limit(fit_sample_size)
     else:
-        train = vecs
+        train = vecs.limit(fit_sample_size)
     km = KMeans(k=n_lists, seed=seed, maxIter=20)
     model = km.fit(train)
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
