@@ -46,9 +46,13 @@ HEADLINE = [
     "bertscore_mock_pairs",
     "bpe_token_counts",
     "doc_winnow_fingerprints",
+    "doc_winnow_fast",
+    "ann_recall_at3",
+    "multimodal_decode_features",
     "doc_dup_clusters",
     "doc_contamination_top20",
     "corpus_pack_512",
+    "corpus_pack_greedy_512",
     "doc_split_assign",
     "doc_repetition_stats",
     "order_priority_exists_late",

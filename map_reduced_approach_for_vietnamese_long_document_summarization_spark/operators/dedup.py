@@ -178,6 +178,17 @@ def minhash_lsh_candidates(
     )
 
 
+def unpersist_inputs(df: DataFrame) -> None:
+    """Release the cached intermediates a pair-builder attached via its
+    ``_persisted_inputs`` hook (minhash/simhash signatures, jaccard/
+    contamination shingle tables). Call AFTER the consuming action; no-op
+    for DataFrames without the hook. Note the hook rides on the exact
+    returned object — it does not survive further transformations, so grab
+    it (or call this) at the operator boundary."""
+    for cached in getattr(df, "_persisted_inputs", []):
+        cached.unpersist()
+
+
 def md5_hash60(col: Column) -> Column:
     """First 60 bits of md5 as a non-negative long — bit-identical in DuckDB
     via ``('0x' || substring(md5(x),1,15))::BIGINT``. The cross-engine-
@@ -483,6 +494,7 @@ def winnowing_fingerprints(
     w: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    gram_hash: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
     — the rolling-hash fingerprinting used by MOSS-style plagiarism and
@@ -503,17 +515,27 @@ def winnowing_fingerprints(
     and ``array_distinct`` dedupes per doc before the single explode of
     selected hashes. An exploded-rows formulation would shuffle ~len(text)
     rows per doc through a window sort plus a distinct; this one ships only
-    the ~n/w selected fingerprints, already unique per (doc, hash). The
-    hash is ``md5_hash60`` so a SQL oracle replays selection bit-for-bit
-    (winnowing needs a ~uniform hash, not a fast one)."""
+    the ~n/w selected fingerprints, already unique per (doc, hash).
+
+    ``gram_hash`` picks the k-gram hash: ``"xxhash64"`` (default — one JVM
+    hash per gram, the production path; winnowing needs a ~uniform hash,
+    which xxhash64 is) or ``"md5"`` (``md5_hash60`` — ~2x the cost, but a
+    SQL oracle replays selection bit-for-bit; the harness twin). Selection
+    logic is identical; only fingerprint values differ."""
     from ..functions.text import strip_ws
 
+    if gram_hash == "xxhash64":
+        gh = F.xxhash64
+    elif gram_hash == "md5":
+        gh = md5_hash60
+    else:
+        raise ValueError(f"gram_hash must be 'xxhash64' or 'md5', got {gram_hash!r}")
     norm = F.lower(F.regexp_replace(strip_ws(text_col), r"\s+", " "))
     base = df.select(id_col, norm.alias("_t")).filter(F.length("_t") >= k)
     n_grams = F.length("_t") - k + 1
     hashes = F.transform(
         F.sequence(F.lit(0), n_grams - 1),
-        lambda i: md5_hash60(F.col("_t").substr(i + 1, F.lit(k))),
+        lambda i: gh(F.col("_t").substr(i + 1, F.lit(k))),
     )
     with_h = base.select(id_col, n_grams.alias("_g"), hashes.alias("_h"))
     # min over h[i..i+w-1] = elementwise least of the w shifted arrays;

@@ -237,3 +237,33 @@ def test_winnowing_normalization_and_null(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
     assert by_doc[1] == by_doc[2]
     assert 3 not in by_doc
+
+
+def test_winnowing_xxhash_twin_same_guarantees(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps"
+    df = spark.createDataFrame(
+        [
+            (1, f"AAA {shared} one two three"),
+            (2, f"completely different prefix {shared}"),
+            (3, "unrelated words entirely distinct content here"),
+        ],
+        "doc_id long, text string",
+    )
+    # default (xxhash64) keeps the k+w-1 shared-substring guarantee and the
+    # zero-shuffle plan; bad gram_hash values fail loudly
+    out = winnowing_fingerprints(df, k=8, w=4)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[2] & by_doc[3])
+    plan = winnowing_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="gram_hash"):
+        winnowing_fingerprints(df, gram_hash="sha1")
