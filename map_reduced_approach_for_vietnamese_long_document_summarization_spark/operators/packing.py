@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .collapse import bucket_running_sum
+from .collapse import bucket_by_token_budget, bucket_running_sum
 
 
 def pack_sequences(
@@ -32,24 +32,51 @@ def pack_sequences(
     n_shards: int = 64,
     shard_col: str = "shard",
     seq_col: str = "seq_id",
+    mode: str = "offset",
 ) -> DataFrame:
-    """Assign each document a (``shard_col``, ``seq_col``) packing bin.
+    """Assign each document a (``shard_col``, ``seq_col``) packing bin, in
+    ``id_col`` order within each shard. Two bin rules:
 
-    Bins are filled greedily in ``id_col`` order by starting token offset:
-    a document opens a new bin when the shard's running token sum crosses a
-    ``max_tokens`` boundary. Oversized single documents keep their own bin
-    (they must be chunked upstream; packing never splits). Output keeps all
-    input columns plus the two bin columns.
-    """
+    * ``mode="offset"`` (default): ``bin = floor(start_offset /
+      max_tokens)`` — one window expression, SQL-replayable. Bins are
+      CONTIGUOUS TOKEN RANGES, not hard caps: a document straddling a
+      boundary overflows its bin by up to its own length minus one token,
+      and an oversized document shares its bin with preceding documents
+      unless its start happens to align. Right when the packed stream is
+      re-cut into exact windows downstream (token-level concatenation),
+      where only the offsets matter.
+    * ``mode="greedy"``: a document opens a new bin whenever adding it
+      would push the bin past ``max_tokens`` — bins NEVER exceed the budget
+      unless a single document alone is oversized, and such a document is
+      isolated in its own bin. Use this when bins feed fixed-context
+      training windows directly. Runs as a JVM sequential fold over each
+      shard's collected doc array: size ``n_shards`` so a shard holds at
+      most ~1e5 docs (at 100 TB that means millions of shards — shard
+      count is the scale knob, packing quality is shard-local either way).
+
+    Neither mode splits documents (chunk oversized docs upstream). Output
+    keeps the input columns plus the two bin columns (``mode="greedy"``
+    reorders columns: key, id, payload, bin)."""
     sharded = docs.withColumn(shard_col, (F.col(id_col) % n_shards).cast("int"))
-    return bucket_running_sum(
-        sharded,
-        max_tokens,
-        key_cols=(shard_col,),
-        order_col=id_col,
-        tokens_col=tokens_col,
-        group_col=seq_col,
-    )
+    if mode == "offset":
+        return bucket_running_sum(
+            sharded,
+            max_tokens,
+            key_cols=(shard_col,),
+            order_col=id_col,
+            tokens_col=tokens_col,
+            group_col=seq_col,
+        )
+    if mode == "greedy":
+        return bucket_by_token_budget(
+            sharded,
+            max_tokens,
+            key_cols=(shard_col,),
+            order_col=id_col,
+            tokens_col=tokens_col,
+            group_col=seq_col,
+        )
+    raise ValueError(f"mode must be 'offset' or 'greedy', got {mode!r}")
 
 
 def packing_stats(

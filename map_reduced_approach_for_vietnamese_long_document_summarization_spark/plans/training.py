@@ -39,10 +39,12 @@ FROM r GROUP BY 1, 2
 """,
 )
 def corpus_pack_512(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing (operators/packing.py): shard the corpus (id % 8),
-    greedily pack each shard into 512-token training bins by running token
-    offset, and report per-bin fill stats. One window + one aggregate, all
-    JVM; the oracle replays the same running-sum bin arithmetic."""
+    """Sequence packing, offset rule (operators/packing.py): shard the
+    corpus (id % 8), bin each shard's docs by starting token offset into
+    512-token ranges (bins may overflow past a straddling doc — see
+    pack_sequences), and report per-bin fill stats. One window + one
+    aggregate, all JVM; the oracle replays the same running-sum bin
+    arithmetic. corpus_pack_greedy_512 is the hard-budget twin."""
     from ..functions.text import ws_token_count
     from ..operators.packing import pack_sequences, packing_stats
 
@@ -53,6 +55,45 @@ def corpus_pack_512(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_stats(packed, max_tokens=512).withColumn(
         "sum_tokens", F.col("sum_tokens").cast("long")
     )
+
+
+@query(
+    "corpus_pack_greedy_512",
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         len({_DUCK_TOKS}) AS n
+  FROM documents),
+seq AS (SELECT shard, doc_id, n,
+               row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1 AS rn
+        FROM t),
+walk AS (
+  SELECT shard, doc_id, n, rn, 0 AS gid, CAST(n AS BIGINT) AS acc
+  FROM seq WHERE rn = 0
+  UNION ALL
+  SELECT s.shard, s.doc_id, s.n, s.rn,
+         CASE WHEN w.acc > 0 AND w.acc + s.n > 512
+              THEN w.gid + 1 ELSE w.gid END,
+         CASE WHEN w.acc > 0 AND w.acc + s.n > 512
+              THEN CAST(s.n AS BIGINT) ELSE w.acc + s.n END
+  FROM walk w JOIN seq s ON s.shard = w.shard AND s.rn = w.rn + 1)
+SELECT shard, doc_id, CAST(gid AS INT) AS seq_id FROM walk
+""",
+)
+def corpus_pack_greedy_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-budget sequence packing (pack_sequences mode="greedy"): bins
+    never exceed 512 tokens unless a lone document is itself oversized (then
+    it sits alone) — the rule for feeding fixed-context training windows
+    directly. Spark runs the JVM aggregate-fold per shard; the DuckDB
+    oracle replays the identical sequential walk as a recursive CTE."""
+    from ..functions.text import ws_token_count
+    from ..operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", ws_token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, max_tokens=512, n_shards=8, mode="greedy")
+    return packed.select("shard", "doc_id", "seq_id")
 
 
 @query(

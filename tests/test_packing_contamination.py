@@ -84,3 +84,44 @@ def test_stop_shingle_cap_drops_common_shingle(spark):
     test = _docs(spark, [(10, "a b c")])
     assert ngram_contamination(train, test, max_doc_freq=2).count() == 0
     assert ngram_contamination(train, test, max_doc_freq=3).count() == 3
+
+
+def _packed_greedy(spark, rows, max_tokens, n_shards=1):
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = pack_sequences(df, max_tokens, n_shards=n_shards, mode="greedy").collect()
+    return {r["doc_id"]: (r["shard"], r["seq_id"]) for r in out}
+
+
+def test_pack_greedy_hard_budget(spark):
+    # budget 100: 40+40 fill bin 0; adding the third 40 would hit 120 -> it
+    # opens bin 1 (the offset rule keeps it in bin 0 at 120 tokens)
+    got = _packed_greedy(spark, [(1, 40), (2, 40), (3, 40), (4, 40)], 100)
+    assert got[1][1] == 0 and got[2][1] == 0
+    assert got[3][1] == 1 and got[4][1] == 1
+
+
+def test_pack_greedy_oversize_isolated_even_unaligned(spark):
+    # doc 2 (600 > budget) arrives mid-bin: greedy isolates it (the ADVICE
+    # case the offset rule gets wrong), and the bin after it reopens fresh
+    got = _packed_greedy(spark, [(1, 40), (2, 600), (3, 10), (4, 10)], 512)
+    assert got[1][1] == 0
+    assert got[2][1] == 1
+    assert got[3][1] == 2 and got[4][1] == 2
+
+
+def test_pack_greedy_never_exceeds_budget_unless_single_oversize(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1, 200)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    packed = pack_sequences(df, 256, n_shards=4, mode="greedy")
+    stats = packing_stats(packed, 256).collect()
+    over = [r for r in stats if r["sum_tokens"] > 256]
+    assert not over  # no doc exceeds 200 < 256, so NO bin may overflow
+
+    # mode validation fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode"):
+        pack_sequences(df, 256, mode="nope")
