@@ -40,11 +40,25 @@ def asof_join(
     ``right_cols`` selects which right-side payload columns to carry
     (default: all except the key); each is emitted as ``<name><suffix>``.
     """
+    internal = {"_k", "_t", "_side", "_p", "_m"}
+    clash = internal & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(internal)}; "
+            f"rename left columns {sorted(clash)} first"
+        )
     if right_cols is None:
         # right_time is always carried separately as the struct's first
         # field — including it again would duplicate the field name and make
         # the _m[...] extraction ambiguous
         right_cols = tuple(c for c in right.columns if c not in (on, right_time))
+    out_names = [f"{c}{suffix}" for c in (right_time, *right_cols)]
+    dup_out = set(out_names) & set(left.columns)
+    if dup_out:
+        raise ValueError(
+            f"asof_join output columns {sorted(dup_out)} collide with left "
+            f"columns; pass a different suffix= or project the left side"
+        )
     payload = F.struct(*[F.col(c).alias(c) for c in (right_time, *right_cols)])
 
     r = right.select(

@@ -82,3 +82,23 @@ def test_randomized_against_brute_force(spark):
     want = {lid: brute(lid, u, ts) for (lid, u, ts) in left}
     got = _run(spark, left, right)
     assert got == want
+
+
+def test_reserved_and_colliding_names_fail_loudly(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [("u1", dt.datetime(2024, 1, 1, 0, 5), 1)], "user string, ts timestamp, _side int"
+    )
+    right = spark.createDataFrame(
+        [("u1", dt.datetime(2024, 1, 1, 0, 0), 7)], "user string, ts timestamp, rid int"
+    )
+    with pytest.raises(ValueError, match="reserves column names"):
+        asof_join(left, right, on="user", right_cols=("rid",))
+
+    # suffixed output name colliding with an existing left column
+    left2 = spark.createDataFrame(
+        [("u1", dt.datetime(2024, 1, 1, 0, 5), 9)], "user string, ts timestamp, rid_right int"
+    )
+    with pytest.raises(ValueError, match="collide with left"):
+        asof_join(left2, right, on="user", right_cols=("rid",))
