@@ -39,6 +39,7 @@ from map_reduced_approach_for_vietnamese_long_document_summarization_spark.opera
     pack_sequences,
     packing_stats,
     simhash_near_dup_pairs,
+    unpersist_inputs,
 )
 from map_reduced_approach_for_vietnamese_long_document_summarization_spark.sources import (
     load_table,
@@ -97,7 +98,10 @@ def main() -> None:
     # report actions; one aggregate serves both bin stats
     split = split.persist()
     counts = {r["split"]: r["count"] for r in split.groupBy("split").count().collect()}
-    flagged = contamination.count()
+    # distinct test docs, not (test, train) pairs — one leaked doc matching
+    # many train docs counts once
+    flagged = contamination.select("test_id").distinct().count()
+    unpersist_inputs(contamination)  # release the cached test-shingle table
     stats = bins.agg(
         F.count(F.lit(1)).alias("n_bins"), F.round(F.avg("fill_frac"), 4).alias("f")
     ).first()

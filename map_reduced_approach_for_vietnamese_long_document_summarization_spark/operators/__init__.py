@@ -15,6 +15,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
     simhash_signatures,
+    unpersist_inputs,
     winnowing_fingerprints,
 )
 from .multimodal import (
@@ -76,6 +77,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_signatures",
     "simhash_near_dup_pairs",
+    "unpersist_inputs",
     "winnowing_fingerprints",
     "MEDIA_SCHEMA",
     "attach_fake_media",

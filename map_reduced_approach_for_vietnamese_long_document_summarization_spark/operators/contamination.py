@@ -71,5 +71,8 @@ def ngram_contamination(
         out = out.orderBy(
             F.desc("containment"), F.asc("test_id"), F.asc("train_id")
         ).limit(top_k)
-    out._persisted_inputs = [tsh]  # unpersist hook for long-lived sessions
+    # tsh feeds two branches (sizes + pairs); the persist avoids re-building
+    # test-side shingles twice. Long-lived sessions should release it after
+    # the consuming action via operators.unpersist_inputs(out).
+    out._persisted_inputs = [tsh]
     return out
