@@ -31,6 +31,7 @@ HEADLINE = [
     "doc_stats_by_lang",
     "doc_chunk_fixed100",
     "doc_exact_dedup",
+    "doc_span_dedup",
     "ngram_jaccard_top20",
     "minhash_lsh_dedup",
     "rouge1_per_doc",
@@ -55,6 +56,7 @@ HEADLINE = [
     "corpus_pack_greedy_512",
     "doc_split_assign",
     "doc_repetition_stats",
+    "doc_pii_redact",
     "order_priority_exists_late",
     "bm25_search_top10",
     "purchase_click_attribution",

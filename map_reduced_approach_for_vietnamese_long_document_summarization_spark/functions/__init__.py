@@ -6,6 +6,7 @@ semantics compile to Catalyst expressions that run vectorized on executors.
 """
 
 from .bpe import TinyBPETokenizer
+from .pii import PII_PATTERNS, PII_TAGS, pii_counts, redact_pii
 from .text import (
     bpe_token_count_udf,
     bpe_truncate_udf,
@@ -38,6 +39,10 @@ from .vectors import (
 
 __all__ = [
     "TinyBPETokenizer",
+    "PII_PATTERNS",
+    "PII_TAGS",
+    "pii_counts",
+    "redact_pii",
     "bpe_token_count_udf",
     "bpe_truncate_udf",
     "hf_token_count_udf",

@@ -1,0 +1,55 @@
+"""PII detection/redaction for training-data pipelines (north-star,
+BASELINE.json): the pass every public-web corpus runs before training
+(C4/RefinedWeb/Gopher appendix hygiene) — find emails, phone numbers, and
+IP addresses, count them per document, and replace them with typed
+placeholder tags.
+
+Pure Catalyst ``regexp_replace``/``regexp_count`` expressions — scan-speed
+at 100 TB, whole-stage codegen, no Python anywhere. The patterns are
+deliberately conservative, RE2-compatible (so a DuckDB oracle replays them
+verbatim), and documented as a *recall floor*: production stacks layer
+model-based NER on top for names/addresses, which has no place in a
+regex pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# pattern order matters: emails are redacted before phones/IPs so a digit
+# run inside a local-part can't be double-tagged. All patterns avoid
+# backreferences/lookaround (Java regex AND RE2/DuckDB compatible).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+\d{1,3}-\d{3}-\d{3,4}(-\d{3,4})?",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+PII_TAGS: dict[str, str] = {
+    "email": "[EMAIL]",
+    "phone": "[PHONE]",
+    "ipv4": "[IP]",
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def pii_counts(col: Column | str) -> Column:
+    """Struct of per-kind match counts (email, phone, ipv4) — the audit
+    metric a redaction job reports. NULL text counts as zero matches."""
+    s = F.coalesce(_c(col), F.lit(""))
+    return F.struct(
+        *[F.regexp_count(s, F.lit(p)).alias(k) for k, p in PII_PATTERNS.items()]
+    )
+
+
+def redact_pii(col: Column | str, kinds: tuple[str, ...] | None = None) -> Column:
+    """Replace every PII match with its typed tag ([EMAIL]/[PHONE]/[IP]),
+    in PII_PATTERNS order. NULL propagates (no text, no redaction)."""
+    out = _c(col)
+    for k in kinds or tuple(PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[k], PII_TAGS[k])
+    return out

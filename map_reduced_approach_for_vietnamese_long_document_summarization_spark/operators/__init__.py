@@ -15,6 +15,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
     simhash_signatures,
+    span_dedup,
     unpersist_inputs,
     winnowing_fingerprints,
 )
@@ -77,6 +78,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_signatures",
     "simhash_near_dup_pairs",
+    "span_dedup",
     "unpersist_inputs",
     "winnowing_fingerprints",
     "MEDIA_SCHEMA",

@@ -178,6 +178,67 @@ def minhash_lsh_candidates(
     )
 
 
+def span_dedup(
+    docs: DataFrame,
+    span_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dedup_key: str = "hash",
+) -> DataFrame:
+    """Cross-corpus exact span deduplication — the C4/RefinedWeb
+    "repeated line/paragraph" pass adapted to fixed token windows (the
+    structure this corpus has; swap ``chunk_fixed_tokens`` for a
+    newline-splitter when documents carry real paragraphs): chunk every
+    document into ``span_tokens``-token windows, keep each distinct span's
+    globally FIRST occurrence (min ``(doc_id, span_idx)`` — deterministic
+    under any partitioning), drop repeats, and reassemble the surviving
+    spans in document order.
+
+    Returns ``(id_col, text_col, n_spans, n_removed)``; ``text_col`` is
+    ``''`` when every span of a document was seen earlier (callers filter
+    or keep the husk as policy dictates).
+
+    ``dedup_key="hash"`` (default) shuffles spans as xxhash64 longs — 8
+    bytes instead of the span text; a hash collision could drop a unique
+    span (~2^-64 per pair — negligible, but nonzero). ``"text"`` keys the
+    window by the span string itself: exact, what the SQL oracle replays,
+    heavier shuffle.
+
+    Scale: one shuffle keyed by span (keep-first window), one shuffle back
+    on the doc id for reassembly — no similarity join, no all-pairs stage.
+    A boilerplate span shared by millions of docs lands on one key, but
+    the per-key work is a single rank pass, not a pairwise product."""
+    from .chunking import chunk_fixed_tokens
+
+    if dedup_key == "hash":
+        key = F.xxhash64("chunk")
+    elif dedup_key == "text":
+        key = F.col("chunk")
+    else:
+        raise ValueError(f"dedup_key must be 'hash' or 'text', got {dedup_key!r}")
+    chunks = chunk_fixed_tokens(
+        docs.select(id_col, text_col), span_tokens, text_col=text_col, id_cols=(id_col,)
+    )
+    w = Window.partitionBy(key).orderBy(F.col(id_col), F.col("chunk_idx"))
+    ranked = chunks.withColumn("_rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("_rn") == 1,
+        F.struct(F.col("chunk_idx").alias("o"), F.col("chunk").alias("t")),
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list(kept_struct)), lambda s: s["t"]),
+                " ",
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.col("_rn") > 1, 1)).alias("n_removed"),
+        )
+        .select(id_col, text_col, "n_spans", "n_removed")
+    )
+
+
 def unpersist_inputs(df: DataFrame) -> None:
     """Release the cached intermediates a pair-builder attached via its
     ``_persisted_inputs`` hook (minhash/simhash signatures, jaccard/

@@ -35,12 +35,12 @@ _PRIORITY = [
     "tree_file_hierarchical",  # NEW r3: S3 file source -> D12-D17 end-to-end
     # -- dedup / similarity / ANN (north-star LLM-data ops) -----------------
     "doc_exact_dedup",
+    "doc_span_dedup",  # NEW r3: C4-style repeated-span removal, oracled
     "ngram_jaccard_top20",
     "minhash_md5_dedup",
     "simhash_md5_near_dups",
     "embedding_near_dups_lsh",
     "embedding_knn_top3",
-    "embedding_ivf_top3",
     "embedding_ann_lsh_top3",
     "embedding_ivf_fixed_top3",  # never driver-checked (r2 addition)
     "ann_recall_at3",  # NEW r3: recall vs exact ground truth, oracled
@@ -52,9 +52,9 @@ _PRIORITY = [
     "rouge1_per_doc",
     "bertscore_mock_pairs",
     "llm_judge_mock_scores",
-    "bpe_token_counts",
     # -- text analysis / retrieval ------------------------------------------
     "doc_repetition_stats",
+    "doc_pii_redact",  # NEW r3: PII counts + typed redaction, oracled
     "bm25_search_top10",
     "source_name_sanitize",  # never driver-checked (C6/C7)
     # -- relational representatives (window/grouping-sets/set/percentile) ---
@@ -84,6 +84,8 @@ _PRIORITY = [
     "events_sessionization",
     "events_click_purchase_pairs",  # never driver-checked
     # Tail (r02-green, other coverage keeps the family checked):
+    # embedding_ivf_top3 + bpe_token_counts (rows-only; ivf_fixed/knn and the
+    # BPE unit suite keep those families checked),
     # mock_collapse_level, doc_collapse_buckets, doc_greedy_buckets,
     # estimated_chunk_counts, embedding_cosine_pairs_exact,
     # embedding_label_centroids, doc_dedup_survivors, minhash_lsh_dedup,

@@ -2017,6 +2017,104 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(d, k=8, w=4, gram_hash="md5")
 
 
+@query(
+    "doc_span_dedup",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+n AS (SELECT doc_id, toks,
+             greatest(1, CAST(ceil(len(toks) / 20.0) AS INT)) AS nc
+      FROM t),
+x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM n),
+sp AS (SELECT doc_id, CAST(i AS INT) AS idx,
+              array_to_string(toks[i*20+1 : (i+1)*20], ' ') AS s
+       FROM x),
+k AS (SELECT doc_id, idx, s,
+             row_number() OVER (PARTITION BY s ORDER BY doc_id, idx) AS rn
+      FROM sp)
+SELECT doc_id,
+       coalesce(string_agg(s, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '') AS text,
+       count(*) AS n_spans,
+       count(*) FILTER (WHERE rn > 1) AS n_removed
+FROM k GROUP BY doc_id
+""",
+)
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact span dedup (operators/dedup.py:span_dedup — the
+    C4/RefinedWeb repeated-paragraph pass on 20-token windows): repeated
+    spans keep only their globally-first occurrence; documents are
+    reassembled from survivors with removal counts. dedup_key='text' here
+    so the DuckDB oracle replays chunking, keep-first ranking, and
+    reassembly exactly (the xxhash64 key is the production default)."""
+    from ..operators.dedup import span_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_dedup(d, span_tokens=20, dedup_key="text")
+
+
+def _pii_oracle_sql() -> str:
+    """Compose the PII oracle from the SAME patterns the operator uses
+    (functions/pii.py) — .format, not f-string, because the regexes contain
+    braces. DuckDB needs the 'g' flag (Spark replaces all by default)."""
+    from ..functions.pii import PII_PATTERNS
+
+    dec = (
+        "coalesce(text, '') || ' contact user' || doc_id::VARCHAR"
+        " || '@example.com node 10.' || (doc_id % 200)::VARCHAR || '.0.'"
+        " || (doc_id % 250)::VARCHAR || ' call +84-555-'"
+        " || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+    )
+    return """
+WITH d AS (SELECT doc_id, {dec} AS s FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(s, '{email}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(s, '{phone}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(s, '{ipv4}')) AS INT) AS n_ipv4,
+       regexp_replace(regexp_replace(regexp_replace(s,
+         '{email}', '[EMAIL]', 'g'),
+         '{phone}', '[PHONE]', 'g'),
+         '{ipv4}', '[IP]', 'g') AS redacted
+FROM d
+""".format(
+        dec=dec,
+        email=PII_PATTERNS["email"],
+        phone=PII_PATTERNS["phone"],
+        ipv4=PII_PATTERNS["ipv4"],
+    )
+
+
+@query("doc_pii_redact", oracle=_pii_oracle_sql())
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene pass (functions/pii.py): per-doc match counts + typed
+    redaction ([EMAIL]/[PHONE]/[IP]). The corpus is word salad with no real
+    PII, so each doc is decorated with a deterministic fake email/IP/phone
+    derived from its id — the redacted TEXT is the hash-checked value, so
+    the row pins pattern semantics across both engines (RE2-compatible
+    patterns; DuckDB replays them verbatim with the 'g' flag). Pure
+    regexp expressions: scan-speed, codegen, zero shuffle."""
+    from ..functions.pii import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    decorated = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com node 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" call +84-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    counts = pii_counts(decorated)
+    return d.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        redact_pii(decorated).alias("redacted"),
+    )
+
+
 @query("doc_winnow_fast")  # rows-only: xxhash64 has no DuckDB twin
 def doc_winnow_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-hash winnowing twin: identical selection logic to

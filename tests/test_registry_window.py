@@ -25,12 +25,13 @@ FLAGSHIPS = [
     "tree_file_hierarchical",
     # dedup / similarity / ANN north star
     "doc_exact_dedup",
+    "doc_span_dedup",
+    "doc_pii_redact",
     "ngram_jaccard_top20",
     "minhash_md5_dedup",
     "simhash_md5_near_dups",
     "embedding_knn_top3",
     "embedding_ann_lsh_top3",
-    "embedding_ivf_top3",
     "embedding_ivf_fixed_top3",
     "ann_recall_at3",
     "embedding_near_dups_lsh",
@@ -78,6 +79,8 @@ R3_PROMOTIONS = [
     "ann_recall_at3",
     "tree_file_hierarchical",
     "corpus_pack_greedy_512",
+    "doc_span_dedup",
+    "doc_pii_redact",
 ]
 
 
@@ -117,15 +120,12 @@ def test_every_oracled_query_has_a_driver_row_somewhere():
 def test_window_oracle_density():
     window = list(QUERIES)[:WINDOW]
     oracled = [n for n in window if n in ORACLES]
-    # every rows-only entry must have a reason (iterative fit / non-SQL
-    # tokenizer) AND green oracle-checked relatives
-    assert len(oracled) >= 48, f"only {len(oracled)} oracled in window"
-    rows_only = set(window) - set(oracled)
-    allowed = {
-        "embedding_ivf_top3",  # k-means is iterative; twins: knn + ivf_fixed
-        "bpe_token_counts",    # vendored BPE merges aren't SQL-expressible
-    }
-    assert rows_only <= allowed, f"unexpected rows-only entries: {rows_only - allowed}"
+    # round 3: every window entry carries an oracle (the rows-only
+    # showcases — embedding_ivf_top3, bpe_token_counts, minhash/simhash raw
+    # twins, doc_winnow_fast — ride the tail; their oracled twins are green)
+    assert len(oracled) == len(window), (
+        f"rows-only entries in window: {sorted(set(window) - set(oracled))}"
+    )
 
 
 def test_every_oracled_name_is_registered():
