@@ -72,3 +72,18 @@ def test_span_dedup_bad_key(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="dedup_key"):
         span_dedup(df, dedup_key="md5")
+
+
+def test_span_dedup_plan_two_exchanges(spark):
+    # the scale contract: ONE shuffle keyed by span (keep-first window) +
+    # ONE shuffle back on doc id for reassembly — nothing else
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    plan = span_dedup(df, span_tokens=2)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_pii_redact_plan_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, "a@b.co")], "id long, t string")
+    out = df.select(redact_pii("t").alias("r"), pii_counts("t").alias("c"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
