@@ -11,9 +11,12 @@ lazy plan except the dedup-cluster iteration):
   3. exact dedup               (md5 fingerprint keep-min-id)
   4. near-dedup                (SimHash pairs -> connected components ->
                                 canonical doc per cluster)
-  5. train/val/test split      (deterministic md5 hash, leakage-stable)
-  6. decontamination report    (test-split 3-gram containment in train)
-  7. sequence packing          (fixed-token training bins per shard)
+  5. span dedup                (C4-style repeated-span removal across the
+                                surviving corpus; drops emptied husks)
+  6. PII redaction             (typed [EMAIL]/[PHONE]/[IP] tags, zero shuffle)
+  7. train/val/test split      (deterministic md5 hash, leakage-stable)
+  8. decontamination report    (test-split 3-gram containment in train)
+  9. sequence packing          (hard-budget greedy bins per shard)
 """
 
 import os
@@ -39,7 +42,11 @@ from map_reduced_approach_for_vietnamese_long_document_summarization_spark.opera
     pack_sequences,
     packing_stats,
     simhash_near_dup_pairs,
+    span_dedup,
     unpersist_inputs,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions import (
+    redact_pii,
 )
 from map_reduced_approach_for_vietnamese_long_document_summarization_spark.sources import (
     load_table,
@@ -71,19 +78,31 @@ def prepare(spark, sf_dir, max_tokens=512, n_shards=8):
     )
     survivors = dedup_keep_canonical(exact, pairs)
 
-    # 5: leakage-stable split
-    split = assign_split(survivors, "doc_id")
+    # 5: span-level dedup across the deduped corpus (repeated boilerplate
+    # spans keep one global copy); docs whose every span was seen die here
+    spanned = span_dedup(survivors, span_tokens=50)
+    cleaned = spanned.filter(F.col("text") != "").select("doc_id", "text")
 
-    # 6: decontamination report (containment of test docs in train docs)
+    # 6: PII redaction — after dedup (hashes must see raw bytes), before
+    # the split (training never sees raw PII)
+    cleaned = cleaned.select("doc_id", redact_pii("text").alias("text"))
+
+    # 7: leakage-stable split
+    split = assign_split(cleaned, "doc_id")
+
+    # 8: decontamination report (containment of test docs in train docs)
     train = split.filter(F.col("split") == "train").select("doc_id", "text")
     test = split.filter(F.col("split") == "test").select("doc_id", "text")
     contamination = ngram_contamination(
         train, test, shingle_n=3, max_doc_freq=64, threshold=0.8
     )
 
-    # 7: pack the train split into fixed-token bins
+    # 9: pack the train split into hard-budget bins (greedy: bins feed
+    # fixed-context windows directly, so they must never exceed the budget)
     train_lens = train.select("doc_id", ws_token_count("text").alias("n_tokens"))
-    packed = pack_sequences(train_lens, max_tokens=max_tokens, n_shards=n_shards)
+    packed = pack_sequences(
+        train_lens, max_tokens=max_tokens, n_shards=n_shards, mode="greedy"
+    )
     bins = packing_stats(packed, max_tokens=max_tokens)
 
     return split, contamination, bins

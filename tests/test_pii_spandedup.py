@@ -87,3 +87,15 @@ def test_pii_redact_plan_zero_shuffle(spark):
     out = df.select(redact_pii("t").alias("r"), pii_counts("t").alias("c"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 0, plan
+
+
+def test_span_dedup_empty_null_whitespace(spark):
+    # empty input -> empty output; null/blank docs yield one degenerate
+    # span each ('' after reassembly) — all rows survive as husks, and
+    # blank-text spans dedupe against each other like any other span
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert span_dedup(empty).count() == 0
+    got = _spans(spark, [(1, None), (2, ""), (3, "   ")], 2)
+    assert set(got) == {1, 2, 3}
+    assert all(got[i]["text"] == "" for i in (1, 2, 3))
+    assert got[3]["n_removed"] == 1  # '' span already seen (doc 2)
