@@ -3,7 +3,7 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}. Each query is forced end-to-end with the
 noop sink (full materialization, no driver collect cost) and timed
-$SPARK_GRAFT_BENCH_REPS times (default 2, best-of — single-run numbers on a
+$SPARK_GRAFT_BENCH_REPS times (default 3, best-of — single-run numbers on a
 shared box swing ~2x on JIT/GC noise; min is the standard noise floor).
 """
 

@@ -48,8 +48,12 @@ def pii_counts(col: Column | str) -> Column:
 
 def redact_pii(col: Column | str, kinds: tuple[str, ...] | None = None) -> Column:
     """Replace every PII match with its typed tag ([EMAIL]/[PHONE]/[IP]),
-    in PII_PATTERNS order. NULL propagates (no text, no redaction)."""
+    in PII_PATTERNS order. NULL propagates (no text, no redaction).
+    ``kinds=None`` means all kinds; an explicit empty tuple redacts
+    nothing (callers building ``kinds`` dynamically rely on that)."""
     out = _c(col)
-    for k in kinds or tuple(PII_PATTERNS):
+    if kinds is None:
+        kinds = tuple(PII_PATTERNS)
+    for k in kinds:
         out = F.regexp_replace(out, PII_PATTERNS[k], PII_TAGS[k])
     return out

@@ -52,6 +52,18 @@ def asof_join(
         # field — including it again would duplicate the field name and make
         # the _m[...] extraction ambiguous
         right_cols = tuple(c for c in right.columns if c not in (on, right_time))
+    else:
+        # same ambiguity when the caller passes right_time (or a dup) in an
+        # explicit right_cols: the payload struct would carry two fields of
+        # one name and the _m[...] extraction dies with an opaque
+        # AMBIGUOUS_REFERENCE — fail with the actionable error instead
+        bad = [c for c in right_cols if c == right_time]
+        if bad or len(set(right_cols)) != len(right_cols):
+            raise ValueError(
+                "asof_join right_cols must be unique and must not repeat "
+                f"right_time={right_time!r} (it is always carried as the "
+                f"first payload field); got right_cols={list(right_cols)}"
+            )
     out_names = [f"{c}{suffix}" for c in (right_time, *right_cols)]
     dup_out = set(out_names) & set(left.columns)
     if dup_out:

@@ -90,8 +90,9 @@ def connected_components(
             .select("id", F.coalesce("lbl2", "lbl").alias("lbl"), "prev")
             .localCheckpoint(eager=False)
         )
-        n_changed = merged.filter(F.col("lbl") != F.col("prev")).count()
-        delta = merged.filter(F.col("lbl") != F.col("prev")).select("id", "lbl")
+        changed = merged.filter(F.col("lbl") != F.col("prev"))
+        n_changed = changed.count()
+        delta = changed.select("id", "lbl")
         labels = merged.select("id", "lbl")
         if n_changed == 0:
             break

@@ -88,14 +88,17 @@ def ivf_build_index(
     column and centroids is a small driver-side list (n_lists x dim — a few
     KB, broadcast to queries). Train-on-a-sample, assign-everywhere: the fit
     input is bounded by ``fit_sample_size`` rows WITHOUT any pre-count
-    action over the corpus — ``limit`` short-circuits the scan once enough
-    rows arrive (CollectLimit opens partitions incrementally), so building
-    the index costs exactly one bounded read + the full assignment scan.
-    When the corpus's physical layout is sorted/clustered (a prefix would
-    bias the centroids), pass ``fit_fraction`` to spread the sample across
-    all partitions first (seeded Bernoulli ``sample`` — a scan-speed filter,
-    still no count); queries then touch only n_probe/n_lists of the data.
-    The corpus columns ride through the transform — no join-back shuffle."""
+    action over the corpus. The default takes the ``fit_sample_size``
+    smallest ``xxhash64(id, seed)`` values (TakeOrdered: per-partition
+    top-n, driver merge of n — no shuffle) — an UNBIASED deterministic
+    sample even when the corpus's physical layout is sorted/clustered,
+    where a plain ``limit`` prefix would collapse the centroids onto the
+    first partitions' region. It costs one full (projected) scan; when the
+    caller knows the corpus scale, ``fit_fraction`` short-circuits that to
+    a seeded Bernoulli ``sample`` + ``limit`` (a scan-speed filter that
+    stops once enough rows arrive). Queries then touch only
+    n_probe/n_lists of the data. The corpus columns ride through the
+    transform — no join-back shuffle."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -103,7 +106,9 @@ def ivf_build_index(
     if fit_fraction is not None:
         train = vecs.sample(False, fit_fraction, seed).limit(fit_sample_size)
     else:
-        train = vecs.limit(fit_sample_size)
+        train = vecs.orderBy(
+            F.xxhash64(F.col(corpus_id), F.lit(seed)), F.col(corpus_id)
+        ).limit(fit_sample_size)
     km = KMeans(k=n_lists, seed=seed, maxIter=20)
     model = km.fit(train)
     centroids = [list(map(float, c)) for c in model.clusterCenters()]

@@ -2904,13 +2904,21 @@ def build_tree_fixture(spark: SparkSession, sf_dir: str) -> str:
         .collect()
     )
     root = '{"type": "Root", "text": "", "children": [' + ", ".join(r.tj for r in docs) + "]}"
+    # content-addressed dir (uid-scoped against foreign same-named dirs on a
+    # shared /tmp) + write-tmp-then-os.replace: a concurrent reader never
+    # sees a half-written file, and if the content already matches the scan
+    # path is reused without touching it
+    digest = _hl.md5((sf_dir + "\x00" + root).encode()).hexdigest()[:16]
     fixture_dir = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_tree_fixture_" + _hl.md5(sf_dir.encode()).hexdigest()[:12],
+        tempfile.gettempdir(), f"spark_graft_tree_fixture_{os.getuid()}_{digest}"
     )
     os.makedirs(fixture_dir, exist_ok=True)
-    with open(os.path.join(fixture_dir, "document_tree.json"), "w", encoding="utf-8") as f:
-        f.write(root)
+    target = os.path.join(fixture_dir, "document_tree.json")
+    if not os.path.exists(target):
+        fd, tmp = tempfile.mkstemp(dir=fixture_dir, suffix=".tmp")
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(root)
+        os.replace(tmp, target)
     return fixture_dir
 
 

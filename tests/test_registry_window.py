@@ -85,12 +85,17 @@ R3_PROMOTIONS = [
 
 
 def _driver_checked_names():
-    """Names with a driver row in any prior round's CORRECTNESS file."""
+    """Names with a GREEN driver row in any prior round's CORRECTNESS file.
+    err rows (e.g. multimodal_decode_features' r02 canonicalizer crash) and
+    mismatching rows don't count — a query that only ever crashed the
+    driver must stay in (or return to) the window until it goes green."""
     seen = set()
     for fn in sorted(os.listdir(_REPO)):
         if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
             with open(os.path.join(_REPO, fn)) as f:
-                seen |= set(json.load(f))
+                for name, row in json.load(f).items():
+                    if row.get("err") is None and row.get("hash_match"):
+                        seen.add(name)
     return seen
 
 
