@@ -60,6 +60,10 @@ HEADLINE = [
     "order_priority_exists_late",
     "bm25_search_top10",
     "purchase_click_attribution",
+    "corpus_top_bigrams",
+    "doc_epoch_upsample",
+    "doc_char_entropy",
+    "embedding_semantic_dedup",
 ]
 
 

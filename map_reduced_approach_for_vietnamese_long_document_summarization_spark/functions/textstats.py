@@ -179,3 +179,46 @@ def doc_fingerprint(col: Column | str) -> Column:
     fingerprint robust to formatting-only differences.
     """
     return F.md5(normalize_whitespace(col))
+
+
+def char_entropy_batch(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document Shannon character entropy (bits/char) — the cheap
+    gibberish/degenerate-text signal quality pipelines layer next to the
+    Gopher repetition rules: binary blobs and keyboard mash score far from
+    the ~4 bits/char of natural text, single-char floods score ~0.
+
+    Computed as ``log2(n) - sum(c_i * log2(c_i)) / n`` over per-character
+    counts ``c_i`` — the algebraic form whose only float sum is over the
+    ~|alphabet| distinct characters, not all n. Characters are compared
+    case-sensitively on the raw text (entropy is about the byte stream a
+    tokenizer will see, not normalized words).
+
+    Returns ``(id_col, n_chars, entropy)`` with entropy rounded to 6
+    (engine-portable; the handful of same-magnitude log terms keeps
+    double-precision error ~1e-15, far under the rounding step). NULL and
+    empty text score 0.0 with n_chars 0.
+
+    Scale: same shape as ``repetition_stats_batch`` — one char-explode into
+    a (doc, char) hash aggregate (codegen'd, map-side combinable: the
+    shuffle carries at most |alphabet| rows per doc, NOT n chars) and a
+    per-doc rollup that reuses the same partitioning. ``id_col`` must be
+    unique (rows sharing an id would merge their character pools)."""
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("_ch")
+    ).filter(F.length("_ch") > 0)
+    per_char = chars.groupBy(id_col, "_ch").agg(F.count(F.lit(1)).alias("_c"))
+    stats = per_char.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("_c") * F.log2("_c")).alias("_clogc"),
+    )
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_chars"),
+            F.round(
+                F.coalesce(F.log2("_n") - F.col("_clogc") / F.col("_n"), F.lit(0.0)), 6
+            ).alias("entropy"),
+        )
+    )

@@ -41,8 +41,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles_expr(col: Column | str, n: int = 3, lowercase: bool = True) -> Column:
-    """Distinct word n-gram shingles as a JVM expression (no Python).
+def shingles_expr(
+    col: Column | str, n: int = 3, lowercase: bool = True, distinct: bool = True
+) -> Column:
+    """Word n-gram shingles as a JVM expression (no Python) — distinct per
+    doc by default (the set-semantics the dedup family needs); pass
+    ``distinct=False`` to keep multiplicity (vocab/frequency counting).
 
     Built with n-1 ``zip_with`` passes over shifted token arrays (each gram
     extends by the next token; the short tail zips against null and is
@@ -57,7 +61,9 @@ def shingles_expr(col: Column | str, n: int = 3, lowercase: bool = True) -> Colu
     for k in range(1, n):
         shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
         grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    out = F.array_distinct(F.filter(grams, lambda x: x.isNotNull()))
+    out = F.filter(grams, lambda x: x.isNotNull())
+    if distinct:
+        out = F.array_distinct(out)
     # NULL text -> empty shingle set (not NULL): keeps size()/array-fn
     # callers safe, matching the pre-rewrite contract
     return F.coalesce(out, F.array().cast("array<string>"))

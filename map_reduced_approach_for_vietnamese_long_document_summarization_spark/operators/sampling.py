@@ -89,3 +89,51 @@ def stratified_hash_sample(
     for k, v in fractions.items():
         thr = F.when(s == F.lit(k), F.lit(float(v))).otherwise(thr)
     return df.filter(r < thr)
+
+
+def epoch_upsample(
+    df: DataFrame,
+    strata_col: str,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "epoch",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Fractional-epoch corpus mixing: replicate each row ``epochs[stratum]``
+    times in expectation — the data-mixture primitive behind published LLM
+    training recipes where sources are weighted in epochs (e.g. a curated
+    source at 3.4 epochs, common crawl at 0.7).
+
+    A row with weight ``e`` is emitted ``floor(e)`` times, plus one more
+    copy when ``hash_uniform(id, salt) < frac(e)`` — so weight 3.4 means
+    every row appears 3 times and a deterministic 40% of rows appear a 4th
+    time, while weight 0.7 keeps a deterministic 70% (downsampling and
+    upsampling are the same rule). The emitted ``epoch_col`` (0-based copy
+    index) distinguishes replicas, so downstream shuffles/splits that key
+    on ``(id, epoch)`` keep them apart.
+
+    Deterministic in (salt, id) — stable under reruns, repartitioning, and
+    engine changes, like ``assign_split``. Scale: pure row-local
+    ``explode(sequence(...))`` — zero shuffle, no join; output size is
+    exactly the mixture's token budget.
+    """
+    for k, v in epochs.items():
+        if v < 0:
+            raise ValueError(f"epochs must be >= 0, got {k!r}: {v}")
+    if default_epochs < 0:
+        raise ValueError(f"default_epochs must be >= 0, got {default_epochs}")
+    s = F.col(strata_col)
+    e: Column = F.lit(float(default_epochs))
+    for k, v in epochs.items():
+        e = F.when(s == F.lit(k), F.lit(float(v))).otherwise(e)
+    base = F.floor(e).cast("int")
+    frac = e - F.floor(e)
+    extra = (hash_uniform(id_col, salt) < frac).cast("int")
+    n_copies = base + extra
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
+        .drop("_n_copies")
+    )

@@ -267,3 +267,50 @@ def ivf_assign(
         cs.append(F.struct(d.alias("dist"), F.lit(ci).alias("cell")))
     nearest = F.element_at(F.array_sort(F.array(*cs)), 1)["cell"]
     return corpus.withColumn("cell", nearest)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    2303.09540 — the embedding-space dedup pass behind modern web-corpus
+    curation): cluster the corpus with a coarse quantizer, compare pairs
+    ONLY within a cluster, and drop every document whose cosine similarity
+    to a lower-id document in its cluster reaches ``threshold``.
+
+    Returns the surviving rows (all corpus columns + ``cell``). The keep
+    rule is "no earlier similar doc in my cell" — order-independent (pure
+    predicate, not a sequential scan), deterministic, and SQL-replayable
+    with a NOT EXISTS. Like SemDeDup itself this is an approximation of
+    transitive near-dup clustering: pairs straddling a cluster boundary are
+    never compared (the recall/cost dial is the cluster count), and a
+    survivor may have been similar only to dropped docs. For exact
+    transitive semantics feed ``embedding_near_dup_pairs`` into
+    ``connected_components`` instead.
+
+    Scale: assignment is a literal-centroid expression (scan speed, no
+    fit at query time — pass ``ivf_build_index(...)``'s learned centroids
+    or ``ivf_fixed_centroids`` seeded ones); the self-join shuffles on
+    ``cell``, so the quadratic pair work is n_i^2 per cluster instead of
+    N^2 — with balanced clusters that is N^2/n_lists, and skewed megacells
+    are visible (and salt-able) in the cell histogram. The anti-join
+    reuses the same cell partitioning."""
+    assigned = ivf_assign(corpus, centroids, corpus_vec=corpus_vec)
+    slim = assigned.select(
+        F.col(corpus_id).alias("_id"), F.col(corpus_vec).alias("_v"), "cell"
+    )
+    l, r = slim.alias("l"), slim.alias("r")
+    dominated = (
+        l.join(
+            r,
+            (F.col("l.cell") == F.col("r.cell")) & (F.col("r._id") < F.col("l._id")),
+        )
+        .filter(cosine_similarity_expr(F.col("l._v"), F.col("r._v")) >= threshold)
+        .select(F.col("l._id").alias(corpus_id))
+        .distinct()
+    )
+    return assigned.join(dominated, corpus_id, "left_anti")

@@ -208,3 +208,53 @@ def embedding_int8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(err, 9).alias("max_err"),
         (err * 2.0 * scale <= 1.0000001).cast("int").alias("within_bound"),
     )
+
+
+def _semantic_dedup_oracle() -> str:
+    from .relational import _ivf_centroids_values_sql
+
+    return f"""
+WITH cents AS (SELECT * FROM (VALUES {_ivf_centroids_values_sql()}) c(cid, w)),
+base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dists AS MATERIALIZED (
+  SELECT vec_id, cid,
+         list_sum(list_transform(range(64), i -> (v[i+1] - w[i+1]) ** 2)) AS d
+  FROM base, cents),
+assign AS MATERIALIZED (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dists) t WHERE rn = 1)
+SELECT a.vec_id, a.cell
+FROM assign a
+WHERE NOT EXISTS (
+  SELECT 1
+  FROM assign a2
+  JOIN base b2 ON b2.vec_id = a2.vec_id
+  JOIN base b1 ON b1.vec_id = a.vec_id
+  WHERE a2.cell = a.cell AND a2.vec_id < a.vec_id
+    AND list_dot_product(b1.v, b2.v)
+          / (sqrt(list_dot_product(b1.v, b1.v)) * sqrt(list_dot_product(b2.v, b2.v)))
+        >= 0.35)
+"""
+
+
+@query("embedding_semantic_dedup", oracle=_semantic_dedup_oracle())
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (operators/similarity.py
+    semantic_dedup; round-4 window candidate, R4_PROMOTIONS): assign every
+    embedding to its nearest seeded fixed centroid (the same coarse
+    quantizer as embedding_ivf_fixed_top3, so assignment replays in SQL),
+    compare pairs only WITHIN a cell, and drop each vector with an exact
+    cosine >= 0.35 to a lower-id cellmate. Emits the survivors
+    (vec_id, cell) — the oracle recomputes assignment and the NOT EXISTS
+    domination predicate bit-for-bit.
+
+    Scale: the quadratic pair stage is per-cell (N^2/n_lists for balanced
+    cells), assignment is a literal-centroid scan — the SemDeDup recipe's
+    exact cost model."""
+    from ..operators.similarity import ivf_fixed_centroids, semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = ivf_fixed_centroids(dim=64, n_lists=8, seed=7)
+    return semantic_dedup(e, cents, threshold=0.35).select("vec_id", "cell")

@@ -139,3 +139,95 @@ def doc_contamination_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("split") == "train").select("doc_id", "text")
     test = docs.filter(F.col("split") == "test").select("doc_id", "text")
     return ngram_contamination(train, test, shingle_n=3, max_doc_freq=64, top_k=20)
+
+
+@query(
+    "corpus_top_bigrams",
+    # round-4 window candidate (tests/test_registry_window.py R4_PROMOTIONS)
+    oracle=f"""
+WITH t AS (SELECT doc_id, list_transform({_DUCK_TOKS}, x -> lower(x)) AS toks
+           FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS ngram
+      FROM t WHERE len(toks) >= 2),
+pd AS (SELECT ngram, doc_id, count(*) AS c FROM g GROUP BY 1, 2)
+SELECT ngram, sum(c) AS n_occurrences, count(*) AS n_docs
+FROM pd GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram
+LIMIT 20
+""",
+)
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy-hitters (operators/vocab.py): top-20 word bigrams by
+    occurrence count with document frequency — the boilerplate/vocab
+    profiling pass run before tokenizer training. Two-level aggregate
+    (map-side combinable) + TakeOrderedAndProject top-k; the oracle
+    replays tokenization, gram building, and both aggregation levels."""
+    from ..operators.vocab import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
+@query(
+    "doc_epoch_upsample",
+    # round-4 window candidate (tests/test_registry_window.py R4_PROMOTIONS)
+    oracle="""
+WITH u AS (SELECT doc_id, lang,
+                  ('0x' || substring(md5('epoch:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                    / 1152921504606846976.0 AS r,
+                  CASE lang WHEN 'vi' THEN 2.5 WHEN 'en' THEN 0.75 ELSE 1.0 END AS w
+           FROM documents),
+c AS (SELECT doc_id, lang,
+             floor(w)::BIGINT + CASE WHEN r < w - floor(w) THEN 1 ELSE 0 END AS n
+      FROM u),
+x AS (SELECT doc_id, lang, unnest(range(n)) AS epoch FROM c WHERE n > 0)
+SELECT lang, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+       max(epoch)::INT AS max_epoch
+FROM x GROUP BY lang
+""",
+)
+def doc_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch data mixing (operators/sampling.py epoch_upsample):
+    Vietnamese at 2.5 epochs, English at 0.75, everything else 1.0 —
+    replicate/downsample deterministically (md5-hash extra-copy decision)
+    and roll up emitted rows / distinct docs / max copy index per language.
+    Weights are exact binary fractions so the frac-threshold comparison
+    replays bit-for-bit in the oracle."""
+    from ..operators.sampling import epoch_upsample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    up = epoch_upsample(docs, "lang", {"vi": 2.5, "en": 0.75}, default_epochs=1.0)
+    return up.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max("epoch").cast("int").alias("max_epoch"),
+    )
+
+
+@query(
+    "doc_char_entropy",
+    # round-4 window candidate (tests/test_registry_window.py R4_PROMOTIONS)
+    oracle="""
+WITH ch AS (SELECT doc_id,
+                   unnest(list_transform(range(1, length(text) + 1),
+                                         i -> substring(text, i, 1))) AS c
+            FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+pc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+st AS (SELECT doc_id, sum(cnt)::BIGINT AS n, sum(cnt * log2(cnt)) AS clogc
+       FROM pc GROUP BY doc_id)
+SELECT d.doc_id, coalesce(st.n, 0) AS n_chars,
+       round(coalesce(log2(st.n) - st.clogc / st.n, 0.0), 6) AS entropy
+FROM documents d LEFT JOIN st USING (doc_id)
+""",
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document (functions/textstats.py
+    char_entropy_batch): the gibberish/degenerate-text quality signal.
+    Uses the log2(n) - sum(c*log2(c))/n form so the only float sum runs
+    over the ~|alphabet| distinct characters — small and same-magnitude,
+    so round(6) is engine-stable. The oracle replays the char explode and
+    both aggregation levels."""
+    from ..functions.textstats import char_entropy_batch
+
+    return char_entropy_batch(_t(spark, sf_dir, "documents"))

@@ -84,6 +84,19 @@ R3_PROMOTIONS = [
 ]
 
 
+# round-4 window candidates: oracled queries ADDED mid-round-3, after the
+# round-3 window was frozen (evicting a frozen entry would un-check a
+# promotion). They ride the tail this round — locally parity-checked only —
+# and MUST be rotated into the round-4 window. test_r4_candidates_are_oracled
+# keeps them from rotting; the orphan test below exempts exactly this list.
+R4_PROMOTIONS = [
+    "corpus_top_bigrams",
+    "doc_epoch_upsample",
+    "doc_char_entropy",
+    "embedding_semantic_dedup",
+]
+
+
 def _driver_checked_names():
     """Names with a GREEN driver row in any prior round's CORRECTNESS file.
     err rows (e.g. multimodal_decode_features' r02 canonicalizer crash) and
@@ -117,9 +130,18 @@ def test_every_oracled_query_has_a_driver_row_somewhere():
     first-50 (so the coming round checks it). Fails when a new oracled
     query silently lands outside all windows."""
     window = set(list(QUERIES)[:WINDOW])
-    covered = _driver_checked_names() | window
+    covered = _driver_checked_names() | window | set(R4_PROMOTIONS)
     orphans = sorted(set(ORACLES) - covered)
     assert not orphans, f"oracled queries never driver-checked: {orphans}"
+
+
+def test_r4_candidates_are_oracled():
+    """Every round-4 promotion candidate must exist and carry an oracle —
+    and once one gains a green driver row, drop it from R4_PROMOTIONS so
+    the orphan exemption doesn't outlive its purpose."""
+    for n in R4_PROMOTIONS:
+        assert n in QUERIES, f"R4 candidate {n} not registered"
+        assert n in ORACLES, f"R4 candidate {n} has no oracle"
 
 
 def test_window_oracle_density():
