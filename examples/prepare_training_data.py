@@ -7,7 +7,7 @@ Stages (each one a DataFrame -> DataFrame transform; the whole chain is one
 lazy plan except the dedup-cluster iteration):
 
   1. quality + language gate   (textstats: scan-speed Catalyst expressions)
-  2. repetition filter         (Gopher dup-token/top-token ratios)
+  2. repetition + entropy gate (Gopher dup ratios; char-entropy gibberish floor)
   3. exact dedup               (md5 fingerprint keep-min-id)
   4. near-dedup                (SimHash pairs -> connected components ->
                                 canonical doc per cluster)
@@ -16,7 +16,10 @@ lazy plan except the dedup-cluster iteration):
   6. PII redaction             (typed [EMAIL]/[PHONE]/[IP] tags, zero shuffle)
   7. train/val/test split      (deterministic md5 hash, leakage-stable)
   8. decontamination report    (test-split 3-gram containment in train)
-  9. sequence packing          (hard-budget greedy bins per shard)
+  9. epoch mixing              (fractional-epoch upsampling of the train
+                                split by language, deterministic)
+ 10. sequence packing          (hard-budget greedy bins per shard, over the
+                                MIXED train stream — replicas pack too)
 """
 
 import os
@@ -28,6 +31,7 @@ from pyspark.sql import functions as F
 
 from map_reduced_approach_for_vietnamese_long_document_summarization_spark import get_spark
 from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions import (
+    char_entropy_batch,
     language_id,
     quality_score,
     repetition_stats_batch,
@@ -36,6 +40,7 @@ from map_reduced_approach_for_vietnamese_long_document_summarization_spark.funct
 from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
     assign_split,
     dedup_keep_canonical,
+    epoch_upsample,
     exact_dedup,
     md5_hash32,
     ngram_contamination,
@@ -70,6 +75,12 @@ def prepare(spark, sf_dir, max_tokens=512, n_shards=8):
         "doc_id",
         "left_semi",
     )
+    # char-entropy floor: natural text sits ~4 bits/char; binary blobs and
+    # single-char floods fall well under 2
+    ent = char_entropy_batch(gated)
+    gated = gated.join(
+        ent.filter(F.col("entropy") >= 2.0).select("doc_id"), "doc_id", "left_semi"
+    )
 
     # 3: exact dedup, 4: near-dedup clusters -> canonical survivors
     exact = exact_dedup(gated)
@@ -97,35 +108,53 @@ def prepare(spark, sf_dir, max_tokens=512, n_shards=8):
         train, test, shingle_n=3, max_doc_freq=64, threshold=0.8
     )
 
-    # 9: pack the train split into hard-budget bins (greedy: bins feed
-    # fixed-context windows directly, so they must never exceed the budget)
-    train_lens = train.select("doc_id", ws_token_count("text").alias("n_tokens"))
+    # 9: fractional-epoch mixing of the train split — upsample Vietnamese,
+    # downsample English boilerplate; replicas carry a 0-based epoch index
+    mixed = epoch_upsample(
+        train.withColumn("lang_guess", language_id("text")),
+        "lang_guess",
+        {"vi": 2.5, "en": 0.75},
+        default_epochs=1.0,
+    ).drop("lang_guess")
+
+    # 10: pack the MIXED train stream into hard-budget bins (greedy: bins
+    # feed fixed-context windows directly, so they must never exceed the
+    # budget). Replicas pack as independent rows under a replica-unique id
+    # (epochs < 8 here) so within-shard packing order stays deterministic.
+    mixed_lens = mixed.select(
+        (F.col("doc_id") * 8 + F.col("epoch")).alias("mix_id"),
+        ws_token_count("text").alias("n_tokens"),
+    )
     packed = pack_sequences(
-        train_lens, max_tokens=max_tokens, n_shards=n_shards, mode="greedy"
+        mixed_lens, max_tokens=max_tokens, n_shards=n_shards, mode="greedy",
+        id_col="mix_id",
     )
     bins = packing_stats(packed, max_tokens=max_tokens)
 
-    return split, contamination, bins
+    return split, contamination, mixed, bins
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="vlds-example-training-data")
-    split, contamination, bins = prepare(spark, sf_dir)
+    split, contamination, mixed, bins = prepare(spark, sf_dir)
 
-    # cache the shared upstream (gates + dedup + split) across the three
-    # report actions; one aggregate serves both bin stats
+    # cache the shared upstream (gates + dedup + split) across the report
+    # actions; one aggregate serves both bin stats
     split = split.persist()
     counts = {r["split"]: r["count"] for r in split.groupBy("split").count().collect()}
     # distinct test docs, not (test, train) pairs — one leaked doc matching
     # many train docs counts once
     flagged = contamination.select("test_id").distinct().count()
     unpersist_inputs(contamination)  # release the cached test-shingle table
+    n_train = counts.get("train", 0)
+    n_mixed = mixed.count()
     stats = bins.agg(
         F.count(F.lit(1)).alias("n_bins"), F.round(F.avg("fill_frac"), 4).alias("f")
     ).first()
     print(f"splits: {counts}")
     print(f"contaminated test docs (containment >= 0.8): {flagged}")
+    print(f"mixture: {n_train} train docs -> {n_mixed} rows after epoch weighting")
     print(f"train bins: {stats['n_bins']}, mean fill: {stats['f']}")
     split.unpersist()
 

@@ -21,6 +21,7 @@ from .text import (
 )
 from .textstats import (
     char_count,
+    char_entropy_batch,
     doc_fingerprint,
     language_id,
     quality_score,
@@ -43,6 +44,7 @@ __all__ = [
     "PII_TAGS",
     "pii_counts",
     "redact_pii",
+    "char_entropy_batch",
     "bpe_token_count_udf",
     "bpe_truncate_udf",
     "hf_token_count_udf",

@@ -29,6 +29,7 @@ from .multimodal import (
 from .pairing import anti_pairs, pair_docs_with_refs, positional_zip_join, skip_existing
 from .similarity import (
     cosine_topk,
+    semantic_dedup,
     embedding_near_dup_pairs,
     ivf_assign,
     ivf_build_index,
@@ -41,8 +42,9 @@ from .components import connected_components, dedup_keep_canonical
 from .contamination import ngram_contamination
 from .packing import pack_sequences, packing_stats
 from .retrieval import bm25_topk, term_postings
-from .sampling import assign_split, hash_uniform, stratified_hash_sample
+from .sampling import assign_split, epoch_upsample, hash_uniform, stratified_hash_sample
 from .skew import salted_agg, salted_join
+from .vocab import top_ngrams
 
 __all__ = [
     "asof_join",
@@ -54,8 +56,11 @@ __all__ = [
     "pack_sequences",
     "packing_stats",
     "assign_split",
+    "epoch_upsample",
     "hash_uniform",
     "stratified_hash_sample",
+    "semantic_dedup",
+    "top_ngrams",
     "chunk_documents",
     "chunk_fixed_tokens",
     "recursive_split_text",

@@ -1,6 +1,7 @@
 """Integration: the composed training-data prep pipeline (quality gate ->
-repetition filter -> exact+near dedup -> split -> decontamination -> packing)
-runs end-to-end and upholds its invariants on the harness corpus."""
+repetition/entropy filter -> exact+near dedup -> split -> decontamination ->
+epoch mixing -> packing) runs end-to-end and upholds its invariants on the
+harness corpus."""
 
 import importlib.util
 import os
@@ -19,7 +20,7 @@ def pipeline(spark, sf_dir):
 
 
 def test_splits_partition_the_survivors(pipeline):
-    split, _, _ = pipeline
+    split, _, _, _ = pipeline
     counts = {r["split"]: r["count"] for r in split.groupBy("split").count().collect()}
     assert set(counts) <= {"train", "val", "test"}
     assert counts.get("train", 0) > 0
@@ -28,7 +29,7 @@ def test_splits_partition_the_survivors(pipeline):
 
 
 def test_contamination_rows_are_valid_pairs(pipeline):
-    split, contamination, _ = pipeline
+    split, contamination, _, _ = pipeline
     rows = contamination.collect()
     test_ids = {r["doc_id"] for r in split.filter(F.col("split") == "test").collect()}
     train_ids = {r["doc_id"] for r in split.filter(F.col("split") == "train").collect()}
@@ -43,23 +44,28 @@ def test_bins_conserve_tokens_within_overflow_bound(pipeline):
         ws_token_count,
     )
 
-    split, _, bins = pipeline
+    split, _, mixed, bins = pipeline
     rows = bins.collect()
     assert all(r["n_docs"] >= 1 for r in rows)
-    # conservation: every train token lands in exactly one bin (packing
-    # never drops or splits a document)
-    train_tokens = (
-        split.filter(F.col("split") == "train")
-        .agg(F.sum(ws_token_count("text")).alias("t"))
-        .first()["t"]
-    )
-    assert sum(r["sum_tokens"] for r in rows) == train_tokens
-    # start-offset bucketing bounds overflow by one straddling doc: a bin's
-    # tokens can exceed the budget by strictly less than its largest doc
-    max_doc = (
-        split.filter(F.col("split") == "train")
-        .agg(F.max(ws_token_count("text")).alias("m"))
-        .first()["m"]
-    )
+    # conservation: every MIXED-stream token lands in exactly one bin
+    # (packing never drops or splits a row; replicas pack independently)
+    mixed_tokens = mixed.agg(F.sum(ws_token_count("text")).alias("t")).first()["t"]
+    assert sum(r["sum_tokens"] for r in rows) == mixed_tokens
+    # greedy mode: a bin exceeds the budget only when a single oversized
+    # row sits alone in it
+    max_doc = mixed.agg(F.max(ws_token_count("text")).alias("m")).first()["m"]
     for r in rows:
-        assert r["sum_tokens"] < 256 + max_doc
+        assert r["sum_tokens"] <= 256 or r["n_docs"] == 1
+    assert max_doc is not None
+
+
+def test_epoch_mixing_invariants(pipeline):
+    split, _, mixed, _ = pipeline
+    train = split.filter(F.col("split") == "train")
+    # every mixed row's doc comes from the train split, never val/test
+    assert mixed.join(train, "doc_id", "left_anti").count() == 0
+    # replicas are identity-distinct via (doc_id, epoch)
+    assert mixed.select("doc_id", "epoch").distinct().count() == mixed.count()
+    # per-doc copies differ by at most 1 from the weight floor (frac rule)
+    per_doc = mixed.groupBy("doc_id").count().collect()
+    assert all(1 <= r["count"] <= 3 for r in per_doc)  # weights 0.75..2.5
