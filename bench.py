@@ -9,6 +9,7 @@ shared box swing ~2x on JIT/GC noise; min is the standard noise floor).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -91,8 +92,17 @@ def main() -> None:
         for _ in range(reps):
             # drop persisted intermediates: Spark's cache manager matches by
             # canonicalized plan, so a repeat run would silently reuse the
-            # previous rep's persist() tables and under-report real cost
+            # previous rep's persist() tables and under-report real cost.
+            # Also release localCheckpoint RDDs (clearCache does NOT touch
+            # them; accumulated checkpoints from the components/collapse
+            # loops degrade later queries via executor-memory pressure —
+            # measured 12s -> 131s on repeated doc_dup_clusters runs).
+            # Safe here: no DataFrame from a previous rep is ever reused.
             spark.catalog.clearCache()
+            gc.collect()
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for k in list(jmap.keySet().toArray()):
+                jmap.get(k).unpersist()
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)

@@ -25,6 +25,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _persistent_rdd_ids(sc) -> set[int]:
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _release_rdds(sc, ids: set[int]) -> None:
+    """Unpersist checkpoint RDDs by id. localCheckpoint truncates lineage,
+    so this is only safe once every plan that read them has materialized —
+    which is exactly when a round's new checkpoint supersedes the old.
+    The before/after id-diffs that feed this assume no OTHER thread is
+    persisting RDDs on the same SparkContext during the snapshot window;
+    the worst case (a foreign cached RDD unpersisted early) costs a
+    recompute, never correctness — except for foreign localCheckpoints,
+    which share this function's one-materialization caveat."""
+    jmap = sc._jsc.getPersistentRDDs()
+    for k in ids:
+        rdd = jmap.get(k)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id1",
@@ -41,12 +61,15 @@ def connected_components(
     with no near-dup pair become singleton components) — pass the full corpus
     id column so the output covers every document.
     """
+    sc = edges.sparkSession.sparkContext
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(F.col("a") != F.col("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # checkpoint the edge table FIRST: vertices/labels derive from it, so
     # freezing it before any action makes the (possibly expensive) upstream
     # pair generation run exactly once, not once per derived action
+    _pids0 = _persistent_rdd_ids(sc)
     sym = sym.localCheckpoint(eager=True)  # reused every round; freeze it once
+    sym_ids = _persistent_rdd_ids(sc) - _pids0
     vertices = sym.select(F.col("a").alias("id")).distinct()
     if nodes is not None:
         vertices = vertices.union(nodes.select(F.col(id_col).alias("id"))).distinct()
@@ -54,11 +77,17 @@ def connected_components(
     # seed labels with min(self, min neighbor): flooding round 0 as one
     # map-side-combinable aggregate instead of a full join round
     neigh_min = sym.groupBy("a").agg(F.min("b").alias("mb")).withColumnRenamed("a", "id")
+    _pids1 = _persistent_rdd_ids(sc)
     labels = (
         vertices.join(neigh_min, "id", "left")
         .select("id", F.least(F.col("id"), F.coalesce("mb", F.col("id"))).alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    # each round's checkpoint supersedes the previous one; release the old
+    # RDD as soon as the new one has materialized, so a k-round run (or a
+    # long session of many runs) holds at most TWO label checkpoints plus
+    # the edge table — not k of them slowly crushing executor memory
+    prev_ids = _persistent_rdd_ids(sc) - _pids1
 
     lbl_type = dict(labels.dtypes)["lbl"]
     # semi-naive (delta) iteration: a node's label can only improve because a
@@ -91,7 +120,10 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         changed = merged.filter(F.col("lbl") != F.col("prev"))
-        n_changed = changed.count()
+        _pids_round = _persistent_rdd_ids(sc)
+        n_changed = changed.count()  # materializes this round's checkpoint
+        _release_rdds(sc, prev_ids)  # last round's labels are now dead
+        prev_ids = _persistent_rdd_ids(sc) - _pids_round
         delta = changed.select("id", "lbl")
         labels = merged.select("id", "lbl")
         if n_changed == 0:
@@ -111,6 +143,10 @@ def connected_components(
             stacklevel=2,
         )
 
+    # the edge checkpoint is dead once the loop exits (labels is itself a
+    # materialized checkpoint); only the FINAL label RDD outlives the call,
+    # owned by the returned DataFrame
+    _release_rdds(sc, sym_ids)
     return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("component"))
 
 
