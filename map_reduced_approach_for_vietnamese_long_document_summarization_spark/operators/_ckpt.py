@@ -1,0 +1,69 @@
+"""Checkpoint lifecycle helpers for bounded driver-side iteration loops.
+
+``localCheckpoint`` persists the materialized RDD but registers nothing a
+later ``spark.catalog.clearCache()`` can release, so every round of an
+iterative loop (collapse, critique, hierarchical levels, connected
+components) would otherwise pin one superseded RDD in executor memory for
+the life of the session — measured as a 12s -> 131s degradation over
+repeated component runs. These helpers release a round's checkpoint the
+moment the next round's checkpoint has materialized (at which point the old
+data can never be read again: every downstream plan reads the NEW
+checkpoint).
+"""
+
+from __future__ import annotations
+
+
+def persistent_rdd_ids(sc) -> set[int]:
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def release_rdds(sc, ids: set[int]) -> None:
+    """Unpersist checkpoint RDDs by id. localCheckpoint truncates lineage,
+    so this is only safe once every plan that read them has materialized —
+    which is exactly when a round's new checkpoint supersedes the old.
+    The before/after id-diffs that feed this assume no OTHER thread is
+    persisting RDDs on the same SparkContext during the snapshot window;
+    the worst case (a foreign cached RDD unpersisted early) costs a
+    recompute, never correctness — except for foreign localCheckpoints,
+    which share this function's one-materialization caveat."""
+    jmap = sc._jsc.getPersistentRDDs()
+    for k in ids:
+        rdd = jmap.get(k)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
+class RollingCheckpoint:
+    """Tracks the RDD ids behind a loop's rolling ``localCheckpoint`` and
+    releases each generation when the next one lands::
+
+        rc = RollingCheckpoint(df.sparkSession.sparkContext)
+        cur = rc.checkpoint(seed_df)          # eager checkpoint, tracked
+        while ...:
+            cur = rc.checkpoint(next_df)      # materializes, then frees prev
+        return cur                            # final generation stays live
+    """
+
+    def __init__(self, sc):
+        self._sc = sc
+        self._live: set[int] = set()
+
+    def checkpoint(self, df, eager: bool = True):
+        before = persistent_rdd_ids(self._sc)
+        out = df.localCheckpoint(eager=eager)
+        if eager:
+            self.rotate(persistent_rdd_ids(self._sc) - before)
+        else:
+            # lazy: ids appear at first action; caller calls mark_materialized()
+            self._pending_before = before
+        return out
+
+    def mark_materialized(self) -> None:
+        """For ``eager=False``: call right after the action that materialized
+        the checkpoint returned by the last ``checkpoint`` call."""
+        self.rotate(persistent_rdd_ids(self._sc) - self._pending_before)
+
+    def rotate(self, new_ids: set[int]) -> None:
+        release_rdds(self._sc, self._live)
+        self._live = new_ids

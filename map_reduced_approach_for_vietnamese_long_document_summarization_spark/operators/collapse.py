@@ -177,8 +177,10 @@ def collapse_until_fits(
             F.sum(tokens_col).over(w).alias("_total"),
         )
 
-    cur = _with_total(df.select(key_col, order_col, text_col, tokens_col))
-    cur = cur.localCheckpoint(eager=True)
+    from ._ckpt import RollingCheckpoint
+
+    rc = RollingCheckpoint(df.sparkSession.sparkContext)
+    cur = rc.checkpoint(_with_total(df.select(key_col, order_col, text_col, tokens_col)))
     rounds = 0
     while rounds < max_rounds and not cur.filter(F.col("_total") > token_max).isEmpty():
         todo = cur.filter(F.col("_total") > token_max).drop("_total")
@@ -190,7 +192,8 @@ def collapse_until_fits(
         nxt = done.unionByName(
             reduced.select(key_col, order_col, text_col, tokens_col)
         )
-        cur = _with_total(nxt).localCheckpoint(eager=True)
+        # rolling checkpoint: materializes the new round, then frees the old
+        cur = rc.checkpoint(_with_total(nxt))
         rounds += 1
     if stats is not None:
         stats["rounds"] = rounds

@@ -24,25 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _persistent_rdd_ids(sc) -> set[int]:
-    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
-
-
-def _release_rdds(sc, ids: set[int]) -> None:
-    """Unpersist checkpoint RDDs by id. localCheckpoint truncates lineage,
-    so this is only safe once every plan that read them has materialized —
-    which is exactly when a round's new checkpoint supersedes the old.
-    The before/after id-diffs that feed this assume no OTHER thread is
-    persisting RDDs on the same SparkContext during the snapshot window;
-    the worst case (a foreign cached RDD unpersisted early) costs a
-    recompute, never correctness — except for foreign localCheckpoints,
-    which share this function's one-materialization caveat."""
-    jmap = sc._jsc.getPersistentRDDs()
-    for k in ids:
-        rdd = jmap.get(k)
-        if rdd is not None:
-            rdd.unpersist(False)
+from ._ckpt import persistent_rdd_ids as _persistent_rdd_ids
+from ._ckpt import release_rdds as _release_rdds
 
 
 def connected_components(

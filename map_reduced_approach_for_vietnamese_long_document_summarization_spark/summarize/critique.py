@@ -193,7 +193,10 @@ def mapreduce_critique_summarize(
     def _with_total(d: DataFrame) -> DataFrame:
         return d.select(*cols, F.sum("n_tokens").over(w).alias("_total"))
 
-    cur = _with_total(mapped).localCheckpoint(eager=True)
+    from ..operators._ckpt import RollingCheckpoint
+
+    rc = RollingCheckpoint(docs.sparkSession.sparkContext)
+    cur = rc.checkpoint(_with_total(mapped))
     iteration = 0
     while iteration < max_rounds and not cur.filter(F.col("_total") > token_max).isEmpty():
         todo = cur.filter(F.col("_total") > token_max).drop("_total")
@@ -202,7 +205,8 @@ def mapreduce_critique_summarize(
             todo, summarizer, critic, token_max, iteration, max_critique_iterations, id_col
         )
         nxt = done.unionByName(reduced.select(*cols))
-        cur = _with_total(nxt).localCheckpoint(eager=True)
+        # rolling checkpoint: materializes the new round, then frees the old
+        cur = rc.checkpoint(_with_total(nxt))
         iteration += 1
 
     # pre-collapse intermediates that exceed token_max//2 (CR:315-346);

@@ -291,13 +291,17 @@ def hierarchical_summarize(
     """Bottom-up tree collapse (HI:296-313): levels min(max_depth, actual)
     down to 1, then a final map-reduce over each doc's remaining paragraphs
     and an optional editor polish pass (D17). Returns (doc_id, summary)."""
-    nodes = flatten_tree_json(trees, json_col, id_col).localCheckpoint(eager=True)
+    from ..operators._ckpt import RollingCheckpoint
+
+    rc = RollingCheckpoint(trees.sparkSession.sparkContext)
+    nodes = rc.checkpoint(flatten_tree_json(trees, json_col, id_col))
     actual = _max_depth(nodes)
     for d in range(min(max_depth, actual), 0, -1):
         out = _collapse_level(nodes, d, summarizer, chunk_size, chunk_overlap, token_max)
         if out is nodes:  # empty level: nothing collapsed, keep the checkpoint
             continue
-        nodes = out.localCheckpoint(eager=True)
+        # rolling checkpoint: materializes the new level, then frees the old
+        nodes = rc.checkpoint(out)
 
     final_in = (
         nodes.filter(F.col("node_type") == "Paragraph")
