@@ -97,13 +97,15 @@ def connected_components(
         # lazy checkpoint + count the changed rows in ONE action: the count
         # below is the round's first action, so it both materializes the
         # checkpoint and decides convergence — no separate isEmpty job
+        # snapshot BEFORE the localCheckpoint call: the RDD registers in
+        # getPersistentRDDs at marking time, not at materialization
+        _pids_round = _persistent_rdd_ids(sc)
         merged = (
             merged.join(lk, "lbl", "left")
             .select("id", F.coalesce("lbl2", "lbl").alias("lbl"), "prev")
             .localCheckpoint(eager=False)
         )
         changed = merged.filter(F.col("lbl") != F.col("prev"))
-        _pids_round = _persistent_rdd_ids(sc)
         n_changed = changed.count()  # materializes this round's checkpoint
         _release_rdds(sc, prev_ids)  # last round's labels are now dead
         prev_ids = _persistent_rdd_ids(sc) - _pids_round

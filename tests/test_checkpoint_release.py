@@ -1,0 +1,75 @@
+"""The iteration loops (components, collapse, critique, hierarchical) must
+not accumulate localCheckpoint RDDs: superseded rounds are released as soon
+as the next round materializes (operators/_ckpt.py). Regression guard for
+the measured 12s -> 131s degradation over repeated component runs."""
+
+from pyspark.sql import functions as F
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators._ckpt import (
+    persistent_rdd_ids,
+    release_rdds,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.collapse import (
+    collapse_until_fits,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.components import (
+    connected_components,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize import (
+    MockSummarizer,
+)
+
+
+def _purge(spark):
+    spark.catalog.clearCache()
+    sc = spark.sparkContext
+    release_rdds(sc, persistent_rdd_ids(sc))
+
+
+def test_components_releases_round_checkpoints(spark):
+    _purge(spark)
+    sc = spark.sparkContext
+    # a long chain forces several propagation rounds
+    n = 40
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+    )
+    out = connected_components(edges, id_col="doc_id")
+    rows = out.collect()
+    assert {r.component for r in rows} == {0}
+    # at most: the final labels checkpoint (1-2 RDD ids) survives the call;
+    # per-round checkpoints and the edge table must be gone
+    leftover = len(persistent_rdd_ids(sc))
+    assert leftover <= 2, f"components leaked {leftover} checkpoint RDDs"
+    _purge(spark)
+
+
+def test_collapse_releases_round_checkpoints(spark):
+    _purge(spark)
+    sc = spark.sparkContext
+    rows = [(1, i, f"tok{i} " * 30, 30) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_idx int, text string, n_tokens int")
+    out = collapse_until_fits(
+        df, MockSummarizer(8), token_max=60,
+        key_col="doc_id", order_col="chunk_idx", text_col="text", tokens_col="n_tokens",
+    )
+    assert out.count() >= 1
+    leftover = len(persistent_rdd_ids(sc))
+    assert leftover <= 2, f"collapse leaked {leftover} checkpoint RDDs"
+    _purge(spark)
+
+
+def test_repeated_runs_stay_bounded(spark):
+    _purge(spark)
+    sc = spark.sparkContext
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id1 long, id2 long"
+    )
+    counts = []
+    for _ in range(3):
+        connected_components(edges, id_col="doc_id").count()
+        counts.append(len(persistent_rdd_ids(sc)))
+    # growth is exactly the per-call final-labels RDD(s) — linear with a
+    # slope of <=2, never the per-round checkpoint count
+    assert counts[-1] - counts[0] <= 4, counts
+    _purge(spark)
