@@ -20,6 +20,8 @@ lazy plan except the dedup-cluster iteration):
                                 split by language, deterministic)
  10. sequence packing          (hard-budget greedy bins per shard, over the
                                 MIXED train stream — replicas pack too)
+ 11. shard sink                (one bin-ordered parquet file per shard —
+                                what the trainer's data loader streams)
 """
 
 import os
@@ -55,6 +57,7 @@ from map_reduced_approach_for_vietnamese_long_document_summarization_spark.funct
 )
 from map_reduced_approach_for_vietnamese_long_document_summarization_spark.sources import (
     load_table,
+    write_training_shards,
 )
 
 
@@ -131,13 +134,13 @@ def prepare(spark, sf_dir, max_tokens=512, n_shards=8):
     )
     bins = packing_stats(packed, max_tokens=max_tokens)
 
-    return split, contamination, mixed, bins
+    return split, contamination, mixed, packed, bins
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="vlds-example-training-data")
-    split, contamination, mixed, bins = prepare(spark, sf_dir)
+    split, contamination, mixed, packed, bins = prepare(spark, sf_dir)
 
     # cache the shared upstream (gates + dedup + split) across the report
     # actions; one aggregate serves both bin stats
@@ -156,6 +159,13 @@ def main() -> None:
     print(f"contaminated test docs (containment >= 0.8): {flagged}")
     print(f"mixture: {n_train} train docs -> {n_mixed} rows after epoch weighting")
     print(f"train bins: {stats['n_bins']}, mean fill: {stats['f']}")
+
+    # 11: write the packed train stream as bin-ordered shards
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="vlds_train_shards_")
+    write_training_shards(packed, out_dir, order_cols=("mix_id",))
+    print(f"shards written to {out_dir}")
     split.unpersist()
 
 

@@ -20,7 +20,7 @@ def pipeline(spark, sf_dir):
 
 
 def test_splits_partition_the_survivors(pipeline):
-    split, _, _, _ = pipeline
+    split, _, _, _, _ = pipeline
     counts = {r["split"]: r["count"] for r in split.groupBy("split").count().collect()}
     assert set(counts) <= {"train", "val", "test"}
     assert counts.get("train", 0) > 0
@@ -29,7 +29,7 @@ def test_splits_partition_the_survivors(pipeline):
 
 
 def test_contamination_rows_are_valid_pairs(pipeline):
-    split, contamination, _, _ = pipeline
+    split, contamination, _, _, _ = pipeline
     rows = contamination.collect()
     test_ids = {r["doc_id"] for r in split.filter(F.col("split") == "test").collect()}
     train_ids = {r["doc_id"] for r in split.filter(F.col("split") == "train").collect()}
@@ -44,7 +44,7 @@ def test_bins_conserve_tokens_within_overflow_bound(pipeline):
         ws_token_count,
     )
 
-    split, _, mixed, bins = pipeline
+    split, _, mixed, _, bins = pipeline
     rows = bins.collect()
     assert all(r["n_docs"] >= 1 for r in rows)
     # conservation: every MIXED-stream token lands in exactly one bin
@@ -60,7 +60,7 @@ def test_bins_conserve_tokens_within_overflow_bound(pipeline):
 
 
 def test_epoch_mixing_invariants(pipeline):
-    split, _, mixed, _ = pipeline
+    split, _, mixed, _, _ = pipeline
     train = split.filter(F.col("split") == "train")
     # every mixed row's doc comes from the train split, never val/test
     assert mixed.join(train, "doc_id", "left_anti").count() == 0
