@@ -16,6 +16,7 @@ from .relational import ORACLES, QUERIES
 from . import clusters as _clusters  # noqa: F401  (registers its queries)
 from . import subqueries as _subqueries  # noqa: F401  (registers its queries)
 from . import training as _training  # noqa: F401  (registers its queries)
+from . import tpch_extra as _tpch_extra  # noqa: F401  (registers its queries)
 
 _PRIORITY = [
     # ROUND-3 ROTATION: the window (50) holds (a) flagships with no other

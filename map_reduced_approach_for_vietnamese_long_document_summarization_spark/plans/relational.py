@@ -58,7 +58,7 @@ def query(name: str, oracle: str | None = None):
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                                    AS sum_qty,
        round(sum(l_extendedprice), 2)                               AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)            AS sum_disc_price,
        round(avg(l_quantity), 4)                                    AS avg_qty,
        round(avg(l_extendedprice), 4)                               AS avg_price,
        round(avg(l_discount), 6)                                    AS avg_disc,
@@ -78,7 +78,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "sum_disc_price"
             ),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
@@ -238,7 +238,7 @@ def region_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_revenue_orders",
     oracle="""
 SELECT o_orderkey, c_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -258,7 +258,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "c_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )
@@ -271,7 +271,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority_q3",
     oracle="""
 SELECT o_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
        CAST(epoch(o_orderdate) AS BIGINT)                AS orderdate_epoch,
        o_orderpriority
 FROM customer
@@ -301,7 +301,7 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )
@@ -320,7 +320,7 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_supplier_volume_q5",
     oracle="""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -350,7 +350,7 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )
@@ -361,7 +361,7 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returned_item_customers_q10",
     oracle="""
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -385,7 +385,7 @@ def returned_item_customers_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )
@@ -1497,7 +1497,7 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "forecast_revenue_q6",
     oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -1519,7 +1519,7 @@ def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
-        ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
     )
 
 

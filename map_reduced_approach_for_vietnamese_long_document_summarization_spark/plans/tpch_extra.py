@@ -1,0 +1,332 @@
+"""The remaining TPC-H query silhouettes (Q2/Q7/Q8/Q9/Q11/Q13/Q15/Q16/Q19/
+Q20/Q21) over the harness schema.
+
+Round 1-2 covered Q1/Q3/Q4/Q5/Q6/Q10/Q14/Q17/Q18/Q22; these close the book
+on the benchmark's join/subquery shapes: multi-nation self-joined dimension
+(Q7), market-share ratio-of-conditional-sums (Q8), profit rollup (Q9),
+HAVING-against-scalar-subquery (Q11), outer-join count histogram (Q13),
+CTE + max-equality view join (Q15), NOT-IN + count-distinct variety (Q16),
+disjunctive multi-range predicates (Q19), nested IN over an aggregated
+subquery (Q20), and double-correlated EXISTS / NOT EXISTS (Q21), plus Q2's
+correlated-scalar-min join-back.
+
+The harness schema is a TPC-H *subset* (TESTDATA.md): no partsupp table, no
+l_commitdate / l_receiptdate / l_shipmode, no comment columns. Queries whose
+canonical form needs those columns are adapted to the nearest same-shape
+predicate over the available ones; each docstring states the substitution.
+The SHAPE (join graph, subquery nesting, aggregation structure) is the
+thing under test — Catalyst must decorrelate, reorder, and broadcast the
+same way it would on full TPC-H.
+
+Like ``plans/subqueries.py``, every query here is ONE ANSI-SQL string run
+verbatim by both Spark and the DuckDB oracle — a dialect-compatibility
+statement as well as a correctness check. Float aggregates are rounded in
+the SQL itself (the ``pricing_summary`` convention) so summation order
+never leaks into the comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .relational import _t, query
+
+_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    for name in _TABLES:
+        if name in text:
+            _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(text)
+
+
+def _shared_sql_query(name: str, text: str, doc: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _sql(spark, sf_dir, text)
+
+    fn.__name__ = name
+    fn.__doc__ = doc
+    return query(name, oracle=text)(fn)
+
+
+q7_nation_trade_volume = _shared_sql_query(
+    "q7_nation_trade_volume",
+    """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    """TPC-H Q7 (volume shipping): the 6-way join with a DOUBLED nation
+    dimension (n1 for the supplier side, n2 for the customer side) and the
+    symmetric two-direction predicate. Catalyst broadcasts both nation
+    copies and the supplier dim; the fact-side join order is its call.
+    Unmodified shape; only the nation names are the harness's.""",
+)
+
+
+q8_market_share = _shared_sql_query(
+    "q8_market_share",
+    """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM part, lineitem, orders, customer, supplier, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND s_nationkey = n2.n_nationkey
+    AND r_name = 'ASIA' AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+    """TPC-H Q8 (national market share): 8-way join, then a
+    ratio-of-conditional-sums per year — the share is computed from the
+    UNROUNDED sums and rounded once (a ratio of ~equal-magnitude sums is
+    stable to ~1e-10 across engines; round(6) has ~1e4x margin). Canonical
+    shape; date-range predicate dropped (the harness order window is
+    narrow already) and p_type is an exact match from the harness's type
+    vocabulary.""",
+)
+
+
+q9_product_profit = _shared_sql_query(
+    "q9_product_profit",
+    """
+SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.6 * p_retailprice * l_quantity AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%bolt%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+    """TPC-H Q9 (product-type profit): 5-way join + LIKE part filter +
+    (nation, year) rollup. The harness has no partsupp, so the canonical
+    ``ps_supplycost * l_quantity`` cost term is substituted with
+    ``0.6 * p_retailprice * l_quantity`` — same arithmetic shape (a cost
+    factor joined in from a dimension times quantity), same join graph
+    minus the partsupp hop.""",
+)
+
+
+q11_important_inventory = _shared_sql_query(
+    "q11_important_inventory",
+    """
+SELECT n_name, round(sum(l_extendedprice * l_quantity), 2) AS value
+FROM lineitem, supplier, nation
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+GROUP BY n_name
+HAVING sum(l_extendedprice * l_quantity) > (
+  SELECT 0.04 * sum(l_extendedprice * l_quantity)
+  FROM lineitem, supplier
+  WHERE l_suppkey = s_suppkey
+)
+ORDER BY value DESC
+""",
+    """TPC-H Q11 (important stock): GROUP BY + HAVING against an
+    uncorrelated scalar subquery over the same fact table. No partsupp in
+    the harness, so "stock value" is shipped value per supplier nation —
+    the HAVING-vs-global-fraction structure (two scans, one scalar
+    broadcast) is identical. The HAVING compares UNROUNDED sums in both
+    engines (a 4% threshold is ~25x away from any group; float noise is
+    ~1e-10 relative).""",
+)
+
+
+q13_customer_distribution = _shared_sql_query(
+    "q13_customer_distribution",
+    """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    """TPC-H Q13 (customer distribution): LEFT OUTER JOIN with an ON-clause
+    filter (customers with zero matching orders must still appear with
+    c_count = 0 — pushing the filter to WHERE would silently drop them),
+    then the two-level count-of-counts histogram. Canonical shape; the
+    comment-pattern exclusion becomes an order-priority exclusion.""",
+)
+
+
+q15_top_supplier = _shared_sql_query(
+    "q15_top_supplier",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+    """TPC-H Q15 (top supplier): the view/CTE is referenced twice — once
+    joined to the dimension, once inside the scalar max subquery — and the
+    max-equality must select the same row(s) in both engines, so revenue
+    is rounded INSIDE the CTE (both uses see the identical rounded
+    number; comparing raw float sums for equality across engines would be
+    a coin flip at the boundary). Canonical shape and quarter window.""",
+)
+
+
+q16_supplier_part_variety = _shared_sql_query(
+    "q16_supplier_part_variety",
+    """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    """TPC-H Q16 (parts/supplier variety): NOT IN over a subquery +
+    count(DISTINCT) per 3-key group. The harness has no partsupp, so
+    lineitem provides the part-supplier relation, and the
+    complaint-comment exclusion becomes a negative-balance exclusion —
+    NOT IN must still plan as a null-aware anti join feeding a distinct
+    aggregate.""",
+)
+
+
+q19_disjunctive_revenue = _shared_sql_query(
+    "q19_disjunctive_revenue",
+    """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem, part
+WHERE (p_partkey = l_partkey AND p_brand = 'Brand#1'
+       AND p_size BETWEEN 1 AND 10 AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_partkey = l_partkey AND p_brand = 'Brand#2'
+       AND p_size BETWEEN 5 AND 20 AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+       AND p_size BETWEEN 10 AND 40 AND l_quantity >= 20 AND l_quantity <= 40)
+""",
+    """TPC-H Q19 (disjunctive discounted revenue): three OR'd conjunctions
+    each repeating the join predicate — the optimizer must factor the
+    common ``p_partkey = l_partkey`` out so the plan is ONE equi-join with
+    a disjunctive residual filter, not a cartesian product. Shipmode /
+    container predicates (absent from the harness) become size/quantity
+    ranges; the OR-of-ranges structure is the point.""",
+)
+
+
+q20_heavy_shippers = _shared_sql_query(
+    "q20_heavy_shippers",
+    """
+SELECT s_name, s_acctbal
+FROM supplier, nation
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem, part
+  WHERE p_partkey = l_partkey AND p_name LIKE 'small%'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > 180
+)
+AND s_nationkey = n_nationkey AND n_regionkey = 2
+ORDER BY s_name
+""",
+    """TPC-H Q20 (potential part promotion): IN over an aggregated+filtered
+    subquery (itself a join), intersected with a dimension filter. The
+    partsupp availqty half-threshold becomes a shipped-quantity threshold
+    over the same lineitem aggregate — the nested
+    IN -> GROUP BY -> HAVING pipeline Catalyst must turn into a left-semi
+    join against the aggregate, never a per-row re-execution.""",
+)
+
+
+q21_latest_shipper = _shared_sql_query(
+    "q21_latest_shipper",
+    """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND s_nationkey = n_nationkey
+  AND n_regionkey = 1
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+""",
+    """TPC-H Q21 (suppliers who kept orders waiting): the double-correlated
+    EXISTS ("another supplier touched this order") + NOT EXISTS ("none of
+    them shipped later than me") over the same fact table — the hardest
+    decorrelation in the benchmark, planned as a semi join plus an anti
+    join on l_orderkey. The harness lacks l_receiptdate/l_commitdate, so
+    "late" becomes "the strictly latest shipper among multi-supplier
+    orders"; the nesting structure is unchanged.""",
+)
+
+
+q2_min_cost_supplier = _shared_sql_query(
+    "q2_min_cost_supplier",
+    """
+SELECT p_partkey, p_name, s_name, round(unit_price, 4) AS unit_price
+FROM (
+  SELECT p_partkey, p_name, s_name,
+         l_extendedprice / l_quantity AS unit_price,
+         min(l_extendedprice / l_quantity)
+           OVER (PARTITION BY p_partkey) AS min_price
+  FROM lineitem, part, supplier
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_quantity > 0 AND p_size <= 3
+) t
+WHERE unit_price = min_price
+ORDER BY p_partkey, s_name
+LIMIT 50
+""",
+    """TPC-H Q2 (minimum-cost supplier): for each (small) part, the
+    supplier(s) achieving the minimum unit price. No partsupp in the
+    harness, so ps_supplycost becomes the per-row lineitem unit price and
+    the correlated scalar-min subquery is expressed as its decorrelated
+    form — a partitioned window min + equality filter (what Catalyst
+    rewrites the subquery into anyway). The min/equality compare raw
+    per-row doubles: both engines compute the IDENTICAL division per row
+    (no summation), so the comparison is exact; only the projected price
+    is rounded.""",
+)
+
+
+__all__ = ["QUERIES", "ORACLES"]

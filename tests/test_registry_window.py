@@ -94,6 +94,18 @@ R4_PROMOTIONS = [
     "doc_epoch_upsample",
     "doc_char_entropy",
     "embedding_semantic_dedup",
+    # plans/tpch_extra.py — the remaining TPC-H silhouettes
+    "q2_min_cost_supplier",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_inventory",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q21_latest_shipper",
 ]
 
 
