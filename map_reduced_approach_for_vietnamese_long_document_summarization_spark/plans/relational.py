@@ -3052,3 +3052,43 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("chars") / F.sum("bpe_tokens"), 4).alias("chars_per_bpe_token"),
         )
     )
+
+
+@query(
+    "events_dedup_first_per_minute",
+    # round-4 window candidate (tests/test_registry_window.py R4_PROMOTIONS)
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (
+           PARTITION BY user_id, event_type, time_bucket(INTERVAL 1 MINUTE, ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_type, count(*) AS n_kept, round(sum(value), 4) AS kept_value
+FROM r WHERE rn = 1
+GROUP BY event_type
+""",
+)
+def events_dedup_first_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.dedup_events_stream``
+    (``dropDuplicatesWithinWatermark`` keep-first semantics, §2.10): one
+    surviving event per (user, type, event-time minute) — deterministic
+    keep-first by (ts, event_id) — then a per-type rollup of survivors.
+    The streaming path holds only the watermark horizon in state; this twin
+    replays the same keep-first rule over the full table so the rule itself
+    is oracle-checked (the 3-batch watermark behavior is pinned in
+    tests/test_streaming.py)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", "event_type", F.window("ts", "1 minute")["start"]
+    ).orderBy("ts", "event_id")
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.sum("value"), 4).alias("kept_value"),
+        )
+    )

@@ -94,6 +94,7 @@ R4_PROMOTIONS = [
     "doc_epoch_upsample",
     "doc_char_entropy",
     "embedding_semantic_dedup",
+    "events_dedup_first_per_minute",
     # plans/tpch_extra.py — the remaining TPC-H silhouettes
     "q2_min_cost_supplier",
     "q7_nation_trade_volume",
