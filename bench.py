@@ -64,6 +64,8 @@ HEADLINE = [
     "corpus_top_bigrams",
     "doc_epoch_upsample",
     "doc_char_entropy",
+    "doc_tfidf_top3",
+    "doc_unigram_logprob",
     "embedding_semantic_dedup",
 ]
 

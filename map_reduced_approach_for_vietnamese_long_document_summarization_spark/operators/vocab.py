@@ -20,7 +20,7 @@ no global sort of the vocabulary).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import shingles_expr
@@ -63,3 +63,125 @@ def top_ngrams(
         .limit(k)
     )
     return out
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)`` — the sklearn ``smooth_idf`` form).
+
+    Returns ``(id, rank, term, tf, tfidf)``; ``tfidf`` is rounded to 6
+    decimals BEFORE ranking and ties break on ``term`` ascending, so the
+    cut is deterministic and engine-portable. ``N`` counts documents with
+    at least one token (NULL/empty texts can't deflate the idf).
+
+    Scale design: the corpus explodes once into ``(id, term, tf)`` postings
+    (map-side-combinable aggregate, one shuffle). The document-frequency
+    map is a per-term rollup of those postings — partial aggregation keeps
+    stopword skew off any single reducer — and joins back broadcast
+    (``broadcast_vocab=False`` falls back to a sort-merge join for corpora
+    whose vocabulary outgrows a broadcast, e.g. web-scale token sets). The
+    per-document top-k is a window over the doc's own terms, partitioned by
+    ``id`` — no global sort. The postings table is consumed twice (df map +
+    score join); pass a pre-persisted ``postings``
+    (``term_postings(docs).persist()``) to pay the explode once, and
+    unpersist it after the action — the caller owns that lifecycle.
+    """
+    from .retrieval import term_postings
+
+    post = postings if postings is not None else term_postings(docs, text_col, id_col)
+    df_map = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if broadcast_vocab:
+        df_map = F.broadcast(df_map)
+    from ..functions.text import ws_token_count
+
+    n_docs = (
+        docs.select(ws_token_count(F.col(text_col)).alias("_dl"))
+        .filter(F.col("_dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    scored = (
+        post.join(df_map, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "tfidf",
+        )
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document bits-per-token under the corpus's own unigram LM — the
+    CCNet-style (arXiv 1911.00359) perplexity quality signal, with the
+    corpus itself as the language model instead of external KenLM.
+
+    ``bits(d) = (1/|d|) * Σ_w tf_d(w) · (log2(T) − log2(c(w)))`` where
+    ``c(w)`` is the corpus count and ``T`` the corpus token total. Low
+    scores mark template/boilerplate text (all common words); high scores
+    mark rare-token gibberish — the two tails a quality gate trims.
+
+    Returns one row per input document: ``(id, n_tokens, bits_per_token)``
+    with tokenless docs kept at ``(0, 0.0)``. The float sum runs over a
+    doc's distinct terms (same-magnitude addends), so ``round(6)`` is
+    engine-stable — the same argument as ``char_entropy_batch``.
+
+    Scale design: one postings explode (shared with TF-IDF/BM25 — pass a
+    persisted ``postings`` to reuse it), a per-term rollup for the LM
+    (partial-agg'd, broadcast back; disable ``broadcast_vocab`` for
+    web-scale vocabularies), a 1-row total, and one grouped sum per doc.
+    """
+    from .retrieval import term_postings
+
+    post = postings if postings is not None else term_postings(docs, text_col, id_col)
+    lm = post.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = lm.agg(F.sum("c").alias("t"))
+    if broadcast_vocab:
+        lm = F.broadcast(lm)
+    per_doc = (
+        post.join(lm, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("_n"),
+            F.sum(F.col("tf") * (F.log2("t") - F.log2("c"))).alias("_bits"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(
+                F.coalesce(F.col("_bits") / F.col("_n"), F.lit(0.0)), 6
+            ).alias("bits_per_token"),
+        )
+    )

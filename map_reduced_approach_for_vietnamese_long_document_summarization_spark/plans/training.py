@@ -231,3 +231,66 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.textstats import char_entropy_batch
 
     return char_entropy_batch(_t(spark, sf_dir, "documents"))
+
+
+# lowercased whitespace tokens — DuckDB twin of the Spark-side
+# transform(tokenize_ws(text), lower) every lexical operator uses
+_DUCK_LTOKS = f"list_transform({_DUCK_TOKS}, t -> lower(t))"
+
+
+@query(
+    "doc_tfidf_top3",
+    # round-4 window candidate (tests/test_registry_window.py R4_PROMOTIONS)
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_LTOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfm AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+s AS (SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * (ln((nd.n_docs + 1.0) / (dfm.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfm USING (term) CROSS JOIN nd),
+r AS (SELECT s.*, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rnk FROM s)
+SELECT doc_id, CAST(rnk AS INT) AS rank, term, CAST(tf AS BIGINT) AS tf, tfidf
+FROM r WHERE rnk <= 3
+""",
+)
+def doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (operators/vocab.py
+    tfidf_top_terms): the per-doc salient-term extraction pass (topic
+    tagging, boilerplate spotting). Smoothed sklearn-form idf; tfidf is
+    rounded to 6 decimals BEFORE the per-doc window rank and ties break on
+    the term, so the cut replays deterministically. The oracle rebuilds
+    postings, document frequencies, N, and the ranked cut from scratch."""
+    from ..operators.vocab import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "doc_unigram_logprob",
+    # round-4 window candidate (tests/test_registry_window.py R4_PROMOTIONS)
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_LTOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+lm AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+tot AS (SELECT sum(c) AS t FROM lm),
+per AS (SELECT tf.doc_id, sum(tf.tf) AS n,
+               sum(tf.tf * (log2(tot.t) - log2(lm.c))) AS bits
+        FROM tf JOIN lm USING (term) CROSS JOIN tot GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(per.n, 0) AS BIGINT) AS n_tokens,
+       round(coalesce(per.bits / per.n, 0.0), 6) AS bits_per_token
+FROM documents d LEFT JOIN per USING (doc_id)
+""",
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality signal (operators/vocab.py
+    unigram_logprob): bits-per-token of each document under the corpus's
+    own unigram LM — low = boilerplate, high = rare-token gibberish; a
+    quality gate trims both tails. Float sum runs over each doc's distinct
+    terms (same-magnitude addends -> round(6) engine-stable, the
+    char-entropy argument). The oracle replays the LM fit and the per-doc
+    scoring from scratch."""
+    from ..operators.vocab import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))

@@ -93,6 +93,8 @@ R4_PROMOTIONS = [
     "corpus_top_bigrams",
     "doc_epoch_upsample",
     "doc_char_entropy",
+    "doc_tfidf_top3",
+    "doc_unigram_logprob",
     "embedding_semantic_dedup",
     "events_dedup_first_per_minute",
     # plans/tpch_extra.py — the remaining TPC-H silhouettes
