@@ -8,6 +8,8 @@ lazy plan except the dedup-cluster iteration):
 
   1. quality + language gate   (textstats: scan-speed Catalyst expressions)
   2. repetition + entropy gate (Gopher dup ratios; char-entropy gibberish floor)
+  2b. perplexity gate          (CCNet-style bits/token under the corpus's own
+                                unigram LM; trims boilerplate + gibberish tails)
   3. exact dedup               (md5 fingerprint keep-min-id)
   4. near-dedup                (SimHash pairs -> connected components ->
                                 canonical doc per cluster)
@@ -50,6 +52,7 @@ from map_reduced_approach_for_vietnamese_long_document_summarization_spark.opera
     packing_stats,
     simhash_near_dup_pairs,
     span_dedup,
+    unigram_logprob,
     unpersist_inputs,
 )
 from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions import (
@@ -83,6 +86,18 @@ def prepare(spark, sf_dir, max_tokens=512, n_shards=8):
     ent = char_entropy_batch(gated)
     gated = gated.join(
         ent.filter(F.col("entropy") >= 2.0).select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # 2b: perplexity gate — bits/token under the corpus's own unigram LM.
+    # Both tails are bad: far-below-corpus = template/boilerplate, far-above
+    # = rare-token gibberish. Natural text sits a few bits either side of
+    # the corpus mean; the fixed [2, 12] band is the CCNet-style trim
+    # expressed as absolute bounds so the gate stays deterministic.
+    ppl = unigram_logprob(gated)
+    gated = gated.join(
+        ppl.filter(F.col("bits_per_token").between(2.0, 12.0)).select("doc_id"),
+        "doc_id",
+        "left_semi",
     )
 
     # 3: exact dedup, 4: near-dedup clusters -> canonical survivors

@@ -44,7 +44,7 @@ from .packing import pack_sequences, packing_stats
 from .retrieval import bm25_topk, term_postings
 from .sampling import assign_split, epoch_upsample, hash_uniform, stratified_hash_sample
 from .skew import salted_agg, salted_join
-from .vocab import top_ngrams
+from .vocab import tfidf_top_terms, top_ngrams, unigram_logprob
 
 __all__ = [
     "asof_join",
@@ -60,7 +60,9 @@ __all__ = [
     "hash_uniform",
     "stratified_hash_sample",
     "semantic_dedup",
+    "tfidf_top_terms",
     "top_ngrams",
+    "unigram_logprob",
     "chunk_documents",
     "chunk_fixed_tokens",
     "recursive_split_text",

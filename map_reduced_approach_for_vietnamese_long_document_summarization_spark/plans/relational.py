@@ -855,6 +855,11 @@ _DUCK_TOKS = (
     "ELSE regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END"
 )
 
+# case-folded token stream: tokens of lower(text) — the exact twin of the
+# engine's term_postings tokenization (lower() maps nothing to or from
+# whitespace, so folding the string first equals folding each token)
+_DUCK_TOKS_LOWER = _DUCK_TOKS.replace("(text,", "(lower(text),")
+
 
 @query(
     "doc_stats_by_lang",

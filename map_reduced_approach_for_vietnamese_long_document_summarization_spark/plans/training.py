@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .relational import _DUCK_TOKS, _t, query
+from .relational import _DUCK_TOKS, _DUCK_TOKS_LOWER, _t, query
 
 # md5-hash uniform r in [0,1) for the 'split' salt — must match
 # operators/sampling.py:hash_uniform (same constant in doc_split_assign)
@@ -235,7 +235,7 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # lowercased whitespace tokens — DuckDB twin of the Spark-side
 # transform(tokenize_ws(text), lower) every lexical operator uses
-_DUCK_LTOKS = f"list_transform({_DUCK_TOKS}, t -> lower(t))"
+_DUCK_LTOKS = _DUCK_TOKS_LOWER
 
 
 @query(

@@ -11,8 +11,16 @@ from .events import (
     stateful_user_running_stats,
     tumbling_event_counts,
 )
+from .sinks import (
+    IdempotentParquetBatchWriter,
+    read_committed_batches,
+    write_stream_idempotent_parquet,
+)
 
 __all__ = [
+    "IdempotentParquetBatchWriter",
+    "read_committed_batches",
+    "write_stream_idempotent_parquet",
     "read_events_stream",
     "tumbling_event_counts",
     "sliding_event_counts",

@@ -1,0 +1,90 @@
+"""Exactly-once foreachBatch parquet sink (streaming/sinks.py): replay of a
+committed batch is a no-op, replay of a partial batch overwrites it, and the
+committed-batches reader hides uncommitted partials."""
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.sources import (
+    load_table,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming import (
+    IdempotentParquetBatchWriter,
+    read_committed_batches,
+    read_events_stream,
+    write_stream_idempotent_parquet,
+)
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "sink")
+
+
+def test_stream_writes_all_rows_once(spark, sf_dir, out_dir):
+    ckpt = out_dir + "-ckpt"
+    q = write_stream_idempotent_parquet(
+        read_events_stream(spark, sf_dir), out_dir, ckpt
+    )
+    q.awaitTermination(120)
+    got = read_committed_batches(spark, out_dir)
+    n_batch = load_table(spark, sf_dir, "events").count()
+    assert got.count() == n_batch
+    assert "batch_id" in got.columns
+    # restart from the same checkpoint: source is drained, nothing re-lands
+    q2 = write_stream_idempotent_parquet(
+        read_events_stream(spark, sf_dir), out_dir, ckpt
+    )
+    q2.awaitTermination(120)
+    assert read_committed_batches(spark, out_dir).count() == n_batch
+
+
+def test_replay_of_committed_batch_is_noop(spark, sf_dir, out_dir):
+    writer = IdempotentParquetBatchWriter(out_dir)
+    batch = load_table(spark, sf_dir, "events").limit(10)
+    writer(batch, 0)
+    files_before = sorted(os.listdir(os.path.join(out_dir, "batch_id=0")))
+    # at-least-once replay hands the same batch id again — with MORE rows
+    # visible it must still be a no-op (the first commit won)
+    writer(load_table(spark, sf_dir, "events").limit(20), 0)
+    assert sorted(os.listdir(os.path.join(out_dir, "batch_id=0"))) == files_before
+    assert read_committed_batches(spark, out_dir).count() == 10
+
+
+def test_replay_of_partial_batch_overwrites(spark, sf_dir, out_dir):
+    writer = IdempotentParquetBatchWriter(out_dir)
+    batch = load_table(spark, sf_dir, "events").limit(10)
+    # simulate a crash mid-write: parquet landed, marker never did
+    batch.write.mode("overwrite").parquet(os.path.join(out_dir, "batch_id=0"))
+    marker = os.path.join(out_dir, "batch_id=0", "_COMMITTED")
+    assert not os.path.exists(marker)
+    with pytest.raises(ValueError):
+        read_committed_batches(spark, out_dir)  # partial stays invisible
+    writer(load_table(spark, sf_dir, "events").limit(7), 0)
+    assert os.path.exists(marker)
+    assert read_committed_batches(spark, out_dir).count() == 7
+
+
+def test_reader_skips_uncommitted_alongside_committed(spark, sf_dir, out_dir):
+    writer = IdempotentParquetBatchWriter(out_dir)
+    ev = load_table(spark, sf_dir, "events")
+    writer(ev.limit(5), 0)
+    # batch 1 crashed before its marker
+    ev.limit(3).write.mode("overwrite").parquet(os.path.join(out_dir, "batch_id=1"))
+    got = read_committed_batches(spark, out_dir)
+    assert got.count() == 5
+    assert [r.batch_id for r in got.select("batch_id").distinct().collect()] == [0]
+
+
+def test_batch_id_partition_prunes(spark, sf_dir, out_dir):
+    writer = IdempotentParquetBatchWriter(out_dir)
+    ev = load_table(spark, sf_dir, "events")
+    writer(ev.limit(5), 0)
+    writer(ev.limit(5), 1)
+    got = read_committed_batches(spark, out_dir).filter(F.col("batch_id") == 1)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert got.count() == 5
