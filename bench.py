@@ -66,6 +66,7 @@ HEADLINE = [
     "doc_char_entropy",
     "doc_tfidf_top3",
     "doc_unigram_logprob",
+    "doc_feature_hash_embed",
     "embedding_semantic_dedup",
 ]
 

@@ -44,6 +44,7 @@ from .packing import pack_sequences, packing_stats
 from .retrieval import bm25_topk, term_postings
 from .sampling import assign_split, epoch_upsample, hash_uniform, stratified_hash_sample
 from .skew import salted_agg, salted_join
+from .features import feature_hash_embed, to_dense_vector
 from .vocab import tfidf_top_terms, top_ngrams, unigram_logprob
 
 __all__ = [
@@ -60,7 +61,9 @@ __all__ = [
     "hash_uniform",
     "stratified_hash_sample",
     "semantic_dedup",
+    "feature_hash_embed",
     "tfidf_top_terms",
+    "to_dense_vector",
     "top_ngrams",
     "unigram_logprob",
     "chunk_documents",

@@ -1,0 +1,96 @@
+"""Text featurization: hashing-trick embeddings as pure Catalyst expressions.
+
+The bridge between the lexical side (tokens, postings) and the dense side
+(the `operators/similarity.py` ANN/near-dup family): turn each document into
+a fixed-width vector without a learned vocabulary, by hashing terms into
+buckets (the HashingTF / feature-hashing trick — Weinberger et al., arXiv
+0902.2206). No fit step, no vocabulary broadcast, no Python — the whole
+featurization is explode + two hash aggregates, so it runs at corpus scale
+exactly like the dedup family.
+
+Scale design: one postings explode (shared ``term_postings`` base — pass a
+persisted frame to amortize across signals), a (doc, bucket) hash aggregate
+(map-side combinable; bucket count is bounded by ``dims`` per doc, so the
+shuffle carries at most ``dims`` rows per doc regardless of document
+length), and a per-doc norm via a second grouped aggregate joined back —
+two narrow shuffles total, both keyed by the doc id. Output is the SPARSE
+exploded form (id, dim, weight): at 100 TB a dense ``array<double>`` per
+doc is mostly zeros and the exploded form feeds groupBy/join consumers
+(cosine joins, centroid aggs) without per-row array surgery; collect to a
+dense vector with ``to_dense_vector`` only at the API boundary.
+
+The bucket hash is the engine's cross-engine md5 family
+(``md5_hash32(term) % dims``) so a DuckDB oracle replays the embedding
+bit-for-bit; swap ``hash_col_fn=F.xxhash64`` for production throughput
+(same twin pattern as MinHash/SimHash/winnowing).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_hash32
+
+
+def feature_hash_embed(
+    docs: DataFrame,
+    dims: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+    normalize: bool = True,
+    hash_col_fn: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """Sparse hashed bag-of-words embedding: ``(id, dim, weight)`` rows.
+
+    ``weight`` is the summed term frequency of all terms hashing to the
+    bucket, L2-normalized per document when ``normalize=True`` (cosine of
+    two docs is then a plain dot product of matching dims). Weights are
+    rounded to 6 decimals after normalization — the norm sums at most
+    ``dims`` same-magnitude squares, so the rounding is engine-stable.
+    Token-less documents emit no rows (a zero vector has no sparse entries
+    and no defined direction).
+    """
+    if dims <= 0:
+        raise ValueError("dims must be positive")
+    from .retrieval import term_postings
+
+    hash_col_fn = hash_col_fn or md5_hash32
+    post = postings if postings is not None else term_postings(docs, text_col, id_col)
+    bucketed = (
+        post.withColumn("dim", F.pmod(hash_col_fn(F.col("term")), F.lit(dims)).cast("int"))
+        .groupBy(id_col, "dim")
+        .agg(F.sum("tf").cast("double").alias("_w"))
+    )
+    if not normalize:
+        return bucketed.select(
+            id_col, "dim", F.round(F.col("_w"), 6).alias("weight")
+        )
+    norms = bucketed.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_norm")
+    )
+    return bucketed.join(norms, id_col).select(
+        id_col, "dim", F.round(F.col("_w") / F.col("_norm"), 6).alias("weight")
+    )
+
+
+def to_dense_vector(
+    sparse: DataFrame, dims: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Collect ``(id, dim, weight)`` rows into ``(id, embedding)`` with a
+    dense ``array<double>`` — the shape the similarity family consumes.
+    One grouped aggregate; missing dims fill with 0.0 via an aggregate over
+    a static index range (no per-row Python)."""
+    pairs = F.map_from_arrays(F.collect_list("dim"), F.collect_list("weight"))
+    filled = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0.0)),
+    )
+    return (
+        sparse.groupBy(id_col)
+        .agg(pairs.alias("_m"))
+        .select(id_col, filled.alias("embedding"))
+    )

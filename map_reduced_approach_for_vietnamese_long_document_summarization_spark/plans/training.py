@@ -294,3 +294,31 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.vocab import unigram_logprob
 
     return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_feature_hash_embed",
+    # round-4 window candidate (tests/test_registry_window.py R4_PROMOTIONS)
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKS_LOWER}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+b AS (SELECT doc_id,
+             CAST(('0x' || substring(md5(term), 1, 8))::BIGINT % 64 AS INT) AS dim,
+             CAST(sum(tf) AS DOUBLE) AS w
+      FROM tf GROUP BY 1, 2),
+n AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM b GROUP BY 1)
+SELECT b.doc_id, b.dim, round(b.w / n.nrm, 6) AS weight
+FROM b JOIN n USING (doc_id)
+""",
+)
+def doc_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document embedding (operators/features.py): terms
+    hash into 64 buckets (cross-engine md5 bucket hash), weights are
+    summed tfs L2-normalized per doc, emitted in the sparse (id, dim,
+    weight) form the similarity family's groupBy/join consumers want.
+    The squared-weight sum is integer-valued doubles (< 2^53), so the norm
+    is exact in both engines and round(6) is stable. The oracle replays
+    tokenization, bucketing, and normalization from scratch."""
+    from ..operators.features import feature_hash_embed
+
+    return feature_hash_embed(_t(spark, sf_dir, "documents"), dims=64)
