@@ -53,10 +53,12 @@ def shingles_expr(
     filtered) — O(n * len) array work instead of the O(n * len) *slices* a
     per-index formulation costs in interpreted HOF evaluation (~20x faster
     in practice: HOF lambdas don't participate in whole-stage codegen, so
-    per-element constant factors dominate)."""
-    toks = tokenize_ws(col)
-    if lowercase:
-        toks = F.transform(toks, F.lower)
+    per-element constant factors dominate). Case-folding lowers the whole
+    string before tokenizing (codegen) rather than ``transform(..., lower)``
+    per token (one more interpreted pass) — ``lower`` maps no codepoint to
+    or from whitespace, so the token stream is identical."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokenize_ws(F.lower(c) if lowercase else c)
     grams = toks
     for k in range(1, n):
         shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
