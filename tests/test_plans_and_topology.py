@@ -52,7 +52,8 @@ def test_theta_join_is_broadcast_nested_loop(spark, sf_dir):
 def test_jvm_path_queries_have_no_python(spark, sf_dir):
     for q in ["doc_chunk_fixed100", "pipeline_truncated_mock", "doc_exact_dedup",
               "rouge1_per_doc", "doc_quality_scores", "corpus_pack_512",
-              "doc_split_assign", "doc_repetition_stats", "doc_contamination_top20"]:
+              "doc_split_assign", "doc_repetition_stats", "doc_contamination_top20",
+              "doc_tfidf_top3", "doc_unigram_logprob", "doc_feature_hash_embed"]:
         p = _plan(spark, sf_dir, q)
         assert "Python" not in p, f"{q} plan contains a Python stage"
 

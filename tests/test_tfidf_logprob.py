@@ -101,3 +101,23 @@ def test_unigram_logprob_tails_separate(spark):
     out = {r.doc_id: r.bits_per_token for r in unigram_logprob(docs).collect()}
     assert out[1] < out[2]
     assert out[1] == out[3]  # same unigram -> same bits/token
+
+
+def test_token_weighted_mean_bits_equals_corpus_entropy(spark):
+    # Identity: the token-weighted mean of per-doc bits/token IS the corpus
+    # unigram entropy H = log2(T) - (1/T)*sum_w c_w*log2(c_w) — each token
+    # contributes -log2 p(w) exactly once on both sides of the rollup.
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "b c d"), (3, "a d d d e")],
+        "doc_id long, text string",
+    )
+    out = unigram_logprob(docs).collect()
+    total = sum(r.n_tokens for r in out)
+    weighted = sum(r.n_tokens * r.bits_per_token for r in out) / total
+    counts = {}
+    for _, text in [(1, "a a b c"), (2, "b c d"), (3, "a d d d e")]:
+        for t in text.split():
+            counts[t] = counts.get(t, 0) + 1
+    T = sum(counts.values())
+    H = math.log2(T) - sum(c * math.log2(c) for c in counts.values()) / T
+    assert abs(weighted - H) < 1e-5
