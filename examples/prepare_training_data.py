@@ -52,6 +52,7 @@ from map_reduced_approach_for_vietnamese_long_document_summarization_spark.opera
     packing_stats,
     simhash_near_dup_pairs,
     span_dedup,
+    term_postings,
     unigram_logprob,
     unpersist_inputs,
 )
@@ -92,13 +93,20 @@ def prepare(spark, sf_dir, max_tokens=512, n_shards=8):
     # Both tails are bad: far-below-corpus = template/boilerplate, far-above
     # = rare-token gibberish. Natural text sits a few bits either side of
     # the corpus mean; the fixed [2, 12] band is the CCNet-style trim
-    # expressed as absolute bounds so the gate stays deterministic.
-    ppl = unigram_logprob(gated)
-    gated = gated.join(
-        ppl.filter(F.col("bits_per_token").between(2.0, 12.0)).select("doc_id"),
-        "doc_id",
-        "left_semi",
+    # expressed as absolute bounds so the gate stays deterministic. The
+    # operator consumes its input three times (LM rollup, scoring, id
+    # list) — hand it a persisted postings frame so the gate chain above
+    # replays once, materialize the (small) surviving-id list eagerly, and
+    # release the cache before the pipeline continues: lifecycle owned here.
+    post = term_postings(gated).persist()
+    ppl = unigram_logprob(gated, postings=post)
+    keep_ids = (
+        ppl.filter(F.col("bits_per_token").between(2.0, 12.0))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
     )
+    post.unpersist()
+    gated = gated.join(keep_ids, "doc_id", "left_semi")
 
     # 3: exact dedup, 4: near-dedup clusters -> canonical survivors
     exact = exact_dedup(gated)

@@ -83,8 +83,13 @@ def to_dense_vector(
     """Collect ``(id, dim, weight)`` rows into ``(id, embedding)`` with a
     dense ``array<double>`` — the shape the similarity family consumes.
     One grouped aggregate; missing dims fill with 0.0 via an aggregate over
-    a static index range (no per-row Python)."""
-    pairs = F.map_from_arrays(F.collect_list("dim"), F.collect_list("weight"))
+    a static index range (no per-row Python). The (dim, weight) pairing
+    goes through one ``collect_list(struct(...))`` — two independent
+    ``collect_list`` calls are not guaranteed to observe rows in the same
+    order."""
+    if dims <= 0:
+        raise ValueError("dims must be positive")
+    pairs = F.map_from_entries(F.collect_list(F.struct("dim", "weight")))
     filled = F.transform(
         F.sequence(F.lit(0), F.lit(dims - 1)),
         lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0.0)),

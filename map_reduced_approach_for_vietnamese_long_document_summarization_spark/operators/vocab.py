@@ -99,13 +99,22 @@ def tfidf_top_terms(
     df_map = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if broadcast_vocab:
         df_map = F.broadcast(df_map)
-    from ..functions.text import ws_token_count
+    if postings is not None:
+        # N from the (persisted) postings frame — countDistinct of ids ==
+        # docs with >=1 token — keeping the documented "corpus explodes
+        # once" contract; a raw-text scan here would defeat the parameter
+        n_docs = post.agg(F.countDistinct(id_col).alias("n_docs"))
+    else:
+        # no reusable frame: a length-only scan (column-pruned, no shuffle)
+        # is cheaper than replaying the postings explode a third time —
+        # the same trade bm25_topk documents for its corpus stats
+        from ..functions.text import ws_token_count
 
-    n_docs = (
-        docs.select(ws_token_count(F.col(text_col)).alias("_dl"))
-        .filter(F.col("_dl") > 0)
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
+        n_docs = (
+            docs.select(ws_token_count(F.col(text_col)).alias("_dl"))
+            .filter(F.col("_dl") > 0)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
     scored = (
         post.join(df_map, "term")
         .crossJoin(F.broadcast(n_docs))

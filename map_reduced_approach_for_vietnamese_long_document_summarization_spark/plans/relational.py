@@ -859,6 +859,10 @@ _DUCK_TOKS = (
 # engine's term_postings tokenization (lower() maps nothing to or from
 # whitespace, so folding the string first equals folding each token)
 _DUCK_TOKS_LOWER = _DUCK_TOKS.replace("(text,", "(lower(text),")
+# the derivation is a textual substitution: fail at import time if a
+# reword of _DUCK_TOKS ever stops it matching (a silent no-op here would
+# leave every lexical oracle comparing against a case-sensitive token set)
+assert _DUCK_TOKS_LOWER.count("lower(text)") == 2, "_DUCK_TOKS reworded"
 
 
 @query(

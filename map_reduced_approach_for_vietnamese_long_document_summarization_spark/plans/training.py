@@ -233,16 +233,12 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy_batch(_t(spark, sf_dir, "documents"))
 
 
-# lowercased whitespace tokens — DuckDB twin of the Spark-side
-# transform(tokenize_ws(text), lower) every lexical operator uses
-_DUCK_LTOKS = _DUCK_TOKS_LOWER
-
 
 @query(
     "doc_tfidf_top3",
     # round-4 window candidate (tests/test_registry_window.py R4_PROMOTIONS)
     oracle=f"""
-WITH toks AS (SELECT doc_id, unnest({_DUCK_LTOKS}) AS term FROM documents),
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKS_LOWER}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dfm AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
@@ -271,7 +267,7 @@ def doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_unigram_logprob",
     # round-4 window candidate (tests/test_registry_window.py R4_PROMOTIONS)
     oracle=f"""
-WITH toks AS (SELECT doc_id, unnest({_DUCK_LTOKS}) AS term FROM documents),
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKS_LOWER}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 lm AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
 tot AS (SELECT sum(c) AS t FROM lm),

@@ -104,6 +104,10 @@ def read_committed_batches(spark, path: str) -> DataFrame:
     w = IdempotentParquetBatchWriter(path)
     fs = w._fs(spark)
     root = w._hpath(spark, w.path)
+    if not fs.exists(root):
+        # same logical condition as "zero committed batches" — surface the
+        # same clean error instead of a Py4J FileNotFoundException
+        raise ValueError(f"no committed batches under {path}")
     committed = []
     for status in fs.listStatus(root):
         p = status.getPath()

@@ -95,3 +95,9 @@ def test_cosine_composes_with_similarity_family(spark):
 def test_dims_validation(spark):
     with pytest.raises(ValueError):
         feature_hash_embed(_docs(spark), dims=0)
+
+
+def test_to_dense_vector_dims_validation(spark):
+    sparse = feature_hash_embed(_docs(spark), dims=16)
+    with pytest.raises(ValueError):
+        to_dense_vector(sparse, 0)

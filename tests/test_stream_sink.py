@@ -88,3 +88,8 @@ def test_batch_id_partition_prunes(spark, sf_dir, out_dir):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert got.count() == 5
+
+
+def test_reader_on_missing_dir_raises_value_error(spark, tmp_path):
+    with pytest.raises(ValueError):
+        read_committed_batches(spark, str(tmp_path / "never-created"))
