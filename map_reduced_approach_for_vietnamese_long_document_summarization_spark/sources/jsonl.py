@@ -1,0 +1,95 @@
+"""JSONL corpus source/sink — the lingua franca of training-data exchange.
+
+Web-scale corpora ship as newline-delimited JSON (one document object per
+line), and a reader that silently nulls out malformed lines is how corpora
+lose documents without anyone noticing. This wrapper makes the two
+production decisions explicit:
+
+* **Schema is declared, never inferred.** Inference costs a full extra pass
+  over the data before the real read (at 100 TB that is the whole job
+  twice) and locks the first sample's shape in; every reader here takes an
+  explicit schema (default: the engine's document schema).
+* **Malformed lines are captured, not dropped.** PERMISSIVE mode routes
+  unparseable lines into a ``_corrupt_record`` column; ``split_corrupt``
+  returns (clean, corrupt) frames so a pipeline can quarantine bad lines to
+  a side sink and keep a loss ledger, instead of choosing between job-fatal
+  (FAILFAST) and silent (DROPMALFORMED).
+
+The sink writes gzip-compressed JSONL shards (one file per partition —
+sized upstream via ``repartition``), Spark's native distributed text write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# the engine's interchange schema for document corpora
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+_CORRUPT = "_corrupt_record"
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOC_SCHEMA,
+    keep_corrupt: bool = True,
+) -> DataFrame:
+    """Read a JSONL corpus with a declared schema.
+
+    With ``keep_corrupt=True`` the frame carries a ``_corrupt_record``
+    column holding the raw text of lines that failed to parse (NULL for
+    clean rows) — feed it to ``split_corrupt``. ``False`` drops bad lines
+    at the source (DROPMALFORMED) for pipelines that have already ledgered
+    them."""
+    if keep_corrupt:
+        # parse via text + from_json rather than the native JSON relation:
+        # Spark disallows queries that reference ONLY the corrupt column of
+        # a JSON file source (SPARK-21610) — the documented workaround is
+        # caching the whole corpus, which is exactly wrong at 100 TB. The
+        # from_json expression has no such restriction, costs the same
+        # single pass, and JSON scans have no pushdown to lose.
+        # (copy the schema — StructType.add mutates in place)
+        full = T.StructType(
+            list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
+        )
+        parsed = spark.read.text(path).select(
+            F.from_json(
+                "value",
+                full,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+            ).alias("_r")
+        )
+        return parsed.select("_r.*")
+    return spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, corrupt): clean rows without the ledger column, and the raw
+    text of every malformed line — quarantine-sink the latter and alert on
+    its count; a rising corrupt ratio is usually an upstream format change,
+    not noise."""
+    if _CORRUPT not in df.columns:
+        raise ValueError(f"{_CORRUPT} column missing — read with keep_corrupt=True")
+    clean = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    corrupt = df.filter(F.col(_CORRUPT).isNotNull()).select(
+        F.col(_CORRUPT).alias("raw_line")
+    )
+    return clean, corrupt
+
+
+def write_jsonl_corpus(
+    df: DataFrame, path: str, compression: str = "gzip", mode: str = "error"
+) -> None:
+    """Write a corpus as compressed JSONL shards (one file per partition —
+    `repartition(n)` upstream to size them)."""
+    df.write.mode(mode).option("compression", compression).json(path)

@@ -1,0 +1,64 @@
+"""JSONL corpus source/sink (sources/jsonl.py): declared schema, corrupt-
+line capture, round trip."""
+
+import gzip
+import json
+import os
+
+import pytest
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.sources.jsonl import (
+    read_jsonl_corpus,
+    split_corrupt,
+    write_jsonl_corpus,
+)
+
+
+@pytest.fixture()
+def jsonl_dir(tmp_path):
+    p = tmp_path / "corpus.jsonl"
+    lines = [
+        json.dumps({"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}),
+        json.dumps({"doc_id": 2, "text": "xin chào", "lang": "vi", "source": "web"}),
+        '{"doc_id": 3, "text": "broken',  # truncated line
+        "not json at all",
+        json.dumps({"doc_id": 4, "text": None, "lang": "en", "source": "books"}),
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_read_with_corrupt_ledger(spark, jsonl_dir):
+    df = read_jsonl_corpus(spark, jsonl_dir)
+    clean, corrupt = split_corrupt(df)
+    rows = {r.doc_id: r for r in clean.collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[2].text == "xin chào"
+    assert rows[4].text is None  # explicit null survives as a clean row
+    bad = sorted(r.raw_line for r in corrupt.collect())
+    assert bad == ["not json at all", '{"doc_id": 3, "text": "broken']
+
+
+def test_drop_malformed_mode(spark, jsonl_dir):
+    df = read_jsonl_corpus(spark, jsonl_dir, keep_corrupt=False)
+    assert sorted(r.doc_id for r in df.collect()) == [1, 2, 4]
+
+
+def test_split_requires_ledger_column(spark, jsonl_dir):
+    df = read_jsonl_corpus(spark, jsonl_dir, keep_corrupt=False)
+    with pytest.raises(ValueError):
+        split_corrupt(df)
+
+
+def test_round_trip(spark, jsonl_dir, tmp_path):
+    out = str(tmp_path / "out")
+    clean, _ = split_corrupt(read_jsonl_corpus(spark, jsonl_dir))
+    write_jsonl_corpus(clean.repartition(1), out)
+    files = [f for f in os.listdir(out) if f.endswith(".json.gz")]
+    assert len(files) == 1
+    with gzip.open(os.path.join(out, files[0]), "rt") as f:
+        got = sorted(json.loads(l)["doc_id"] for l in f)
+    assert got == [1, 2, 4]
+    back = read_jsonl_corpus(spark, out)
+    c2, bad2 = split_corrupt(back)
+    assert c2.count() == 3 and bad2.count() == 0
