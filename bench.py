@@ -16,6 +16,10 @@ import sys
 import time
 
 from map_reduced_approach_for_vietnamese_long_document_summarization_spark import get_spark
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators._ckpt import (
+    persistent_rdd_ids as _persistent_rdd_ids,
+    release_rdds as _release_rdds,
+)
 from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans import QUERIES
 
 HEADLINE = [
@@ -103,9 +107,7 @@ def main() -> None:
             # Safe here: no DataFrame from a previous rep is ever reused.
             spark.catalog.clearCache()
             gc.collect()
-            jmap = spark.sparkContext._jsc.getPersistentRDDs()
-            for k in list(jmap.keySet().toArray()):
-                jmap.get(k).unpersist()
+            _release_rdds(spark.sparkContext, _persistent_rdd_ids(spark.sparkContext))
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)

@@ -145,10 +145,14 @@ def prepare(spark, sf_dir, max_tokens=512, n_shards=8):
 
     # 10: pack the MIXED train stream into hard-budget bins (greedy: bins
     # feed fixed-context windows directly, so they must never exceed the
-    # budget). Replicas pack as independent rows under a replica-unique id
-    # (epochs < 8 here) so within-shard packing order stays deterministic.
+    # budget). Replicas pack as independent rows under a replica-unique id.
+    # The epoch index rides the HIGH bits: pack_sequences shards by
+    # mix_id % n_shards, and 2^40 is divisible by any power-of-two shard
+    # count, so the shard comes from doc_id — doc_id*8+epoch would make
+    # shard == epoch (one giant shard of every epoch-0 copy, most shards
+    # empty).
     mixed_lens = mixed.select(
-        (F.col("doc_id") * 8 + F.col("epoch")).alias("mix_id"),
+        (F.col("epoch") * F.lit(1 << 40) + F.col("doc_id")).alias("mix_id"),
         ws_token_count("text").alias("n_tokens"),
     )
     packed = pack_sequences(

@@ -48,11 +48,13 @@ class RollingCheckpoint:
     def __init__(self, sc):
         self._sc = sc
         self._live: set[int] = set()
+        self._pending_before: set[int] | None = None
 
     def checkpoint(self, df, eager: bool = True):
         before = persistent_rdd_ids(self._sc)
         out = df.localCheckpoint(eager=eager)
         if eager:
+            self._pending_before = None
             self.rotate(persistent_rdd_ids(self._sc) - before)
         else:
             # lazy: ids appear at first action; caller calls mark_materialized()
@@ -60,9 +62,19 @@ class RollingCheckpoint:
         return out
 
     def mark_materialized(self) -> None:
-        """For ``eager=False``: call right after the action that materialized
-        the checkpoint returned by the last ``checkpoint`` call."""
-        self.rotate(persistent_rdd_ids(self._sc) - self._pending_before)
+        """For ``eager=False``: call exactly once, right after the action
+        that materialized the checkpoint returned by the last ``checkpoint``
+        call. Misuse fails loudly — a stale snapshot here would diff in the
+        LIVE checkpoint's ids and rotate() would unpersist a
+        lineage-truncated RDD still referenced by the caller's DataFrame."""
+        if self._pending_before is None:
+            raise RuntimeError(
+                "no lazy checkpoint pending: call checkpoint(df, eager=False) "
+                "first, and mark_materialized() exactly once after its "
+                "materializing action"
+            )
+        pending, self._pending_before = self._pending_before, None
+        self.rotate(persistent_rdd_ids(self._sc) - pending)
 
     def rotate(self, new_ids: set[int]) -> None:
         release_rdds(self._sc, self._live)

@@ -590,7 +590,11 @@ def winnowing_fingerprints(
     hash per gram, the production path; winnowing needs a ~uniform hash,
     which xxhash64 is) or ``"md5"`` (``md5_hash60`` — ~2x the cost, but a
     SQL oracle replays selection bit-for-bit; the harness twin). Selection
-    logic is identical; only fingerprint values differ."""
+    logic is identical; only fingerprint values differ — which means
+    fingerprints are comparable ONLY within one ``gram_hash`` choice: an
+    incremental-dedup store built under one hash finds zero matches against
+    fingerprints of the other (the default changed md5 -> xxhash64 in
+    round 3; pin ``gram_hash="md5"`` to read pre-change stores)."""
     from ..functions.text import strip_ws
 
     if gram_hash == "xxhash64":

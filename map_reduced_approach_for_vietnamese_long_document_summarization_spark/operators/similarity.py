@@ -356,6 +356,10 @@ def semantic_dedup(
         .applyInPandas(_dominated_in_cell, schema=f"_id {dict(slim.dtypes)['_id']}")
         .withColumnRenamed("_id", corpus_id)
     )
-    out = assigned.join(F.broadcast(dominated), corpus_id, "left_anti")
+    # plain anti-join: `dominated` is O(dropped docs) — at SemDeDup's target
+    # scale that is a large fraction of the corpus, so forcing a broadcast
+    # would collect it through the driver; let the optimizer pick (AQE still
+    # broadcasts when the set is actually small)
+    out = assigned.join(dominated, corpus_id, "left_anti")
     out._persisted_inputs = [assigned]  # unpersist hook for long-lived sessions
     return out

@@ -257,4 +257,10 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     cents = ivf_fixed_centroids(dim=64, n_lists=8, seed=7)
-    return semantic_dedup(e, cents, threshold=0.35).select("vec_id", "cell")
+    out = semantic_dedup(e, cents, threshold=0.35)
+    slim = out.select("vec_id", "cell")
+    # carry the operator's unpersist hook across the projection (the hook
+    # rides the exact returned object) so operators.unpersist_inputs(result)
+    # can release the cached assignment table
+    slim._persisted_inputs = getattr(out, "_persisted_inputs", [])
+    return slim

@@ -3,6 +3,7 @@ not accumulate localCheckpoint RDDs: superseded rounds are released as soon
 as the next round materializes (operators/_ckpt.py). Regression guard for
 the measured 12s -> 131s degradation over repeated component runs."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators._ckpt import (
@@ -73,3 +74,32 @@ def test_repeated_runs_stay_bounded(spark):
     # slope of <=2, never the per-round checkpoint count
     assert counts[-1] - counts[0] <= 4, counts
     _purge(spark)
+
+
+def test_rolling_checkpoint_lazy_contract(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators._ckpt import (
+        RollingCheckpoint,
+        persistent_rdd_ids,
+    )
+
+    sc = spark.sparkContext
+    rc = RollingCheckpoint(sc)
+    # misuse fails loudly instead of unpersisting a live checkpoint
+    with pytest.raises(RuntimeError):
+        rc.mark_materialized()
+    df0 = spark.range(10)
+    cur = rc.checkpoint(df0, eager=True)
+    assert cur.count() == 10
+    with pytest.raises(RuntimeError):
+        rc.mark_materialized()  # eager checkpoint left nothing pending
+    # lazy generation: materialize, mark once (ok), mark again (loud)
+    before = persistent_rdd_ids(sc)
+    cur2 = rc.checkpoint(cur.withColumn("x", cur.id * 2), eager=False)
+    assert cur2.count() == 10  # materializes the lazy checkpoint
+    rc.mark_materialized()
+    with pytest.raises(RuntimeError):
+        rc.mark_materialized()
+    # the superseded eager generation was released; the lazy one is live
+    live_now = persistent_rdd_ids(sc)
+    assert live_now - before  # new checkpoint registered
+    assert cur2.count() == 10  # still readable after rotation

@@ -69,3 +69,13 @@ def test_epoch_mixing_invariants(pipeline):
     # per-doc copies differ by at most 1 from the weight floor (frac rule)
     per_doc = mixed.groupBy("doc_id").count().collect()
     assert all(1 <= r["count"] <= 3 for r in per_doc)  # weights 0.75..2.5
+
+
+def test_packing_uses_every_shard(pipeline):
+    # regression: mix_id = doc_id*8 + epoch made shard (= mix_id % n_shards)
+    # degenerate to the epoch index — one giant shard, most shards empty.
+    # With the epoch in the high bits the shard comes from doc_id and all
+    # n_shards=4 shards carry bins.
+    _, _, _, packed, _ = pipeline
+    shards = sorted(r["shard"] for r in packed.select("shard").distinct().collect())
+    assert shards == [0, 1, 2, 3]
