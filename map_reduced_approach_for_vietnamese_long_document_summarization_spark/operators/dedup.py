@@ -360,8 +360,17 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: shingle -> signature ->
-    band-bucket join -> estimated-Jaccard filter."""
+    band-bucket join -> estimated-Jaccard filter.
+
+    Shingle-less (empty/NULL/short) docs are EXCLUDED before banding — their
+    sentinel signatures would otherwise (a) declare every pair of
+    content-free docs a perfect near-duplicate and (b) pile a quadratic
+    posting list onto one band key (the same skew guard as
+    ``simhash_near_dup_pairs`` and the md5 twin; content-free docs belong
+    to exact dedup)."""
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    sentinel = F.array(*([F.lit(2**63 - 1)] * n_hashes))
+    sigs = sigs.filter(F.col("minhash") != sentinel)
     # the band self-join references the signature subtree twice — cache so
     # signatures aren't computed per join side. persist() is LAZY: building
     # this DataFrame stays side-effect-free (no jobs run until an action).
