@@ -95,3 +95,34 @@ def test_single_real_doc_is_a_fixed_point(spark):
     lp = unigram_logprob(one).collect()[0]
     # 4 distinct terms, each p=1/4 -> exactly 2 bits/token
     assert lp.bits_per_token == pytest.approx(2.0)
+
+
+def test_more_dedup_ops_on_blank(blank, empty):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        winnowing_fingerprints,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        span_dedup,
+    )
+
+    assert ngram_jaccard_pairs(blank).count() == 0
+    assert ngram_jaccard_pairs(empty).count() == 0
+    assert winnowing_fingerprints(blank).count() == 0
+    assert winnowing_fingerprints(empty).count() == 0
+    # span dedup keeps the rows (text preserved verbatim when token-less)
+    out = {r.doc_id: r.text for r in span_dedup(blank, span_tokens=5).collect()}
+    assert set(out) == {1, 2}
+
+
+def test_summarize_approaches_keep_row_per_doc(spark, blank, empty):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize import (
+        MockSummarizer,
+        mapreduce_summarize,
+    )
+
+    s = MockSummarizer(16)
+    assert mapreduce_summarize(empty, s, chunk_size=10, chunk_overlap=2,
+                               token_max=20).count() == 0
+    out = mapreduce_summarize(blank, s, chunk_size=10, chunk_overlap=2, token_max=20)
+    assert out.count() == 2  # one row per input doc, even token-less
