@@ -71,6 +71,7 @@ HEADLINE = [
     "doc_tfidf_top3",
     "doc_unigram_logprob",
     "doc_feature_hash_embed",
+    "doc_quality_report",
     "embedding_semantic_dedup",
 ]
 

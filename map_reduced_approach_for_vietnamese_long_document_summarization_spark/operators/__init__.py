@@ -41,6 +41,7 @@ from .asof import asof_join
 from .components import connected_components, dedup_keep_canonical
 from .contamination import ngram_contamination
 from .packing import pack_sequences, packing_stats
+from .report import corpus_quality_report
 from .retrieval import bm25_topk, term_postings
 from .sampling import assign_split, epoch_upsample, hash_uniform, stratified_hash_sample
 from .skew import salted_agg, salted_join
@@ -53,6 +54,7 @@ __all__ = [
     "dedup_keep_canonical",
     "ngram_contamination",
     "bm25_topk",
+    "corpus_quality_report",
     "term_postings",
     "pack_sequences",
     "packing_stats",

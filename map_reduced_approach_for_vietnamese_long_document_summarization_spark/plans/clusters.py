@@ -264,3 +264,19 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # can release the cached assignment table
     slim._persisted_inputs = getattr(out, "_persisted_inputs", [])
     return slim
+
+
+@query("doc_quality_report")
+def doc_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus profile (operators/report.py corpus_quality_report):
+    counts, heuristic quality, language guess, fingerprint, char entropy,
+    Gopher repetition ratios, and unigram-LM bits/token in one frame —
+    one row per document. Rows-only by design: every component signal has
+    its own oracled query (doc_quality_scores, doc_language_id,
+    doc_char_entropy, doc_repetition_stats, doc_unigram_logprob), and
+    tests/test_report.py pins this frame column-for-column against those
+    operators; a combined oracle would only re-concatenate the verified
+    SQL."""
+    from ..operators.report import corpus_quality_report
+
+    return corpus_quality_report(_t(spark, sf_dir, "documents"))
