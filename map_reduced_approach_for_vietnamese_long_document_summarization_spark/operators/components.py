@@ -51,14 +51,43 @@ def connected_components(
     # freezing it before any action makes the (possibly expensive) upstream
     # pair generation run exactly once, not once per derived action
     _pids0 = _persistent_rdd_ids(sc)
-    sym = sym.localCheckpoint(eager=True)  # reused every round; freeze it once
+    sym = sym.localCheckpoint(eager=True)  # freeze upstream pair generation once
     sym_ids = _persistent_rdd_ids(sc) - _pids0
     vertices = sym.select(F.col("a").alias("id")).distinct()
     if nodes is not None:
         vertices = vertices.union(nodes.select(F.col(id_col).alias("id"))).distinct()
 
-    # seed labels with min(self, min neighbor): flooding round 0 as one
-    # map-side-combinable aggregate instead of a full join round
+    # star-contraction seed (Kiveris et al.): every node collapses to
+    # s(v) = min(v, min neighbor) — s(v) is in v's component, and the
+    # component's global-min node m keeps s(m) = m. The loop then runs on
+    # the CONTRACTED graph (distinct seed-to-seed edges): near-dup
+    # components are dense (mirrors/rewrites cluster into near-cliques), so
+    # contraction collapses most of the edge table up front — measured
+    # ~900k edges -> ~3k on the harness SimHash graph — and every
+    # propagation round joins the small table, not the raw one. The
+    # contraction itself is one edge-map join + distinct, paid once.
+    neigh_min = sym.groupBy("a").agg(F.min("b").alias("mb")).withColumnRenamed("a", "id")
+    seeds = vertices.join(neigh_min, "id", "left").select(
+        "id", F.least(F.col("id"), F.coalesce("mb", F.col("id"))).alias("s")
+    )
+    # reused by contraction + final compose; outlives the call (the returned
+    # plan reads it), so it is not release-tracked
+    seeds = seeds.localCheckpoint(eager=True)
+    _pids_c = _persistent_rdd_ids(sc)
+    sym = (
+        sym.join(seeds.select(F.col("id").alias("a"), F.col("s").alias("_sa")), "a")
+        .join(seeds.select(F.col("id").alias("b"), F.col("s").alias("_sb")), "b")
+        .select(F.col("_sa").alias("a"), F.col("_sb").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint(eager=True)  # the loop's (small) edge table
+    _release_rdds(sc, sym_ids)  # raw symmetric edges are dead after contraction
+    sym_ids = _persistent_rdd_ids(sc) - _pids_c
+    vertices = seeds.select(F.col("s").alias("id")).distinct()
+
+    # seed the contracted loop the same way: min(self, min contracted
+    # neighbor) — flooding round 0 as one map-side-combinable aggregate
     neigh_min = sym.groupBy("a").agg(F.min("b").alias("mb")).withColumnRenamed("a", "id")
     _pids1 = _persistent_rdd_ids(sc)
     labels = (
@@ -128,11 +157,20 @@ def connected_components(
             stacklevel=2,
         )
 
-    # the edge checkpoint is dead once the loop exits (labels is itself a
-    # materialized checkpoint); only the FINAL label RDD outlives the call,
-    # owned by the returned DataFrame
+    # compose the contraction back out: every original node takes its
+    # seed's component label (the seed is in the same component by
+    # construction; contracted singletons label themselves)
+    out = seeds.join(
+        labels.select(F.col("id").alias("s"), "lbl"), "s", "left"
+    ).select(
+        F.col("id").alias(id_col),
+        F.coalesce("lbl", F.col("s")).alias("component"),
+    )
+    # the contracted-edge checkpoint is dead once the loop exits; the seed
+    # and final label checkpoints outlive the call, owned by the returned
+    # DataFrame's plan
     _release_rdds(sc, sym_ids)
-    return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("component"))
+    return out
 
 
 def dedup_keep_canonical(

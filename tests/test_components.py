@@ -65,3 +65,19 @@ def test_non_convergence_warns(spark):
         out.collect()
     msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
     assert any("did not converge" in m for m in msgs)
+
+
+def test_chain_converges_with_contraction(spark):
+    # a 64-node path is the contraction-unfriendly worst case (no dense
+    # clusters): seeds halve the chain, the contracted loop must still
+    # close the rest within the default round budget
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id1 long, id2 long"
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.components import (
+        connected_components,
+    )
+
+    comp = connected_components(edges).collect()
+    assert len(comp) == 64
+    assert {r.component for r in comp} == {0}
