@@ -72,6 +72,7 @@ HEADLINE = [
     "doc_unigram_logprob",
     "doc_feature_hash_embed",
     "doc_quality_report",
+    "embedding_split_contamination",
     "embedding_semantic_dedup",
 ]
 

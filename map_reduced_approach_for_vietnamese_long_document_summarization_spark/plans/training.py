@@ -318,3 +318,58 @@ def doc_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.features import feature_hash_embed
 
     return feature_hash_embed(_t(spark, sf_dir, "documents"), dims=64)
+
+
+_DUCK_VEC_SPLIT_R = (
+    "('0x' || substring(md5('split:' || vec_id::VARCHAR), 1, 15))::BIGINT"
+    " / 1152921504606846976.0"
+)
+
+
+@query(
+    "embedding_split_contamination",
+    # round-4 window candidate (tests/test_registry_window.py R4_PROMOTIONS)
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                  CASE WHEN {_DUCK_VEC_SPLIT_R} < 0.8 THEN 'train'
+                       WHEN {_DUCK_VEC_SPLIT_R} < 0.9 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM embeddings),
+t AS (SELECT vec_id, e FROM v WHERE split = 'test'),
+r AS (SELECT vec_id, e FROM v WHERE split = 'train')
+SELECT t.vec_id AS test_id, r.vec_id AS train_id
+FROM t, r
+WHERE list_dot_product(t.e, r.e)
+      / (sqrt(list_dot_product(t.e, t.e)) * sqrt(list_dot_product(r.e, r.e)))
+    >= 0.3
+""",
+)
+def embedding_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: the embedding-space twin of the n-gram
+    containment check (doc_contamination_top20). Split the embeddings table
+    with the same deterministic md5 80/10/10 assignment, then flag
+    test-split vectors whose cosine against any train-split vector clears
+    the threshold — paraphrase-level leakage that n-gram overlap misses.
+    Scale: the test split is the small side by construction (10%) and is
+    broadcast; the train side never shuffles (the same plan as
+    cosine_topk's broadcast-queries design). Ids only, so float noise
+    can't touch the driver's hash."""
+    from ..metrics.semantic import cosine_similarity_expr
+    from ..operators.sampling import assign_split
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    split = assign_split(e, "vec_id")
+    test = split.filter(F.col("split") == "test").select(
+        F.col("vec_id").alias("test_id"), F.col("v").alias("tv")
+    )
+    train = split.filter(F.col("split") == "train").select(
+        F.col("vec_id").alias("train_id"), F.col("v").alias("rv")
+    )
+    return (
+        F.broadcast(test)
+        .crossJoin(train)
+        .filter(cosine_similarity_expr(F.col("tv"), F.col("rv")) >= 0.3)
+        .select("test_id", "train_id")
+    )
