@@ -74,13 +74,16 @@ def connected_components(
     # plan reads it), so it is not release-tracked
     seeds = seeds.localCheckpoint(eager=True)
     _pids_c = _persistent_rdd_ids(sc)
+    # mapping a symmetric edge set through seeds yields a symmetric set
+    # ((a,b) and (b,a) map to mirrored pairs), so no re-symmetrization —
+    # just dedupe the collapsed multi-edges
     sym = (
         sym.join(seeds.select(F.col("id").alias("a"), F.col("s").alias("_sa")), "a")
         .join(seeds.select(F.col("id").alias("b"), F.col("s").alias("_sb")), "b")
         .select(F.col("_sa").alias("a"), F.col("_sb").alias("b"))
         .filter(F.col("a") != F.col("b"))
+        .distinct()
     )
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint(eager=True)  # the loop's (small) edge table
     _release_rdds(sc, sym_ids)  # raw symmetric edges are dead after contraction
     sym_ids = _persistent_rdd_ids(sc) - _pids_c
