@@ -72,6 +72,7 @@ HEADLINE = [
     "doc_unigram_logprob",
     "doc_feature_hash_embed",
     "doc_quality_report",
+    "doc_source_quota",
     "embedding_split_contamination",
     "embedding_semantic_dedup",
 ]

@@ -43,7 +43,13 @@ from .contamination import ngram_contamination
 from .packing import pack_sequences, packing_stats
 from .report import corpus_quality_report
 from .retrieval import bm25_topk, term_postings
-from .sampling import assign_split, epoch_upsample, hash_uniform, stratified_hash_sample
+from .sampling import (
+    assign_split,
+    epoch_upsample,
+    hash_uniform,
+    source_quota_sample,
+    stratified_hash_sample,
+)
 from .skew import salted_agg, salted_join
 from .features import feature_hash_embed, to_dense_vector
 from .vocab import tfidf_top_terms, top_ngrams, unigram_logprob
@@ -61,6 +67,7 @@ __all__ = [
     "assign_split",
     "epoch_upsample",
     "hash_uniform",
+    "source_quota_sample",
     "stratified_hash_sample",
     "semantic_dedup",
     "feature_hash_embed",

@@ -137,3 +137,52 @@ def epoch_upsample(
         .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
         .drop("_n_copies")
     )
+
+
+def source_quota_sample(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "quota",
+    safety: float = 4.0,
+) -> DataFrame:
+    """Cap each source/domain at ``cap`` documents, deterministically.
+
+    Domain capping is the corpus-curation counterweight to heavy-tailed
+    crawls (one mirror farm must not become 30% of the corpus). Selection
+    keeps the ``cap`` docs with the smallest md5-uniform rank per source —
+    stable under repartitioning and incremental growth (a kept doc stays
+    kept while its source stays over quota from the same side).
+
+    Scale design: a bare ``row_number`` window partitioned by source would
+    funnel every hot domain through one task. Instead a broadcast of the
+    (tiny) per-source counts pre-filters to ranks below
+    ``safety * cap / n_source`` — expected ``safety * cap`` survivors per
+    source regardless of source size — and only those enter the exact
+    window. With ``safety=4`` the chance a source under-fills its quota is
+    Chernoff-negligible, and because the pre-filter is the same
+    deterministic arithmetic on both engines, an oracle replays the result
+    bit-for-bit even in that tail. Sources at or under quota bypass the
+    filter entirely.
+    """
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    from pyspark.sql import Window
+
+    r = hash_uniform(id_col, salt)
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    pre = (
+        df.withColumn("_r", r)
+        .join(F.broadcast(counts), source_col)
+        .filter(
+            (F.col("_n") <= cap)
+            | (F.col("_r") < F.least(F.lit(1.0), F.lit(safety * cap) / F.col("_n")))
+        )
+    )
+    w = Window.partitionBy(source_col).orderBy("_r", id_col)
+    return (
+        pre.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_r", "_n", "_rk")
+    )

@@ -373,3 +373,36 @@ def embedding_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(cosine_similarity_expr(F.col("tv"), F.col("rv")) >= 0.3)
         .select("test_id", "train_id")
     )
+
+
+_DUCK_QUOTA_R = (
+    "('0x' || substring(md5('quota:' || doc_id::VARCHAR), 1, 15))::BIGINT"
+    " / 1152921504606846976.0"
+)
+
+
+@query(
+    "doc_source_quota",
+    # round-4 window candidate (tests/test_registry_window.py R4_PROMOTIONS)
+    oracle=f"""
+WITH u AS (SELECT doc_id, source, {_DUCK_QUOTA_R} AS r FROM documents),
+c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+pre AS (SELECT u.doc_id, u.source, u.r FROM u JOIN c USING (source)
+        WHERE c.n <= 10 OR u.r < least(1.0, 40.0 / c.n)),
+rk AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source ORDER BY r, doc_id) AS k
+       FROM pre)
+SELECT doc_id, source FROM rk WHERE k <= 10
+""",
+)
+def doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping (operators/sampling.py source_quota_sample): keep at
+    most 10 docs per source by deterministic md5 rank — the heavy-tail
+    counterweight every crawl-derived corpus applies. The broadcast
+    count pre-filter keeps the per-source window small regardless of
+    source size; the oracle replays rank, pre-filter, and window cut
+    bit-for-bit (safety * cap = 40.0)."""
+    from ..operators.sampling import source_quota_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return source_quota_sample(docs, cap=10)

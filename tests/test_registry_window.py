@@ -96,6 +96,7 @@ R4_PROMOTIONS = [
     "doc_tfidf_top3",
     "doc_unigram_logprob",
     "doc_feature_hash_embed",
+    "doc_source_quota",
     "embedding_split_contamination",
     "embedding_semantic_dedup",
     "events_dedup_first_per_minute",

@@ -103,3 +103,46 @@ def test_count_bug_yields_zero_not_null(spark, sf_dir):
     # every nation gets a row; nations without suppliers must read 0, not None
     assert all(v is not None for v in counts.values())
     assert len(counts) == 25
+
+
+def test_source_quota_sample_semantics(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.sampling import (
+        hash_uniform,
+        source_quota_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 40 else "small") for i in range(44)],
+        "doc_id long, source string",
+    )
+    out = source_quota_sample(docs, cap=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_src["big"]) == 5  # over-quota source capped exactly
+    assert by_src["small"] == {40, 41, 42, 43}  # under-quota source untouched
+    # the kept docs are the cap smallest md5 ranks (selection is by rank,
+    # not arrival order)
+    ranks = {
+        r.doc_id: r.r
+        for r in docs.filter("source = 'big'")
+        .select("doc_id", hash_uniform("doc_id", "quota").alias("r"))
+        .collect()
+    }
+    want = set(sorted(ranks, key=lambda d: (ranks[d], d))[:5])
+    assert by_src["big"] == want
+    # determinism under repartitioning
+    again = source_quota_sample(docs.repartition(7), cap=5).collect()
+    assert {(r.doc_id, r.source) for r in again} == {(r.doc_id, r.source) for r in out}
+
+
+def test_source_quota_validates_cap(spark):
+    import pytest as _pytest
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.sampling import (
+        source_quota_sample,
+    )
+
+    docs = spark.createDataFrame([(1, "s")], "doc_id long, source string")
+    with _pytest.raises(ValueError):
+        source_quota_sample(docs, cap=0)
