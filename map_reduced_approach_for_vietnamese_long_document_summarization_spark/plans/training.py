@@ -334,7 +334,7 @@ WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                   CASE WHEN {_DUCK_VEC_SPLIT_R} < 0.8 THEN 'train'
                        WHEN {_DUCK_VEC_SPLIT_R} < 0.9 THEN 'val'
                        ELSE 'test' END AS split
-           FROM embeddings),
+           FROM embeddings WHERE vec_id < 2000),
 t AS (SELECT vec_id, e FROM v WHERE split = 'test'),
 r AS (SELECT vec_id, e FROM v WHERE split = 'train')
 SELECT t.vec_id AS test_id, r.vec_id AS train_id
@@ -357,8 +357,10 @@ def embedding_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..metrics.semantic import cosine_similarity_expr
     from ..operators.sampling import assign_split
 
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 2000)
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     )
     split = assign_split(e, "vec_id")
     test = split.filter(F.col("split") == "test").select(
