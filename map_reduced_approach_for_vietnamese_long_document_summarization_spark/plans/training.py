@@ -330,18 +330,19 @@ _DUCK_VEC_SPLIT_R = (
     "embedding_split_contamination",
     # round-4 window candidate (tests/test_registry_window.py R4_PROMOTIONS)
     oracle=f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-                  CASE WHEN {_DUCK_VEC_SPLIT_R} < 0.8 THEN 'train'
-                       WHEN {_DUCK_VEC_SPLIT_R} < 0.9 THEN 'val'
-                       ELSE 'test' END AS split
-           FROM embeddings WHERE vec_id < 2000),
-t AS (SELECT vec_id, e FROM v WHERE split = 'test'),
-r AS (SELECT vec_id, e FROM v WHERE split = 'train')
+WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                   CASE WHEN {_DUCK_VEC_SPLIT_R} < 0.8 THEN 'train'
+                        WHEN {_DUCK_VEC_SPLIT_R} < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM embeddings WHERE vec_id < 2000),
+v AS (SELECT vec_id, split,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+      FROM v0 WHERE list_dot_product(e, e) > 0),
+t AS (SELECT vec_id, u FROM v WHERE split = 'test'),
+r AS (SELECT vec_id, u FROM v WHERE split = 'train')
 SELECT t.vec_id AS test_id, r.vec_id AS train_id
 FROM t, r
-WHERE list_dot_product(t.e, r.e)
-      / (sqrt(list_dot_product(t.e, t.e)) * sqrt(list_dot_product(r.e, r.e)))
-    >= 0.3
+WHERE list_dot_product(t.u, r.u) >= 0.3
 """,
 )
 def embedding_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,7 +355,6 @@ def embedding_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     broadcast; the train side never shuffles (the same plan as
     cosine_topk's broadcast-queries design). Ids only, so float noise
     can't touch the driver's hash."""
-    from ..metrics.semantic import cosine_similarity_expr
     from ..operators.sampling import assign_split
 
     e = (
@@ -362,17 +362,31 @@ def embedding_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("vec_id") < 2000)
         .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     )
+    # pre-normalize PER VECTOR: the naive cosine-per-pair form re-evaluates
+    # both norms (interpreted HOF aggregates) once per PAIR — 5 aggregates
+    # a pair instead of 1; unit vectors cut the pair stage to a single dot
+    dot_self = F.aggregate(
+        F.zip_with("v", "v", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+    )
+    e = (
+        e.withColumn("_n", F.sqrt(dot_self))
+        .filter(F.col("_n") > 0)
+        .select("vec_id", F.transform("v", lambda x: x / F.col("_n")).alias("u"))
+    )
     split = assign_split(e, "vec_id")
     test = split.filter(F.col("split") == "test").select(
-        F.col("vec_id").alias("test_id"), F.col("v").alias("tv")
+        F.col("vec_id").alias("test_id"), F.col("u").alias("tu")
     )
     train = split.filter(F.col("split") == "train").select(
-        F.col("vec_id").alias("train_id"), F.col("v").alias("rv")
+        F.col("vec_id").alias("train_id"), F.col("u").alias("ru")
+    )
+    dot = F.aggregate(
+        F.zip_with("tu", "ru", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
     )
     return (
         F.broadcast(test)
         .crossJoin(train)
-        .filter(cosine_similarity_expr(F.col("tv"), F.col("rv")) >= 0.3)
+        .filter(dot >= 0.3)
         .select("test_id", "train_id")
     )
 
