@@ -51,10 +51,19 @@ class RollingCheckpoint:
         self._pending_before: set[int] | None = None
 
     def checkpoint(self, df, eager: bool = True):
+        if self._pending_before is not None:
+            # a lazy generation is pending and was never marked: its RDD ids
+            # were not captured, so nothing could ever release it — the
+            # exact session-lifetime leak this class exists to prevent.
+            # Fail loudly (consistent with mark_materialized's contract).
+            raise RuntimeError(
+                "previous lazy checkpoint was never mark_materialized(); "
+                "its RDD would leak for the session — call "
+                "mark_materialized() after its materializing action"
+            )
         before = persistent_rdd_ids(self._sc)
         out = df.localCheckpoint(eager=eager)
         if eager:
-            self._pending_before = None
             self.rotate(persistent_rdd_ids(self._sc) - before)
         else:
             # lazy: ids appear at first action; caller calls mark_materialized()

@@ -172,9 +172,17 @@ def source_quota_sample(
 
     r = hash_uniform(id_col, salt)
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    # null-safe join key: groupBy and Window treat NULL source as its own
+    # group, but a plain equi-join would drop every NULL-source row — in a
+    # crawl corpus with missing metadata that is silent data loss, not a cap
+    counts = counts.select(F.col(source_col).alias("_src_key"), "_n")
     pre = (
         df.withColumn("_r", r)
-        .join(F.broadcast(counts), source_col)
+        .join(
+            F.broadcast(counts),
+            F.col(source_col).eqNullSafe(F.col("_src_key")),
+        )
+        .drop("_src_key")
         .filter(
             (F.col("_n") <= cap)
             | (F.col("_r") < F.least(F.lit(1.0), F.lit(safety * cap) / F.col("_n")))

@@ -2891,6 +2891,11 @@ def _two_part_tree_json() -> F.Column:
     )
 
 
+# bump when _two_part_tree_json / the fixture layout changes: the fixture
+# cache key includes it, so stale /tmp fixtures can't outlive the builder
+_TREE_FIXTURE_VERSION = 2
+
+
 def build_tree_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the reference's corpus-tree layout
     (``document_tree.json``: one Root whose children are Document subtrees,
@@ -2906,11 +2911,23 @@ def build_tree_fixture(spark: SparkSession, sf_dir: str) -> str:
     import os
     import tempfile
 
-    # dir keyed on sf_dir (uid-scoped against foreign same-named dirs on a
-    # shared /tmp): the content is deterministic per sf_dir, so an existing
-    # fixture short-circuits BEFORE the corpus collect — the collect must
-    # not run on every invocation of a driver-gate/bench flagship query
-    digest = _hl.md5(sf_dir.encode()).hexdigest()[:16]
+    # dir keyed on (sf_dir, source-parquet stat, builder version) —
+    # uid-scoped against foreign same-named dirs on a shared /tmp. The
+    # content is deterministic in those inputs, so an existing fixture
+    # short-circuits BEFORE the corpus collect (which must not run on
+    # every invocation of a driver-gate/bench flagship query), while a
+    # regenerated documents table (mtime/size change) or a builder change
+    # (version bump) keys a fresh dir instead of silently reusing a stale
+    # fixture.
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        stat_key = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stat_key = "nostat"
+    digest = _hl.md5(
+        f"{sf_dir}\x00{stat_key}\x00v{_TREE_FIXTURE_VERSION}".encode()
+    ).hexdigest()[:16]
     fixture_dir = os.path.join(
         tempfile.gettempdir(), f"spark_graft_tree_fixture_{os.getuid()}_{digest}"
     )

@@ -342,7 +342,7 @@ t AS (SELECT vec_id, u FROM v WHERE split = 'test'),
 r AS (SELECT vec_id, u FROM v WHERE split = 'train')
 SELECT t.vec_id AS test_id, r.vec_id AS train_id
 FROM t, r
-WHERE list_dot_product(t.u, r.u) >= 0.3
+WHERE round(list_dot_product(t.u, r.u), 6) >= 0.3
 """,
 )
 def embedding_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,13 +380,17 @@ def embedding_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     train = split.filter(F.col("split") == "train").select(
         F.col("vec_id").alias("train_id"), F.col("u").alias("ru")
     )
+    # round(6) before thresholding, the repo-wide cross-engine convention:
+    # DuckDB's list_dot_product need not be the same left-to-right fold as
+    # aggregate(zip_with(...)), and a pair landing within an ulp of the
+    # threshold must not flip between engines
     dot = F.aggregate(
         F.zip_with("tu", "ru", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
     )
     return (
         F.broadcast(test)
         .crossJoin(train)
-        .filter(dot >= 0.3)
+        .filter(F.round(dot, 6) >= 0.3)
         .select("test_id", "train_id")
     )
 

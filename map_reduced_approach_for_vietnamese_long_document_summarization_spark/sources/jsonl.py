@@ -62,12 +62,20 @@ def read_jsonl_corpus(
         full = T.StructType(
             list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
         )
-        parsed = spark.read.text(path).select(
-            F.from_json(
-                "value",
-                full,
-                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
-            ).alias("_r")
+        # blank/whitespace-only lines (double newlines, trailing padding)
+        # are neither documents nor corruption: from_json would turn them
+        # into all-NULL "clean" phantom rows, and DROPMALFORMED drops them
+        # — skip them in both modes so the two return the same corpus
+        parsed = (
+            spark.read.text(path)
+            .filter(F.trim("value") != "")
+            .select(
+                F.from_json(
+                    "value",
+                    full,
+                    {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+                ).alias("_r")
+            )
         )
         return parsed.select("_r.*")
     return spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)

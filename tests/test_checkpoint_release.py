@@ -103,3 +103,17 @@ def test_rolling_checkpoint_lazy_contract(spark):
     live_now = persistent_rdd_ids(sc)
     assert live_now - before  # new checkpoint registered
     assert cur2.count() == 10  # still readable after rotation
+
+
+def test_rolling_checkpoint_refuses_to_abandon_pending(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators._ckpt import (
+        RollingCheckpoint,
+    )
+
+    rc = RollingCheckpoint(spark.sparkContext)
+    lazy = rc.checkpoint(spark.range(5), eager=False)
+    with pytest.raises(RuntimeError):
+        rc.checkpoint(spark.range(6), eager=True)  # pending never marked
+    assert lazy.count() == 5
+    rc.mark_materialized()
+    rc.checkpoint(spark.range(6), eager=True)  # now fine

@@ -62,3 +62,20 @@ def test_round_trip(spark, jsonl_dir, tmp_path):
     back = read_jsonl_corpus(spark, out)
     c2, bad2 = split_corrupt(back)
     assert c2.count() == 3 and bad2.count() == 0
+
+
+def test_blank_lines_are_skipped_in_both_modes(spark, tmp_path):
+    p = tmp_path / "blanky.jsonl"
+    p.write_text(
+        "\n"
+        + json.dumps({"doc_id": 1, "text": "a", "lang": "en", "source": "w"})
+        + "\n\n   \n"
+        + json.dumps({"doc_id": 2, "text": "b", "lang": "en", "source": "w"})
+        + "\n\n"
+    )
+    clean, corrupt = split_corrupt(read_jsonl_corpus(spark, str(p)))
+    # no all-NULL phantom rows from the blank lines, and nothing ledgered
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 2]
+    assert corrupt.count() == 0
+    dropped = read_jsonl_corpus(spark, str(p), keep_corrupt=False)
+    assert dropped.count() == 2  # both modes agree on the corpus

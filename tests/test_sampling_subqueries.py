@@ -146,3 +146,22 @@ def test_source_quota_validates_cap(spark):
     docs = spark.createDataFrame([(1, "s")], "doc_id long, source string")
     with _pytest.raises(ValueError):
         source_quota_sample(docs, cap=0)
+
+
+def test_source_quota_keeps_null_sources(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.sampling import (
+        source_quota_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None), (5, "b")],
+        "doc_id long, source string",
+    )
+    out = source_quota_sample(docs, cap=10).collect()
+    # nothing over quota -> every row survives, including NULL sources
+    assert sorted(r.doc_id for r in out) == [1, 2, 3, 4, 5]
+    # NULL is its own bucket and gets capped like any other
+    many_null = spark.createDataFrame(
+        [(i, None) for i in range(20)], "doc_id long, source string"
+    )
+    assert source_quota_sample(many_null, cap=3).count() == 3
