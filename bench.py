@@ -33,6 +33,7 @@ HEADLINE = [
     "customer_running_spend",
     "events_sessionization",
     "events_tumbling_10min",
+    "events_resample_1h_ffill",
     "doc_stats_by_lang",
     "doc_chunk_fixed100",
     "doc_exact_dedup",

@@ -43,6 +43,7 @@ from .contamination import ngram_contamination
 from .packing import pack_sequences, packing_stats
 from .report import corpus_quality_report
 from .retrieval import bm25_topk, term_postings
+from .timeseries import resample_ffill
 from .sampling import (
     assign_split,
     epoch_upsample,
@@ -61,6 +62,7 @@ __all__ = [
     "ngram_contamination",
     "bm25_topk",
     "corpus_quality_report",
+    "resample_ffill",
     "term_postings",
     "pack_sequences",
     "packing_stats",

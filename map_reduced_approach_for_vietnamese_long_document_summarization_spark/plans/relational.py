@@ -3121,3 +3121,42 @@ def events_dedup_first_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("value"), 4).alias("kept_value"),
         )
     )
+
+
+@query(
+    "events_resample_1h_ffill",
+    # round-4 window candidate (tests/test_registry_window.py R4_PROMOTIONS)
+    oracle="""
+WITH h AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+                  arg_max(value, event_id) AS v
+           FROM events GROUP BY 1, 2),
+sp AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+              date_trunc('hour', max(ts)) AS h1
+       FROM events GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket
+         FROM sp),
+j AS (SELECT g.user_id, g.bucket, h.v FROM grid g
+      LEFT JOIN h ON h.user_id = g.user_id AND h.bucket = g.bucket)
+SELECT user_id, bucket,
+       round(last_value(v IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING), 6) AS value,
+       v IS NOT NULL AS is_observed
+FROM j
+""",
+)
+def events_resample_1h_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resampling with forward fill (operators/timeseries.py
+    resample_ffill): the gap-fill that turns an irregular event stream into
+    a regular series — one row per hour from each user's first to last
+    event, carrying the bucket's last observation (arg-max by the unique
+    event_id, deterministic under timestamp ties) across empty hours. Grid
+    size is bounded by calendar span, never event volume. The oracle
+    replays bucketing, span grid, and the ignore-nulls fill."""
+    from ..operators.timeseries import resample_ffill
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    out = resample_ffill(ev)
+    return out.select(
+        "user_id", "bucket", F.round("value", 6).alias("value"), "is_observed"
+    )
