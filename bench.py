@@ -34,6 +34,7 @@ HEADLINE = [
     "events_sessionization",
     "events_tumbling_10min",
     "events_resample_1h_ffill",
+    "events_trailing_24h_stats",
     "doc_stats_by_lang",
     "doc_chunk_fixed100",
     "doc_exact_dedup",

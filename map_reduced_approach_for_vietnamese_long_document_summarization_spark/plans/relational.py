@@ -3160,3 +3160,37 @@ def events_resample_1h_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "bucket", F.round("value", 6).alias("value"), "is_observed"
     )
+
+
+@query(
+    "events_trailing_24h_stats",
+    # round-4 window candidate (tests/test_registry_window.py R4_PROMOTIONS)
+    oracle="""
+SELECT user_id, event_id,
+       round(avg(value) OVER w, 6) AS avg_24h,
+       count(*) OVER w AS n_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+""",
+)
+def events_trailing_24h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h per-user rolling statistics via a RANGE (value-based)
+    window frame — the time-interval frame class, distinct from the ROWS
+    frames the running-spend/gap queries pin. Ordering is unix MICROS so
+    the inclusive 24h boundary matches DuckDB's timestamp-interval frame
+    exactly (a seconds cast would truncate sub-second edges). Frames are
+    bounded by event rate x 24h, independent of history length."""
+    ev = _t(spark, sf_dir, "events")
+    # the harness loader yields TIMESTAMP_NTZ; the session is pinned UTC,
+    # so the cast to (instant) TIMESTAMP is an identity relabeling
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(micros).rangeBetween(
+        -86_400_000_000, 0
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("avg_24h"),
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+    )

@@ -101,6 +101,7 @@ R4_PROMOTIONS = [
     "embedding_semantic_dedup",
     "events_dedup_first_per_minute",
     "events_resample_1h_ffill",
+    "events_trailing_24h_stats",
     # plans/tpch_extra.py — the remaining TPC-H silhouettes
     "q2_min_cost_supplier",
     "q7_nation_trade_volume",
