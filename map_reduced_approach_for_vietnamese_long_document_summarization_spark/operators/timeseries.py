@@ -37,22 +37,36 @@ def resample_ffill(
     the pick is deterministic even under timestamp ties) carried forward
     across empty buckets; the first bucket always has an observation by
     construction, so no NULLs survive. ``is_observed`` marks real buckets.
+
+    Rows with a NULL timestamp or NULL value are treated as missing
+    observations and excluded up front (a NULL value cannot be "observed"
+    and a NULL timestamp has no bucket). A NULL key is a real series of
+    its own (the join back is null-safe).
     """
     if unit not in _UNITS:
         raise ValueError(f"unit must be one of {sorted(_UNITS)}")
     step = F.expr(f"interval {_UNITS[unit]}")
     k, t, v = F.col(key_col), F.col(ts_col), F.col(value_col)
+    events = events.filter(t.isNotNull() & v.isNotNull())
     bucketed = events.groupBy(
         k.alias("key"), F.date_trunc(unit, t).alias("bucket")
     ).agg(F.max_by(v, F.col(order_col)).alias("_v"))
-    spans = events.groupBy(k.alias("key")).agg(
-        F.date_trunc(unit, F.min(t)).alias("_h0"),
-        F.date_trunc(unit, F.max(t)).alias("_h1"),
+    # spans derive from the bucketed frame (date_trunc is monotonic, so
+    # min/max bucket == truncated min/max ts): Spark's ReuseExchange then
+    # serves both branches from ONE scan + one key-wise shuffle instead of
+    # re-aggregating the raw events a second time
+    spans = bucketed.groupBy("key").agg(
+        F.min("bucket").alias("_h0"), F.max("bucket").alias("_h1")
     )
     grid = spans.select(
         "key", F.explode(F.sequence("_h0", "_h1", step)).alias("bucket")
     )
-    joined = grid.join(bucketed, ["key", "bucket"], "left")
+    joined = grid.alias("g").join(
+        bucketed.alias("b"),
+        F.col("g.key").eqNullSafe(F.col("b.key"))
+        & (F.col("g.bucket") == F.col("b.bucket")),
+        "left",
+    ).select(F.col("g.key").alias("key"), F.col("g.bucket").alias("bucket"), "_v")
     w = (
         Window.partitionBy("key")
         .orderBy("bucket")

@@ -2948,6 +2948,21 @@ def build_tree_fixture(spark: SparkSession, sf_dir: str) -> str:
     with os.fdopen(fd, "w", encoding="utf-8") as f:
         f.write(root)
     os.replace(tmp, target)
+    # garbage-collect superseded fixtures (stat/version changes orphan the
+    # old digest dirs): best-effort, only dirs idle > 1h so a concurrent
+    # session's live fixture is never yanked
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    prefix = os.path.join(tempfile.gettempdir(), f"spark_graft_tree_fixture_{os.getuid()}_")
+    for d in _glob.glob(prefix + "*"):
+        if d != fixture_dir:
+            try:
+                if _time.time() - os.path.getmtime(d) > 3600:
+                    _shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass
     return fixture_dir
 
 

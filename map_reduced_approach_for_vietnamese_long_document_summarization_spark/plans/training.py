@@ -407,7 +407,8 @@ _DUCK_QUOTA_R = (
     oracle=f"""
 WITH u AS (SELECT doc_id, source, {_DUCK_QUOTA_R} AS r FROM documents),
 c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
-pre AS (SELECT u.doc_id, u.source, u.r FROM u JOIN c USING (source)
+pre AS (SELECT u.doc_id, u.source, u.r FROM u
+        JOIN c ON u.source IS NOT DISTINCT FROM c.source
         WHERE c.n <= 10 OR u.r < least(1.0, 40.0 / c.n)),
 rk AS (SELECT doc_id, source,
               row_number() OVER (PARTITION BY source ORDER BY r, doc_id) AS k

@@ -62,13 +62,15 @@ def read_jsonl_corpus(
         full = T.StructType(
             list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
         )
-        # blank/whitespace-only lines (double newlines, trailing padding)
-        # are neither documents nor corruption: from_json would turn them
-        # into all-NULL "clean" phantom rows, and DROPMALFORMED drops them
-        # — skip them in both modes so the two return the same corpus
+        # blank/whitespace-only lines (double newlines, CRLF endings, tab
+        # padding) are neither documents nor corruption: from_json would
+        # turn them into all-NULL "clean" phantom rows, and DROPMALFORMED
+        # drops them — skip them in both modes so the two return the same
+        # corpus. NOT F.trim: that strips only ASCII spaces, so a CRLF
+        # file's blank lines ("\r") would slip through.
         parsed = (
             spark.read.text(path)
-            .filter(F.trim("value") != "")
+            .filter(F.regexp_replace("value", r"\s", "") != "")
             .select(
                 F.from_json(
                     "value",

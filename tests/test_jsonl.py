@@ -69,7 +69,7 @@ def test_blank_lines_are_skipped_in_both_modes(spark, tmp_path):
     p.write_text(
         "\n"
         + json.dumps({"doc_id": 1, "text": "a", "lang": "en", "source": "w"})
-        + "\n\n   \n"
+        + "\n\n   \n\r\n\t\n"
         + json.dumps({"doc_id": 2, "text": "b", "lang": "en", "source": "w"})
         + "\n\n"
     )

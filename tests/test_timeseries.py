@@ -57,3 +57,27 @@ def test_minute_unit(spark):
     # 00:10 .. 03:05 inclusive = 176 minute buckets
     assert len(u1) == 176
     assert sum(r.is_observed for r in u1) == 3
+
+
+def test_null_key_ts_value_handling(spark):
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 0, 5), None, 1.0),  # NULL key: its own series
+        (2, dt(2024, 1, 1, 1, 5), None, 2.0),
+        (3, None, 7, 9.0),  # NULL ts: excluded
+        (4, dt(2024, 1, 1, 0, 30), 8, None),  # NULL value: missing obs
+        (5, dt(2024, 1, 1, 2, 30), 8, 4.0),
+    ]
+    out = resample_ffill(spark.createDataFrame(rows, SCHEMA)).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.user_id, []).append(r)
+    # NULL key forms a 2-bucket forward-filled series, no NULL values
+    nk = sorted(by_key[None], key=lambda r: r.bucket)
+    assert [r.value for r in nk] == [1.0, 2.0]
+    assert all(r.value is not None for r in out)
+    # key 7 (only a NULL-ts row) vanishes; key 8's span starts at its
+    # first NON-NULL observation
+    assert 7 not in by_key
+    assert len(by_key[8]) == 1 and by_key[8][0].value == 4.0
