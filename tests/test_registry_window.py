@@ -15,80 +15,42 @@ WINDOW = 50  # the driver checks exactly this many entries (CORRECTNESS_r02)
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 FLAGSHIPS = [
-    # summarization pipelines (D1-D17) + the S3 file-source path
+    # summarization pipelines (D1-D17)
     "pipeline_mapreduce_mock",
     "pipeline_iterative_mock",
     "pipeline_critique_mock",
     "pipeline_hierarchical_mock",
     "pipeline_truncated_mock",
+    # one representative per operator family (rest of each family is green
+    # in a prior CORRECTNESS round and stays in the local parity suite)
     "mock_collapse_loop",
+    "doc_chunk_fixed100",
     "tree_file_hierarchical",
-    # dedup / similarity / ANN north star
     "doc_exact_dedup",
-    "doc_span_dedup",
-    "doc_pii_redact",
-    "ngram_jaccard_top20",
     "minhash_md5_dedup",
     "simhash_md5_near_dups",
+    "ngram_jaccard_top20",
+    "doc_dup_clusters",
     "embedding_knn_top3",
     "embedding_ann_lsh_top3",
-    "embedding_ivf_fixed_top3",
     "ann_recall_at3",
-    "embedding_near_dups_lsh",
-    "doc_dup_clusters",
     "multimodal_decode_features",
-    "multimodal_decode_dims",
-    # metric engine (M1-M5)
     "rouge1_per_doc",
     "bertscore_mock_pairs",
     "llm_judge_mock_scores",
-    # streaming batch twins (§2.10)
+    "bm25_search_top10",
+    "doc_repetition_stats",
     "events_tumbling_10min",
-    "events_sessionization",
-    # subquery family (EXISTS / IN / correlated scalar / NOT EXISTS)
     "order_priority_exists_late",
-    "brand_small_qty_revenue",
-    "big_order_customers",
-    "dormant_rich_customers",
-    # training-data prep (split / packing / decontamination / retrieval)
     "doc_split_assign",
     "corpus_pack_512",
-    "corpus_pack_greedy_512",
-    "doc_contamination_top20",
-    "bm25_search_top10",
-    # as-of join
     "purchase_click_attribution",
 ]
 
-# round-3 promotions: oracled queries that had NO driver row in r01/r02
-# (VERDICT r2 "What's missing" #1) plus the round-3 additions — the whole
-# point of the rotation is that each of these gets a driver row this round
-R3_PROMOTIONS = [
-    "events_click_purchase_pairs",
-    "lineitem_grouping_sets",
-    "forecast_revenue_q6",
-    "promo_revenue_q14",
-    "source_name_sanitize",
-    "segment_price_percentiles",
-    "returnflag_except_all",
-    "doc_winnow_fingerprints",
-    "embedding_ivf_fixed_top3",
-    "embedding_int8_roundtrip",
-    "nation_supplier_scalars",
-    "doc_stratified_sample",
-    "ann_recall_at3",
-    "tree_file_hierarchical",
-    "corpus_pack_greedy_512",
-    "doc_span_dedup",
-    "doc_pii_redact",
-]
 
-
-# round-4 window candidates: oracled queries ADDED mid-round-3, after the
-# round-3 window was frozen (evicting a frozen entry would un-check a
-# promotion). They ride the tail this round — locally parity-checked only —
-# and MUST be rotated into the round-4 window. test_r4_candidates_are_oracled
-# keeps them from rotting; the orphan test below exempts exactly this list.
+# round-4 promotions: oracled queries with no driver row in r01-r03 —
+# rotated INTO the round-4 window so each gets its first driver row.
+# test_round4_promotions_inside_window enforces the rotation landed.
 R4_PROMOTIONS = [
     "corpus_top_bigrams",
     "doc_epoch_upsample",
@@ -117,6 +79,17 @@ R4_PROMOTIONS = [
 ]
 
 
+# round-5 window candidates: oracled queries added MID-round-4, after the
+# round-4 window froze (evicting a frozen entry would un-check a promotion
+# before the driver records its row). They ride the tail this round —
+# locally parity-checked only — and MUST be rotated into the round-5 window
+# at round-5 START. The orphan test below exempts exactly this list, so a
+# new oracled query registered outside both the window and this list fails
+# the suite immediately (window-capacity hygiene: the rotation chore can
+# never silently backlog).
+R5_PROMOTIONS = []
+
+
 def _driver_checked_names():
     """Names with a GREEN driver row in any prior round's CORRECTNESS file.
     err rows (e.g. multimodal_decode_features' r02 canonicalizer crash) and
@@ -138,30 +111,45 @@ def test_flagships_inside_driver_window():
     assert not missing, f"flagships outside the driver window: {missing}"
 
 
-def test_round3_promotions_inside_window():
+def test_round4_promotions_inside_window():
     window = list(QUERIES)[:WINDOW]
-    missing = [n for n in R3_PROMOTIONS if n not in window]
+    missing = [n for n in R4_PROMOTIONS if n not in window]
     assert not missing, f"never-driver-checked queries still outside: {missing}"
 
 
+def test_window_is_exactly_full():
+    """5 flagship pipelines + 22 family representatives + 23 promotions
+    must fill the window exactly — an underfull window wastes driver
+    checks, an overfull one silently evicts the back of the list."""
+    window = list(QUERIES)[:WINDOW]
+    expected = set(FLAGSHIPS) | set(R4_PROMOTIONS)
+    assert len(expected) == WINDOW
+    assert set(window) == expected, (
+        f"unexpected in window: {sorted(set(window) - expected)}; "
+        f"missing: {sorted(expected - set(window))}"
+    )
+
+
 def test_every_oracled_query_has_a_driver_row_somewhere():
-    """No oracled query may sit outside EVERY window: it must either have a
-    green row in a past round's CORRECTNESS file or be inside the current
-    first-50 (so the coming round checks it). Fails when a new oracled
-    query silently lands outside all windows."""
+    """Window-capacity hygiene: no oracled query may sit outside EVERY
+    window — it must have a green row in a past round's CORRECTNESS file,
+    be inside the current first-50 (so the coming round checks it), or be
+    explicitly queued in R5_PROMOTIONS for the next rotation. A new
+    oracled query registered anywhere else fails here immediately, so the
+    rotation chore can never silently backlog."""
     window = set(list(QUERIES)[:WINDOW])
-    covered = _driver_checked_names() | window | set(R4_PROMOTIONS)
+    covered = _driver_checked_names() | window | set(R5_PROMOTIONS)
     orphans = sorted(set(ORACLES) - covered)
     assert not orphans, f"oracled queries never driver-checked: {orphans}"
 
 
-def test_r4_candidates_are_oracled():
-    """Every round-4 promotion candidate must exist and carry an oracle —
-    and once one gains a green driver row, drop it from R4_PROMOTIONS so
-    the orphan exemption doesn't outlive its purpose."""
-    for n in R4_PROMOTIONS:
-        assert n in QUERIES, f"R4 candidate {n} not registered"
-        assert n in ORACLES, f"R4 candidate {n} has no oracle"
+def test_promotion_candidates_are_oracled():
+    """Every promotion candidate must exist and carry an oracle — and once
+    one gains a green driver row, the next rotation drops it from the
+    promotions list so the orphan exemption doesn't outlive its purpose."""
+    for n in R4_PROMOTIONS + R5_PROMOTIONS:
+        assert n in QUERIES, f"promotion candidate {n} not registered"
+        assert n in ORACLES, f"promotion candidate {n} has no oracle"
 
 
 def test_window_oracle_density():
