@@ -83,6 +83,42 @@ def read_jsonl_corpus(
     return spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
 
 
+def read_jsonl_corpus_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOC_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``read_jsonl_corpus``: watch ``path`` for new JSONL
+    files and parse them with the same declared schema + corrupt-line
+    ledger semantics (text source + ``from_json``, blank/whitespace lines
+    skipped), so the batch and streaming ingest paths can never diverge on
+    what counts as a document vs a corrupt line.
+
+    The file source tracks processed files in the query checkpoint, so a
+    restarted query resumes where it left off; ``max_files_per_trigger``
+    bounds micro-batch size for backfills over a large landing directory.
+    Feed the result to ``streaming.write_stream_idempotent_parquet`` for an
+    exactly-once landing zone the batch curation stages read via
+    ``read_committed_batches``."""
+    full = T.StructType(list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())])
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    parsed = (
+        reader.text(path)
+        .filter(F.regexp_replace("value", r"\s", "") != "")
+        .select(
+            F.from_json(
+                "value",
+                full,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+            ).alias("_r")
+        )
+    )
+    return parsed.select("_r.*")
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, corrupt): clean rows without the ledger column, and the raw
     text of every malformed line — quarantine-sink the latter and alert on
