@@ -35,6 +35,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "doc_id",
     max_rounds: int = 20,
+    contract: bool = True,
 ) -> DataFrame:
     """Return (``id_col``, ``component``) where ``component`` is the minimum
     node id in each connected component.
@@ -43,6 +44,11 @@ def connected_components(
     dropped). ``nodes``, when given, contributes isolated vertices (documents
     with no near-dup pair become singleton components) — pass the full corpus
     id column so the output covers every document.
+
+    ``contract=False`` skips the star-contraction seed and floods the raw
+    graph — exposed so the two plans can be measured head-to-head (the
+    contraction trades one up-front join+distinct for smaller per-round
+    joins; see SCALE.md for the measured crossover).
     """
     sc = edges.sparkSession.sparkContext
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(F.col("a") != F.col("b"))
@@ -66,28 +72,33 @@ def connected_components(
     # ~900k edges -> ~3k on the harness SimHash graph — and every
     # propagation round joins the small table, not the raw one. The
     # contraction itself is one edge-map join + distinct, paid once.
-    neigh_min = sym.groupBy("a").agg(F.min("b").alias("mb")).withColumnRenamed("a", "id")
-    seeds = vertices.join(neigh_min, "id", "left").select(
-        "id", F.least(F.col("id"), F.coalesce("mb", F.col("id"))).alias("s")
-    )
-    # reused by contraction + final compose; outlives the call (the returned
-    # plan reads it), so it is not release-tracked
-    seeds = seeds.localCheckpoint(eager=True)
-    _pids_c = _persistent_rdd_ids(sc)
-    # mapping a symmetric edge set through seeds yields a symmetric set
-    # ((a,b) and (b,a) map to mirrored pairs), so no re-symmetrization —
-    # just dedupe the collapsed multi-edges
-    sym = (
-        sym.join(seeds.select(F.col("id").alias("a"), F.col("s").alias("_sa")), "a")
-        .join(seeds.select(F.col("id").alias("b"), F.col("s").alias("_sb")), "b")
-        .select(F.col("_sa").alias("a"), F.col("_sb").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    sym = sym.localCheckpoint(eager=True)  # the loop's (small) edge table
-    _release_rdds(sc, sym_ids)  # raw symmetric edges are dead after contraction
-    sym_ids = _persistent_rdd_ids(sc) - _pids_c
-    vertices = seeds.select(F.col("s").alias("id")).distinct()
+    if contract:
+        neigh_min = (
+            sym.groupBy("a").agg(F.min("b").alias("mb")).withColumnRenamed("a", "id")
+        )
+        seeds = vertices.join(neigh_min, "id", "left").select(
+            "id", F.least(F.col("id"), F.coalesce("mb", F.col("id"))).alias("s")
+        )
+        # reused by contraction + final compose; outlives the call (the
+        # returned plan reads it), so it is not release-tracked
+        seeds = seeds.localCheckpoint(eager=True)
+        _pids_c = _persistent_rdd_ids(sc)
+        # mapping a symmetric edge set through seeds yields a symmetric set
+        # ((a,b) and (b,a) map to mirrored pairs), so no re-symmetrization —
+        # just dedupe the collapsed multi-edges
+        sym = (
+            sym.join(seeds.select(F.col("id").alias("a"), F.col("s").alias("_sa")), "a")
+            .join(seeds.select(F.col("id").alias("b"), F.col("s").alias("_sb")), "b")
+            .select(F.col("_sa").alias("a"), F.col("_sb").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        sym = sym.localCheckpoint(eager=True)  # the loop's (small) edge table
+        _release_rdds(sc, sym_ids)  # raw symmetric edges die after contraction
+        sym_ids = _persistent_rdd_ids(sc) - _pids_c
+        vertices = seeds.select(F.col("s").alias("id")).distinct()
+    else:
+        seeds = None
 
     # seed the contracted loop the same way: min(self, min contracted
     # neighbor) — flooding round 0 as one map-side-combinable aggregate
@@ -163,12 +174,15 @@ def connected_components(
     # compose the contraction back out: every original node takes its
     # seed's component label (the seed is in the same component by
     # construction; contracted singletons label themselves)
-    out = seeds.join(
-        labels.select(F.col("id").alias("s"), "lbl"), "s", "left"
-    ).select(
-        F.col("id").alias(id_col),
-        F.coalesce("lbl", F.col("s")).alias("component"),
-    )
+    if seeds is not None:
+        out = seeds.join(
+            labels.select(F.col("id").alias("s"), "lbl"), "s", "left"
+        ).select(
+            F.col("id").alias(id_col),
+            F.coalesce("lbl", F.col("s")).alias("component"),
+        )
+    else:
+        out = labels.select(F.col("id").alias(id_col), F.col("lbl").alias("component"))
     # the contracted-edge checkpoint is dead once the loop exits; the seed
     # and final label checkpoints outlive the call, owned by the returned
     # DataFrame's plan
