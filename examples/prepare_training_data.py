@@ -13,6 +13,11 @@ lazy plan except the dedup-cluster iteration):
   3. exact dedup               (md5 fingerprint keep-min-id)
   4. near-dedup                (SimHash pairs -> connected components ->
                                 canonical doc per cluster)
+  4b. semantic dedup           (SemDeDup: k-means coarse quantizer LEARNED
+                                from the corpus embeddings via
+                                ivf_build_index, within-cell cosine
+                                domination — drops paraphrase-level dups
+                                the lexical passes can't see)
   5. span dedup                (C4-style repeated-span removal across the
                                 surviving corpus; drops emptied husks)
   6. PII redaction             (typed [EMAIL]/[PHONE]/[IP] tags, zero shuffle)
@@ -43,13 +48,16 @@ from map_reduced_approach_for_vietnamese_long_document_summarization_spark.funct
 )
 from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
     assign_split,
+    cell_histogram,
     dedup_keep_canonical,
     epoch_upsample,
     exact_dedup,
+    ivf_build_index,
     md5_hash32,
     ngram_contamination,
     pack_sequences,
     packing_stats,
+    semantic_dedup,
     simhash_near_dup_pairs,
     span_dedup,
     term_postings,
@@ -114,6 +122,32 @@ def prepare(spark, sf_dir, max_tokens=512, n_shards=8):
         exact.select("doc_id", "text"), max_hamming=3, bits=32, hash_col_fn=md5_hash32
     )
     survivors = dedup_keep_canonical(exact, pairs)
+
+    # 4b: semantic dedup (SemDeDup) with LEARNED centroids — fit the coarse
+    # quantizer on the survivors' own embeddings (k-means over a bounded
+    # sample, ivf_build_index), then drop within-cell cosine-dominated
+    # docs. The lexical passes above catch byte- and shingle-level copies;
+    # this catches paraphrases. The cell histogram is the skew/cost check:
+    # its top row bounds the quadratic within-cell stage (see
+    # tests/test_vocab_mixing_semdedup.py for the asserted bound).
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = emb.join(
+        survivors.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    _, centroids = ivf_build_index(emb, n_lists=8)
+    sem = semantic_dedup(emb, centroids, threshold=0.95)
+    sem_keep = (
+        sem.select(F.col("vec_id").alias("doc_id")).localCheckpoint(eager=True)
+    )
+    biggest = cell_histogram(sem.select("vec_id", "cell")).first()
+    unpersist_inputs(sem)  # release the cached assignment table
+    # docs without an embedding row pass through (no evidence to drop on)
+    emb_ids = emb.select(F.col("vec_id").alias("doc_id"))
+    survivors = survivors.join(emb_ids, "doc_id", "left_anti").unionByName(
+        survivors.join(sem_keep, "doc_id", "left_semi")
+    )
+    if biggest is not None:
+        print(f"semantic dedup: biggest cell holds {biggest['n']} survivors")
 
     # 5: span-level dedup across the deduped corpus (repeated boilerplate
     # spans keep one global copy); docs whose every span was seen die here

@@ -28,6 +28,7 @@ from .multimodal import (
 )
 from .pairing import anti_pairs, pair_docs_with_refs, positional_zip_join, skip_existing
 from .similarity import (
+    cell_histogram,
     cosine_topk,
     semantic_dedup,
     embedding_near_dup_pairs,
@@ -71,6 +72,7 @@ __all__ = [
     "hash_uniform",
     "source_quota_sample",
     "stratified_hash_sample",
+    "cell_histogram",
     "semantic_dedup",
     "feature_hash_embed",
     "tfidf_top_terms",

@@ -269,6 +269,19 @@ def ivf_assign(
     return corpus.withColumn("cell", nearest)
 
 
+def cell_histogram(assigned: DataFrame, cell_col: str = "cell") -> DataFrame:
+    """(cell, n) sizes of a coarse-quantizer assignment, biggest first — the
+    one-line skew check every celled operator's docstring points at. The
+    quadratic stage of ``semantic_dedup`` is n_i^2 per cell, so the top row
+    here IS the cost (and memory) bound: a runaway megacell means the
+    centroids under-fit the data's cluster structure — raise ``n_lists`` or
+    refit. One map-side-combinable aggregate over an int column; at 100 TB
+    the result is n_lists rows."""
+    return assigned.groupBy(cell_col).agg(F.count(F.lit(1)).alias("n")).orderBy(
+        F.desc("n"), cell_col
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: list[list[float]],

@@ -179,3 +179,66 @@ def test_semantic_dedup_single_shuffle_pair_stage(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- learned-centroid SemDeDup composition (ivf_build_index -> semantic_dedup)
+
+
+def _clustered_vectors(spark, n_clusters=4, per_cluster=60, dim=16, seed=3):
+    """Synthetic vectors in tight, well-separated clusters: center c is
+    10*e_c (axis-aligned, far apart), members are center + small seeded
+    noise. Each cluster's last member duplicates its first (near-exactly)
+    so semantic dedup has something to drop."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for c in range(n_clusters):
+        center = np.zeros(dim)
+        center[c] = 10.0
+        base = center + rng.normal(0, 0.05, size=(per_cluster, dim))
+        base[-1] = base[0] + rng.normal(0, 1e-4, size=dim)  # planted near-dup
+        for i, v in enumerate(base):
+            rows.append((c * per_cluster + i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_learned_centroids_bound_the_cell_histogram(spark):
+    """ivf_build_index's k-means centroids must recover the planted cluster
+    structure: the cell histogram's top row — the bound on semantic_dedup's
+    quadratic within-cell stage — stays at one planted cluster's size, not
+    a megacell union of several."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.similarity import (
+        cell_histogram,
+        ivf_assign,
+        ivf_build_index,
+    )
+
+    vecs = _clustered_vectors(spark, n_clusters=4, per_cluster=60)
+    _, centroids = ivf_build_index(vecs, n_lists=4, fit_sample_size=240)
+    hist = cell_histogram(ivf_assign(vecs, centroids)).collect()
+    assert len(hist) == 4
+    assert hist[0]["n"] == 60  # biggest cell == one planted cluster
+    assert sum(r["n"] for r in hist) == 240
+
+
+def test_semantic_dedup_with_learned_centroids_drops_planted_dups(spark):
+    """The composition the training example runs: learned centroids feed
+    semantic_dedup; each planted near-duplicate (cosine ~1 to its cluster's
+    first member) dies, everything else survives at a threshold the
+    intra-cluster noise cannot reach."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        unpersist_inputs,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.similarity import (
+        ivf_build_index,
+    )
+
+    vecs = _clustered_vectors(spark, n_clusters=4, per_cluster=60)
+    _, centroids = ivf_build_index(vecs, n_lists=4, fit_sample_size=240)
+    out = semantic_dedup(vecs, centroids, threshold=0.9999995)
+    kept = {r["vec_id"] for r in out.select("vec_id").collect()}
+    unpersist_inputs(out)
+    planted = {c * 60 + 59 for c in range(4)}
+    assert planted.isdisjoint(kept)
+    assert kept == set(range(240)) - planted
