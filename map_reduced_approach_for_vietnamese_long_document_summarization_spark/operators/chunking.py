@@ -159,21 +159,33 @@ def chunk_fixed_tokens(
     ``tokens[i*chunk_size : (i+1)*chunk_size]`` per chunk; the last chunk may
     be short. Whole plan stays in whole-stage codegen — this is the 100 TB
     fast path and the oracle-checkable twin of ``chunk_documents``.
+
+    Plan shape matters here (the ``term_postings`` lesson, round 4): the
+    token array is materialized in its OWN projection, and the generator
+    explodes the pre-sliced per-chunk arrays. Putting ``toks.alias(...)``
+    in the same select as the posexplode parks the un-materialized
+    tokenization in the projection ABOVE the Generate — re-run per CHUNK
+    row, which on a 15k-token document re-tokenizes ~100 KB of text ~300
+    times (measured 2.7s/doc -> ~10ms/doc after this shape). Exploding the
+    nested chunk arrays (rather than chunk indices) also keeps the full
+    token array out of the generated rows — each output row carries only
+    its own ``chunk_size`` tokens.
     """
     from ..functions.text import tokenize_ws
 
-    toks = tokenize_ws(text_col)
-    n = F.size(toks)
+    with_toks = docs.select(*id_cols, tokenize_ws(text_col).alias("_toks"))
+    n = F.size(F.col("_toks"))
     n_chunks = F.greatest(F.lit(1), F.ceil(n / F.lit(chunk_size))).cast("int")
-    with_toks = docs.select(
-        *id_cols,
-        toks.alias("_toks"),
-        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_i"),
+    chunks_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("_toks"), i * chunk_size + 1, chunk_size),
     )
-    chunk = F.slice(F.col("_toks"), F.col("chunk_idx") * chunk_size + 1, chunk_size)
-    return with_toks.select(
+    ex = with_toks.select(
+        *id_cols, F.posexplode(chunks_arr).alias("chunk_idx", "_ctoks")
+    )
+    return ex.select(
         *id_cols,
         F.col("chunk_idx"),
-        F.array_join(chunk, " ").alias("chunk"),
-        F.size(chunk).alias("n_tokens"),
+        F.array_join("_ctoks", " ").alias("chunk"),
+        F.size("_ctoks").alias("n_tokens"),
     )
