@@ -77,6 +77,10 @@ HEADLINE = [
     "doc_source_quota",
     "embedding_split_contamination",
     "embedding_semantic_dedup",
+    # TPC-H silhouette representatives (heaviest join shapes of the family)
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q21_latest_shipper",
 ]
 
 

@@ -13,6 +13,7 @@ from .text import (
     clean_thinking_tokens,
     hf_token_count_udf,
     filename_stem,
+    normalize_text,
     normalize_whitespace,
     sanitize_model_name,
     tokenize_ws,

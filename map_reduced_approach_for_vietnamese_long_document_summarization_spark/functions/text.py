@@ -55,6 +55,33 @@ def normalize_whitespace(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+def normalize_text(col: Column | str) -> Column:
+    """Corpus text normalization (the pre-dedup canonicalization pass every
+    web pipeline runs: exact dedup on raw bytes misses mirrors that differ
+    only in punctuation codepoints or line endings):
+
+    * CRLF / CR -> LF;
+    * C0 control characters (except newline and tab) stripped;
+    * curly single/double quotes -> ASCII quote codepoints;
+    * en/em/figure/horizontal-bar dashes and the minus sign -> "-";
+    * NBSP and the other Unicode space separators -> ASCII space;
+    * space/tab runs collapsed to one space, trimmed around newlines.
+
+    Pure ``translate``/``regexp_replace`` expressions: scan-speed,
+    RE2-compatible, and replayable in ANSI SQL (the oracle mirrors each
+    step). Newlines are PRESERVED (unlike ``normalize_whitespace``) so
+    paragraph structure survives for the span-dedup passes downstream."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, "\\r\\n?", "\n")
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    c = F.translate(c, "\u2018\u2019\u201a\u201b\u201c\u201d\u201e\u201f", "''''" + '"' * 4)
+    c = F.translate(c, "\u2010\u2011\u2012\u2013\u2014\u2015\u2212", "-------")
+    c = F.regexp_replace(c, "[\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]", " ")
+    c = F.regexp_replace(c, "[ \\t]+", " ")
+    c = F.regexp_replace(c, " ?\n ?", "\n")
+    return strip_ws(c)
+
+
 def tokenize_ws(col: Column | str) -> Column:
     """Whitespace tokenization -> array<string>; empty text -> empty array.
 

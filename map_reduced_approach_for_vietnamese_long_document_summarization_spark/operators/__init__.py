@@ -26,7 +26,13 @@ from .multimodal import (
     resize_media,
     sample_frames,
 )
-from .pairing import anti_pairs, pair_docs_with_refs, positional_zip_join, skip_existing
+from .pairing import (
+    anti_pairs,
+    pair_docs_with_refs,
+    positional_zip_join,
+    skip_existing,
+    skip_existing_bloom,
+)
 from .similarity import (
     cell_histogram,
     cosine_topk,
@@ -39,7 +45,7 @@ from .similarity import (
     random_hyperplane_lsh_topk,
 )
 from .asof import asof_join
-from .components import connected_components, dedup_keep_canonical
+from .components import connected_components, dedup_keep_best, dedup_keep_canonical
 from .contamination import ngram_contamination
 from .packing import pack_sequences, packing_stats
 from .report import corpus_quality_report
@@ -47,6 +53,7 @@ from .retrieval import bm25_topk, term_postings
 from .timeseries import resample_ffill
 from .sampling import (
     assign_split,
+    mixture_rates,
     epoch_upsample,
     hash_uniform,
     source_quota_sample,
@@ -59,6 +66,7 @@ from .vocab import tfidf_top_terms, top_ngrams, unigram_logprob
 __all__ = [
     "asof_join",
     "connected_components",
+    "dedup_keep_best",
     "dedup_keep_canonical",
     "ngram_contamination",
     "bm25_topk",
@@ -69,6 +77,7 @@ __all__ = [
     "packing_stats",
     "assign_split",
     "epoch_upsample",
+    "mixture_rates",
     "hash_uniform",
     "source_quota_sample",
     "stratified_hash_sample",
@@ -90,6 +99,7 @@ __all__ = [
     "pair_docs_with_refs",
     "positional_zip_join",
     "skip_existing",
+    "skip_existing_bloom",
     "exact_dedup",
     "lsh_band_table",
     "md5_hash32",

@@ -190,6 +190,35 @@ def connected_components(
     return out
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src: str = "id1",
+    dst: str = "id2",
+) -> DataFrame:
+    """Deduplicate ``docs`` against a near-dup pair table keeping the
+    BEST-scoring member of every cluster (ties broken by minimum id), not
+    the minimum-id one — the curation policy when near-duplicates differ in
+    quality (keep the longest / highest-quality variant, drop truncated
+    mirrors). ``dedup_keep_canonical`` is the min-id special case.
+
+    Scale: identical shape to keep-canonical — the component iteration
+    carries (id, label) only; scores join in AFTER clustering, and the
+    per-cluster argmax is one map-side-combinable ``max_by`` aggregate
+    keyed by the component label."""
+    comp = connected_components(pairs, src=src, dst=dst, nodes=docs, id_col=id_col)
+    scored = comp.join(docs.select(id_col, score_col), id_col)
+    # max_by with an explicit (score, -id) key: deterministic under ties
+    best = scored.groupBy("component").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col(score_col), (-F.col(id_col)).alias("_nid"))
+        ).alias(id_col)
+    )
+    return docs.join(best.select(id_col), id_col, "left_semi")
+
+
 def dedup_keep_canonical(
     docs: DataFrame,
     pairs: DataFrame,

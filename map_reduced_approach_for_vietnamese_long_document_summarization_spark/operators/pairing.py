@@ -54,3 +54,86 @@ def positional_zip_join(
     l = left.withColumn("_rn", F.row_number().over(Window.orderBy(left_order)))
     r = right.withColumn("_rn", F.row_number().over(Window.orderBy(right_order)))
     return l.join(r, "_rn", "inner").drop("_rn")
+
+
+def skip_existing_bloom(
+    docs: DataFrame,
+    existing_keys: DataFrame,
+    key: str = "doc_id",
+    expected_items: int = 1_000_000,
+    num_bits: int | None = None,
+    n_hashes: int = 3,
+    exact: bool = True,
+) -> DataFrame:
+    """Scale path for ``skip_existing`` (F3): when the curated corpus's key
+    set is too big to broadcast as rows (10^10 keys = hundreds of GB), a
+    Bloom filter of it is still broadcast-able.
+
+    Built in pure DataFrame ops (Spark's own ``bloom_filter_agg`` /
+    ``might_contain`` expressions are internal-only — injected by the
+    runtime-filter optimizer, not registered as SQL functions): the bit
+    array is a ``(word, bits)`` table of 64-bit words — each existing key
+    sets ``n_hashes`` positions ``xxhash64(salt_i, key) mod m``, folded
+    per word with a map-side-combinable ``bit_or`` (one pass over the key
+    set, no shuffle of keys; at most ``m/64`` output rows = ~2x the raw
+    bloom bits as a broadcast table). Membership is ``n_hashes`` broadcast
+    hash joins against that table — scan-speed, no shuffle of ``docs``.
+
+    Bloom filters have NO false negatives, so a doc testing negative is
+    *guaranteed* new and passes straight through. The ~fpp false-positive
+    sliver (genuinely-new docs testing positive) is resolved by
+    ``exact=True`` (default): only the maybe-existing docs — |existing| +
+    fpp*|new| rows, not the whole batch — enter the exact anti-join, so
+    the result EQUALS ``skip_existing``'s (hash-independent, which is why
+    the SQL oracle needs no bloom replay) at a fraction of the join.
+    ``exact=False`` skips the join and accepts losing ~fpp of new docs.
+    Default sizing ``num_bits = 16 * expected_items`` gives fpp ~1% at
+    ``n_hashes=3``."""
+    if num_bits is None:
+        num_bits = max(64, 16 * expected_items)
+    m = (num_bits + 63) // 64 * 64  # whole 64-bit words
+
+    def positions(df: DataFrame) -> list:
+        k = F.col(key)
+        return [
+            F.pmod(F.xxhash64(F.lit(i), k), F.lit(m)).alias(f"_p{i}")
+            for i in range(n_hashes)
+        ]
+
+    pos = existing_keys.select(
+        F.explode(F.array(*positions(existing_keys))).alias("_p")
+    )
+    words = pos.groupBy((F.col("_p") / 64).cast("long").alias("_w")).agg(
+        # shiftleft/shiftright need expr(): the PySpark wrappers take only a
+        # Python-int shift amount, not a Column
+        F.bit_or(F.expr("shiftleft(1L, cast(_p % 64 as int))")).alias("_bits")
+    )
+
+    flagged = docs.select(*docs.columns, *positions(docs))
+    maybe = F.lit(True)
+    for i in range(n_hashes):
+        w = words.select(F.col("_w").alias(f"_w{i}"), F.col("_bits").alias(f"_b{i}"))
+        flagged = flagged.join(
+            F.broadcast(w),
+            (F.col(f"_p{i}") / 64).cast("long") == F.col(f"_w{i}"),
+            "left",
+        )
+        hit = (
+            F.expr(
+                f"shiftright(coalesce(_b{i}, 0L), cast(_p{i} % 64 as int)) & 1L"
+            )
+            == 1
+        )
+        maybe = maybe & hit
+    flagged = flagged.withColumn("_maybe", maybe).drop(
+        *[c for i in range(n_hashes) for c in (f"_p{i}", f"_w{i}", f"_b{i}")]
+    )
+    definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    if not exact:
+        return definitely_new
+    rescued = (
+        flagged.filter(F.col("_maybe"))
+        .drop("_maybe")
+        .join(existing_keys.select(key), key, "left_anti")
+    )
+    return definitely_new.unionByName(rescued)

@@ -194,3 +194,51 @@ def source_quota_sample(
         .filter(F.col("_rk") <= cap)
         .drop("_r", "_n", "_rk")
     )
+
+
+def mixture_rates(
+    df: DataFrame,
+    target_shares: dict[str, float],
+    mass_col: str,
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source sampling rates that hit a TARGET mixture without
+    upsampling — the "what do I keep from each source to get 60/30/10?"
+    solver that precedes ``epoch_upsample`` in a data-mixture recipe.
+
+    Given target shares (normalized internally), the achievable corpus is
+    bounded by the scarcest source: ``T = min_s mass_s / share_s`` is the
+    largest total mass for which every source can fill its share from
+    existing data; each source then keeps ``rate_s = share_s * T / mass_s``
+    of its mass (== 1 for the binding source). Returns one row per source
+    in the target: (source, mass, target_share, rate, kept_mass). Sources
+    outside the target dict are implicitly rate-0 (dropped); feed the rates
+    to ``epoch_upsample`` (epochs=rate) or a ``hash_uniform`` filter.
+
+    Closed-form and deterministic — replayable in SQL. Scale: one
+    map-side-combinable sum per source, a broadcast of the (n_sources-row)
+    table, and a scalar min; nothing touches corpus rows."""
+    if not target_shares:
+        raise ValueError("target_shares must be non-empty")
+    for k, v in target_shares.items():
+        if v <= 0:
+            raise ValueError(f"target shares must be > 0, got {k!r}: {v}")
+    total_share = float(sum(target_shares.values()))
+    shares = df.sparkSession.createDataFrame(
+        [(k, float(v) / total_share) for k, v in target_shares.items()],
+        f"{source_col} string, target_share double",
+    )
+    mass = df.groupBy(source_col).agg(F.sum(mass_col).alias("mass"))
+    joined = mass.join(F.broadcast(shares), source_col)
+    t = joined.select(
+        F.min(F.col("mass") / F.col("target_share")).alias("_t")
+    )
+    return joined.crossJoin(F.broadcast(t)).select(
+        source_col,
+        "mass",
+        F.round("target_share", 9).alias("target_share"),
+        F.round(
+            F.least(F.lit(1.0), F.col("target_share") * F.col("_t") / F.col("mass")), 9
+        ).alias("rate"),
+        F.round(F.col("target_share") * F.col("_t"), 3).alias("kept_mass"),
+    )

@@ -280,3 +280,44 @@ def doc_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.report import corpus_quality_report
 
     return corpus_quality_report(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_dedup_keep_best",
+    # round-5 window candidate (tests/test_registry_window.py R5_PROMOTIONS)
+    oracle=f"""
+WITH RECURSIVE {_SIMHASH_MD5_PAIR_CTES},
+edges AS (SELECT id1 AS a, id2 AS b FROM simpairs
+          UNION ALL
+          SELECT id2 AS a, id1 AS b FROM simpairs),
+reach AS (
+    SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+    SELECT r.id, e.b AS lbl FROM reach r JOIN edges e ON e.a = r.lbl
+),
+comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+rk AS (SELECT comp.doc_id, comp.cluster_id,
+              row_number() OVER (PARTITION BY comp.cluster_id
+                                 ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+       FROM comp JOIN documents d USING (doc_id))
+SELECT d.doc_id, d.n_chars
+FROM rk JOIN documents d USING (doc_id)
+WHERE rk.rn = 1
+""",
+)
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup canonicalization (operators/components.py
+    dedup_keep_best): same md5-SimHash pair graph and component closure as
+    doc_dup_clusters, but each cluster keeps its LONGEST member (n_chars,
+    ties to min doc_id) instead of the min-id one — the curation policy
+    when near-duplicates differ in completeness (truncated mirrors must
+    lose to the full copy). One extra max_by aggregate over (component,
+    score) beyond keep-canonical; the oracle closes the same graph with a
+    recursive CTE and replays the argmax with a window."""
+    from ..operators.components import dedup_keep_best
+    from ..operators.dedup import md5_hash32, simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    pairs = simhash_near_dup_pairs(docs, max_hamming=6, bits=32, hash_col_fn=md5_hash32)
+    best = dedup_keep_best(docs, pairs, score_col="n_chars")
+    return best.select("doc_id", "n_chars")

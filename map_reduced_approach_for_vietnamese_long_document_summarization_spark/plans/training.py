@@ -427,3 +427,107 @@ def doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return source_quota_sample(docs, cap=10)
+
+
+@query(
+    "corpus_mixture_rates",
+    # round-5 window candidate (tests/test_registry_window.py R5_PROMOTIONS)
+    oracle="""
+WITH shares(source, target_share) AS (
+    VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+mass AS (SELECT source, sum(n_chars) AS mass FROM documents GROUP BY source),
+j AS (SELECT m.source, CAST(m.mass AS BIGINT) AS mass, s.target_share
+      FROM mass m JOIN shares s USING (source)),
+t AS (SELECT min(mass / target_share) AS t FROM j)
+SELECT j.source, j.mass, round(j.target_share, 9) AS target_share,
+       round(least(1.0, j.target_share * t.t / j.mass), 9) AS rate,
+       round(j.target_share * t.t, 3) AS kept_mass
+FROM j, t
+""",
+)
+def corpus_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture solver (operators/sampling.py mixture_rates): per-source
+    keep rates that hit a 50/30/20 target mass mixture without upsampling —
+    the achievable corpus is bounded by the binding source (min mass/share)
+    and every other source downsamples to its share. Closed-form double
+    arithmetic; the oracle replays sum -> min -> rate bit-for-bit. Scale:
+    one map-side-combinable sum per source + a broadcast scalar — nothing
+    touches corpus rows."""
+    from ..operators.sampling import mixture_rates
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    return mixture_rates(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, mass_col="n_chars"
+    )
+
+
+@query(
+    "doc_bloom_skip_existing",
+    # round-5 window candidate (tests/test_registry_window.py R5_PROMOTIONS)
+    oracle="""
+SELECT doc_id, source FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE n_chars % 3 = 0)
+""",
+)
+def doc_bloom_skip_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-curation skip-if-exists via Bloom pre-filter
+    (operators/pairing.py skip_existing_bloom): the curated corpus's key
+    set folds into a broadcast-able bloom_filter_agg blob; incoming docs
+    that test negative are guaranteed new (no false negatives) and the
+    ~fpp maybe-existing sliver alone enters the exact anti-join — so the
+    result EQUALS plain skip_existing (the oracle's NOT IN) while the big
+    join shrinks to |existing| + fpp*|new| rows. The 100 TB path for F3
+    when the key set outgrows a row broadcast."""
+    from ..operators.pairing import skip_existing_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("n_chars") % 3 == 0).select("doc_id")
+    return skip_existing_bloom(
+        docs.select("doc_id", "source"), existing, expected_items=100_000
+    )
+
+
+@query(
+    "doc_text_normalize",
+    # round-5 window candidate (tests/test_registry_window.py R5_PROMOTIONS)
+    oracle="""
+WITH m AS (SELECT doc_id,
+        '“Q’s”— ' || text || e'\\r\\n\\t tail' || chr(160) || 'end  ' AS t
+        FROM documents),
+s1 AS (SELECT doc_id, regexp_replace(t, '\\r\\n?', e'\\n', 'g') AS t FROM m),
+s2 AS (SELECT doc_id, regexp_replace(t,
+        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, translate(translate(t,
+        '‘’‚‛', repeat(chr(39), 4)),
+        '“”„‟', repeat(chr(34), 4)) AS t FROM s2),
+s4 AS (SELECT doc_id, translate(t,
+        '‐‑‒–—―−', '-------') AS t FROM s3),
+s5 AS (SELECT doc_id, regexp_replace(t,
+        '[\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]',
+        ' ', 'g') AS t FROM s4),
+s6 AS (SELECT doc_id, regexp_replace(t, '[ \\t]+', ' ', 'g') AS t FROM s5),
+s7 AS (SELECT doc_id, regexp_replace(t, ' ?\\n ?', e'\\n', 'g') AS t FROM s6),
+s8 AS (SELECT doc_id, regexp_replace(t, '^\\s+|\\s+$', '', 'g') AS t FROM s7)
+SELECT doc_id, length(t) AS n_len, md5(t) AS norm_md5 FROM s8
+""",
+)
+def doc_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text canonicalization (functions/text.py normalize_text):
+    CRLF unification, control-char strip, curly-quote / dash / Unicode-space
+    folding, whitespace squeeze — the pre-dedup pass that makes exact dedup
+    see through punctuation-codepoint mirrors. The harness corpus is plain
+    ASCII, so the query wraps each doc in a messy Unicode frame first; the
+    oracle replays every normalization step in RE2 and compares length +
+    md5 of the result. Pure scan-side expressions — zero shuffle."""
+    from ..functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("“Q’s”— "),
+        F.col("text"),
+        F.lit("\r\n\t tail end  "),
+    )
+    norm = normalize_text(messy)
+    return docs.select(
+        "doc_id", F.length(norm).alias("n_len"), F.md5(norm).alias("norm_md5")
+    )

@@ -1,0 +1,165 @@
+"""Round-4 curation additions: bloom skip-existing, mixture-rate solver,
+keep-best dedup, unicode text normalization. Oracle parity runs in
+test_oracle_parity.py; these pin operator semantics and edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions import (
+    normalize_text,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+    dedup_keep_best,
+    mixture_rates,
+    skip_existing,
+    skip_existing_bloom,
+)
+
+
+# --- skip_existing_bloom --------------------------------------------------
+
+
+def _docs(spark, ids):
+    return spark.createDataFrame([(i, f"t{i}") for i in ids], "doc_id long, text string")
+
+
+def test_bloom_exact_equals_plain_skip_existing(spark):
+    docs = _docs(spark, range(200))
+    existing = _docs(spark, range(0, 200, 3)).select("doc_id")
+    got = {r.doc_id for r in skip_existing_bloom(docs, existing).collect()}
+    want = {r.doc_id for r in skip_existing(docs, existing).collect()}
+    assert got == want
+    assert all(i % 3 != 0 for i in got)
+
+
+def test_bloom_inexact_has_no_false_negatives(spark):
+    """exact=False may drop some new docs (false positives) but must NEVER
+    let an existing doc through — the bloom no-false-negative guarantee.
+    An undersized filter forces collisions to make the test meaningful."""
+    docs = _docs(spark, range(500))
+    existing = _docs(spark, range(0, 500, 2)).select("doc_id")
+    out = {
+        r.doc_id
+        for r in skip_existing_bloom(
+            docs, existing, num_bits=256, exact=False
+        ).collect()
+    }
+    assert all(i % 2 == 1 for i in out)  # nothing existing leaks through
+    new = {i for i in range(500) if i % 2 == 1}
+    assert out <= new
+    # with only 256 bits for 250 keys the filter is saturated enough that
+    # SOME false positives must have occurred (sanity that the test bites)
+    assert len(out) < len(new)
+
+
+def test_bloom_empty_existing_passes_everything(spark):
+    docs = _docs(spark, range(10))
+    existing = _docs(spark, []).select("doc_id")
+    assert skip_existing_bloom(docs, existing).count() == 10
+
+
+def test_bloom_plan_has_no_docs_shuffle(spark):
+    """The membership test must be broadcast joins — the incoming batch
+    never shuffles."""
+    docs = _docs(spark, range(50))
+    existing = _docs(spark, range(25)).select("doc_id")
+    plan = (
+        skip_existing_bloom(docs, existing, exact=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+# --- mixture_rates --------------------------------------------------------
+
+
+def test_mixture_rates_binding_source_and_shares(spark):
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 100), ("b", 600), ("c", 1000), ("d", 50)],
+        "source string, n_tokens long",
+    )
+    out = {
+        r.source: r
+        for r in mixture_rates(
+            df, {"a": 0.5, "b": 0.3, "c": 0.2}, mass_col="n_tokens"
+        ).collect()
+    }
+    assert set(out) == {"a", "b", "c"}  # 'd' outside the target: dropped
+    # binding source: min(mass/share) = min(400, 2000, 5000) -> a, rate 1.0
+    assert out["a"].rate == pytest.approx(1.0)
+    assert out["a"].kept_mass == pytest.approx(200.0)
+    # others downsample to share * T / mass
+    assert out["b"].rate == pytest.approx(0.3 * 400 / 600)
+    assert out["c"].rate == pytest.approx(0.2 * 400 / 1000)
+    # achieved mixture is exactly the target
+    total = sum(out[s].kept_mass for s in out)
+    assert out["a"].kept_mass / total == pytest.approx(0.5)
+    assert out["b"].kept_mass / total == pytest.approx(0.3)
+
+
+def test_mixture_rates_normalizes_shares_and_validates(spark):
+    df = spark.createDataFrame([("a", 10), ("b", 10)], "source string, m long")
+    out = {r.source: r for r in mixture_rates(df, {"a": 2, "b": 2}, "m").collect()}
+    assert out["a"].target_share == pytest.approx(0.5)
+    with pytest.raises(ValueError):
+        mixture_rates(df, {}, "m")
+    with pytest.raises(ValueError):
+        mixture_rates(df, {"a": 0.0}, "m")
+
+
+# --- dedup_keep_best ------------------------------------------------------
+
+
+def test_keep_best_prefers_score_then_min_id(spark):
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 5), (9, 1)],
+        "doc_id long, score long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 9)], "id1 long, id2 long"
+    )
+    kept = {
+        r.doc_id for r in dedup_keep_best(docs, pairs, score_col="score").collect()
+    }
+    # cluster {1,2,3}: top score 99 tied between 2 and 3 -> min id 2
+    # cluster {4,9}: 4 wins on score
+    assert kept == {2, 4}
+
+
+def test_keep_best_keeps_singletons(spark):
+    docs = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, score long")
+    pairs = spark.createDataFrame([], "id1 long, id2 long")
+    assert dedup_keep_best(docs, pairs, score_col="score").count() == 2
+
+
+# --- normalize_text -------------------------------------------------------
+
+
+def test_normalize_text_folds_unicode(spark):
+    cases = [
+        ("a\r\nb\rc", "a\nb\nc"),  # CRLF / CR -> LF
+        ("x\x00y\x07z", "xyz"),  # control chars stripped
+        ("“q” ‘s’", '"q" \'s\''),  # curly quotes
+        ("a–b—c−d", "a-b-c-d"),  # dashes + minus
+        ("a b　c", "a b c"),  # unicode spaces
+        ("a \t  b", "a b"),  # ws squeeze
+        ("  line1 \n  line2  ", "line1\nline2"),  # trim around newlines
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)], "id long, t string"
+    )
+    got = {
+        r.id: r.n for r in df.select("id", normalize_text("t").alias("n")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_normalize_text_is_idempotent(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    once = normalize_text(F.concat(F.lit("“a—"), F.col("text"), F.lit("\r\n b ")))
+    df = docs.select(once.alias("n1"), normalize_text(once).alias("n2"))
+    assert df.filter(F.col("n1") != F.col("n2")).count() == 0

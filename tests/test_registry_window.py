@@ -87,7 +87,12 @@ R4_PROMOTIONS = [
 # new oracled query registered outside both the window and this list fails
 # the suite immediately (window-capacity hygiene: the rotation chore can
 # never silently backlog).
-R5_PROMOTIONS = []
+R5_PROMOTIONS = [
+    "corpus_mixture_rates",
+    "doc_bloom_skip_existing",
+    "doc_text_normalize",
+    "doc_dedup_keep_best",
+]
 
 
 def _driver_checked_names():
