@@ -5,6 +5,7 @@ from .collapse import bucket_by_token_budget, bucket_running_sum, collapse_until
 from .grouped import grouped_apply_sorted
 from .dedup import (
     exact_dedup,
+    line_dedup,
     lsh_band_table,
     md5_hash32,
     md5_hash60,
@@ -45,6 +46,7 @@ from .similarity import (
     random_hyperplane_lsh_topk,
 )
 from .asof import asof_join
+from .interval import interval_join
 from .components import connected_components, dedup_keep_best, dedup_keep_canonical
 from .contamination import ngram_contamination
 from .packing import pack_sequences, packing_stats
@@ -65,6 +67,7 @@ from .vocab import tfidf_top_terms, top_ngrams, unigram_logprob
 
 __all__ = [
     "asof_join",
+    "interval_join",
     "connected_components",
     "dedup_keep_best",
     "dedup_keep_canonical",
@@ -101,6 +104,7 @@ __all__ = [
     "skip_existing",
     "skip_existing_bloom",
     "exact_dedup",
+    "line_dedup",
     "lsh_band_table",
     "md5_hash32",
     "md5_hash60",

@@ -630,3 +630,70 @@ def winnowing_fingerprints(
     keep = F.greatest(F.col("_g") - w + 1, F.lit(1))
     selected = F.array_distinct(F.slice(mins, 1, keep))
     return with_h.select(id_col, F.explode(selected).alias("fingerprint"))
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dedup_key: str = "hash",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Cross-corpus exact LINE deduplication — the C4/RefinedWeb rule as
+    published (repeated lines keep one global copy), complementing
+    ``span_dedup``'s fixed token windows for corpora with real newline
+    structure (web pages, code, chat logs).
+
+    Each document splits on ``\\n``; every non-blank line (>= ``min_chars``
+    chars after trimming) keeps only its globally FIRST occurrence — min
+    ``(doc_id, line_idx)``, deterministic under any partitioning — and
+    repeats are dropped. Blank/short lines pass through untouched (they are
+    formatting, not content, and deduping them would fuse every paragraph
+    break in the corpus onto one shuffle key). Returns
+    ``(id_col, text_col, n_lines, n_removed)``; text is reassembled in
+    line order and may be ``''`` if every content line was seen earlier.
+
+    ``dedup_key="hash"`` shuffles 8-byte xxhash64 line keys (collision odds
+    ~2^-64/pair); ``"text"`` shuffles the line strings — exact and what the
+    SQL oracle replays. Scale: one shuffle keyed by line (rank pass — a
+    boilerplate line shared by millions of docs is one key with a single
+    window rank, not a pairwise product), one shuffle back on the doc id;
+    blank lines are salted to unique keys so formatting never hot-spots."""
+    from pyspark.sql import Window
+
+    from ..functions.text import strip_ws
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+    )
+    content = F.length(strip_ws(F.col("line"))) >= min_chars
+    if dedup_key == "hash":
+        key = F.xxhash64("line")
+    elif dedup_key == "text":
+        key = F.col("line")
+    else:
+        raise ValueError(f"dedup_key must be 'hash' or 'text', got {dedup_key!r}")
+    # blank lines get a per-occurrence unique key: always rank 1 (kept),
+    # never a corpus-wide hot partition
+    part = F.when(content, key.cast("string")).otherwise(
+        F.concat(F.lit("_blank:"), F.col(id_col), F.lit(":"), F.col("line_idx"))
+    )
+    w = Window.partitionBy(part).orderBy(F.col(id_col), F.col("line_idx"))
+    ranked = lines.withColumn("_rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("_rn") == 1,
+        F.struct(F.col("line_idx").alias("o"), F.col("line").alias("t")),
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list(kept_struct)), lambda s: s["t"]),
+                "\n",
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(F.col("_rn") > 1, 1)).alias("n_removed"),
+        )
+        .select(id_col, text_col, "n_lines", "n_removed")
+    )

@@ -531,3 +531,93 @@ def doc_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.length(norm).alias("n_len"), F.md5(norm).alias("norm_md5")
     )
+
+
+@query(
+    "doc_line_dedup",
+    # round-5 window candidate (tests/test_registry_window.py R5_PROMOTIONS)
+    oracle="""
+WITH m AS (SELECT doc_id,
+        regexp_replace(text,
+            '(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ', e'\\\\1\\n', 'g') AS t
+        FROM documents),
+l AS (SELECT doc_id,
+             unnest(string_split(t, chr(10))) AS line,
+             generate_subscripts(string_split(t, chr(10)), 1) - 1 AS line_idx
+      FROM m),
+rk AS (SELECT doc_id, line, line_idx,
+              CASE WHEN length(trim(line)) >= 1 THEN
+                row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx)
+              ELSE 1 END AS rn
+       FROM l),
+re AS (SELECT doc_id,
+              coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+                                  ORDER BY line_idx), '') AS t,
+              count(*) AS n_lines,
+              count(CASE WHEN rn > 1 THEN 1 END) AS n_removed
+       FROM rk GROUP BY doc_id)
+SELECT doc_id, md5(t) AS text_md5,
+       CAST(n_lines AS BIGINT) AS n_lines, CAST(n_removed AS BIGINT) AS n_removed
+FROM re
+""",
+)
+def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact line-level dedup (operators/dedup.py line_dedup) — the
+    C4/RefinedWeb repeated-line rule: every non-blank line keeps its
+    globally first (doc_id, line_idx) occurrence, repeats drop, documents
+    reassemble in line order. The harness corpus is single-line, so the
+    query first folds every 8 tokens into a line break (replayed by the
+    oracle's RE2), then dedups with the exact text key. One line-key rank
+    shuffle + one doc-id reassembly shuffle — no pairwise stage."""
+    from ..operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    multiline = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            "text", r"(\S+ \S+ \S+ \S+ \S+ \S+ \S+ \S+) ", "$1\n"
+        ).alias("text"),
+    )
+    out = line_dedup(multiline, dedup_key="text")
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_lines", "n_removed"
+    )
+
+
+@query(
+    "events_click_in_purchase_window",
+    # round-5 window candidate (tests/test_registry_window.py R5_PROMOTIONS)
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c
+JOIN events p ON p.user_id = c.user_id
+            AND p.event_type = 'purchase'
+            AND c.ts >= p.ts - INTERVAL 30 MINUTE
+            AND c.ts < p.ts
+WHERE c.event_type = 'click'
+""",
+)
+def events_click_in_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval join (operators/interval.py): every click inside
+    the 30-minute window BEFORE a same-user purchase — the
+    attribution-window shape (asof's one-nearest sibling returns one row;
+    this returns ALL containing windows). A naive range join is a nested
+    loop; bucketizing by 30-minute floors turns it into one hash equi-join
+    on (user_id, bucket) with each qualifying pair met exactly once. The
+    oracle is the plain BETWEEN join."""
+    from ..operators.interval import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("start_ts"),
+        F.col("ts").alias("end_ts"),
+    )
+    out = interval_join(
+        clicks, purchases, bucket_seconds=1800, point_time="ts", on="user_id"
+    )
+    return out.select("user_id", "click_id", "purchase_id")

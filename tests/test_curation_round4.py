@@ -163,3 +163,121 @@ def test_normalize_text_is_idempotent(spark, sf_dir):
     once = normalize_text(F.concat(F.lit("“a—"), F.col("text"), F.lit("\r\n b ")))
     df = docs.select(once.alias("n1"), normalize_text(once).alias("n2"))
     assert df.filter(F.col("n1") != F.col("n2")).count() == 0
+
+
+# --- line_dedup -----------------------------------------------------------
+
+
+def test_line_dedup_keeps_first_occurrence_and_blanks(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        line_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nboiler\n\nbeta"),
+            (2, "boiler\ngamma\n\nboiler"),
+            (3, "alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    # doc 1 is first everywhere: untouched, blank line preserved
+    assert out[1].text == "alpha\nboiler\n\nbeta"
+    assert out[1].n_removed == 0
+    # doc 2 loses both 'boiler' repeats but keeps its blank + gamma
+    assert out[2].text == "gamma\n"
+    assert out[2].n_removed == 2
+    assert out[2].n_lines == 4
+    # doc 3's only line was seen in doc 1 -> empty husk
+    assert out[3].text == ""
+    assert out[3].n_removed == 1
+
+
+def test_line_dedup_hash_and_text_keys_agree(spark, sf_dir):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        line_dedup,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(100)
+        .select("doc_id", F.regexp_replace("text", " (\\S+ \\S+ \\S+)", "\n$1").alias("text"))
+    )
+    h = line_dedup(docs, dedup_key="hash").orderBy("doc_id").collect()
+    t = line_dedup(docs, dedup_key="text").orderBy("doc_id").collect()
+    assert [tuple(r) for r in h] == [tuple(r) for r in t]
+
+
+# --- interval_join --------------------------------------------------------
+
+
+def test_interval_join_matches_naive_range_join(spark, sf_dir):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        interval_join,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 45 MINUTES")).alias("start_ts"),
+        F.col("ts").alias("end_ts"),
+    )
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in interval_join(
+            clicks, buys, bucket_seconds=600, point_time="ts", on="user_id"
+        ).collect()
+    }
+    naive = {
+        (r.click_id, r.purchase_id)
+        for r in clicks.alias("c")
+        .join(
+            buys.alias("p"),
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("c.ts") >= F.col("p.start_ts"))
+            & (F.col("c.ts") < F.col("p.end_ts")),
+        )
+        .select("c.click_id", "p.purchase_id")
+        .collect()
+    }
+    assert got == naive
+    assert got  # non-degenerate
+
+
+def test_interval_join_half_open_boundaries(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        interval_join,
+    )
+
+    points = spark.createDataFrame(
+        [(1, 100.0), (2, 150.0), (3, 200.0)], "pid long, ts double"
+    )
+    iv = spark.createDataFrame([(7, 100.0, 200.0)], "iid long, start_ts double, end_ts double")
+    got = sorted(
+        r.pid
+        for r in interval_join(points, iv, bucket_seconds=30, point_time="ts").collect()
+    )
+    assert got == [1, 2]  # start inclusive, end exclusive
+
+
+def test_interval_join_validates(spark):
+    import pytest as _pytest
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        interval_join,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "a long, ts double")
+    iv = spark.createDataFrame([(1, 0.0, 2.0)], "a long, start_ts double, end_ts double")
+    with _pytest.raises(ValueError):
+        interval_join(df, iv, bucket_seconds=0, point_time="ts")
+    clash_iv = spark.createDataFrame(
+        [(1, 0.0, 2.0, 9.0)], "a long, start_ts double, end_ts double, ts double"
+    )
+    with _pytest.raises(ValueError):
+        interval_join(df, clash_iv, bucket_seconds=10, point_time="ts")

@@ -92,6 +92,8 @@ R5_PROMOTIONS = [
     "doc_bloom_skip_existing",
     "doc_text_normalize",
     "doc_dedup_keep_best",
+    "doc_line_dedup",
+    "events_click_in_purchase_window",
 ]
 
 
