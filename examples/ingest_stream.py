@@ -39,7 +39,7 @@ from map_reduced_approach_for_vietnamese_long_document_summarization_spark.opera
     exact_dedup,
 )
 from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.pairing import (
-    skip_existing,
+    skip_existing_bloom,
 )
 from map_reduced_approach_for_vietnamese_long_document_summarization_spark.sources import (
     load_table,
@@ -87,10 +87,14 @@ def curate_increment(spark, sink_dir: str, existing_docs):
 
     ``new_docs`` is exact-deduped and excludes anything whose ``doc_id``
     the curated corpus already holds; ``corrupt_ledger`` is the raw text of
-    every malformed line for the quarantine sink."""
+    every malformed line for the quarantine sink. The skip-if-exists check
+    runs through the Bloom pre-filter (``skip_existing_bloom``, exact
+    mode): identical result to a plain anti-join, but the curated corpus
+    broadcasts as a bit table instead of a row set — the shape that still
+    works when the corpus holds 10^10 keys."""
     landed = read_committed_batches(spark, sink_dir).drop("batch_id")
     clean, corrupt = split_corrupt(landed)
-    fresh = skip_existing(clean, existing_docs.select("doc_id"), key="doc_id")
+    fresh = skip_existing_bloom(clean, existing_docs.select("doc_id"), key="doc_id")
     return exact_dedup(fresh), corrupt
 
 
