@@ -145,6 +145,54 @@ def lsh_band_table(
     )
 
 
+def _attach_est_jaccard(pair_ids: DataFrame, df: DataFrame, id_col: str, sig_col: str) -> DataFrame:
+    """(id1, id2) -> (id1, id2, est_jaccard): join each side's signature
+    back once and count agreeing minhash positions."""
+    sigs = df.select(id_col, sig_col)
+    pairs = pair_ids.join(
+        sigs.select(F.col(id_col).alias("id1"), F.col(sig_col).alias("_s1")), "id1"
+    ).join(sigs.select(F.col(id_col).alias("id2"), F.col(sig_col).alias("_s2")), "id2")
+    agree = F.size(F.filter(F.zip_with("_s1", "_s2", lambda a, b: a == b), lambda x: x))
+    return pairs.select("id1", "id2", (agree / F.size("_s1")).alias("est_jaccard"))
+
+
+def minhash_lsh_star_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    n_bands: int = 16,
+    n_hashes: int = 64,
+) -> DataFrame:
+    """Star-edge LSH banding — the viral-cluster mitigation: each
+    (band_idx, band_hash) bucket emits only (bucket-min id, member) pairs,
+    O(k) rows per k-member bucket where the clique join
+    (``minhash_lsh_candidates``) emits O(k^2). Measured on the skew-stress
+    corpus (ten 2000-replica viral clusters, SCALE.md): 10.2M clique pairs
+    -> ~47k star pairs for the SAME downstream connected components,
+    because connecting every member to the bucket minimum spans exactly the
+    clique's component.
+
+    The trade, stated precisely: at ``threshold == 0`` (bucket equivalence
+    feeding a components pass) clustering is IDENTICAL to the clique's.
+    With a positive est-Jaccard threshold it is an approximation — a member
+    whose agreement with the bucket REP falls under the threshold drops
+    even if it would have passed against some other member (and vice
+    versa); borderline-threshold pipelines that need exact pair semantics
+    keep the clique join. No shuffle beyond the band table's own: the rep
+    is a per-bucket window min, not a self-join."""
+    from pyspark.sql import Window
+
+    exploded = lsh_band_table(df, id_col, sig_col, n_bands, n_hashes)
+    w = Window.partitionBy("band_idx", "band_hash")
+    starred = exploded.withColumn("_rep", F.min(id_col).over(w))
+    pair_ids = (
+        starred.filter(F.col(id_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("id1"), F.col(id_col).alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    return _attach_est_jaccard(pair_ids, df, id_col, sig_col)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -176,14 +224,7 @@ def minhash_lsh_candidates(
         )
         .dropDuplicates(["id1", "id2"])
     )
-    sigs = df.select(id_col, sig_col)
-    pairs = pair_ids.join(
-        sigs.select(F.col(id_col).alias("id1"), F.col(sig_col).alias("_s1")), "id1"
-    ).join(sigs.select(F.col(id_col).alias("id2"), F.col(sig_col).alias("_s2")), "id2")
-    agree = F.size(F.filter(F.zip_with("_s1", "_s2", lambda a, b: a == b), lambda x: x))
-    return pairs.select(
-        "id1", "id2", (agree / F.size("_s1")).alias("est_jaccard")
-    )
+    return _attach_est_jaccard(pair_ids, df, id_col, sig_col)
 
 
 def span_dedup(
@@ -304,12 +345,15 @@ def minhash_md5_pairs(
     n_bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    star: bool = False,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs on the md5 twin family — the
     oracle-checkable mirror of ``minhash_dedup_pairs`` (band-bucket join and
-    agreement-fraction logic shared via ``minhash_lsh_candidates``)."""
+    agreement-fraction logic shared via ``minhash_lsh_candidates``;
+    ``star=True`` routes through ``minhash_lsh_star_candidates``)."""
     sigs = minhash_md5_signatures(df, text_col, id_col, n_hashes, shingle_n).persist()
-    cands = minhash_lsh_candidates(sigs, id_col, "minhash", n_bands, n_hashes)
+    cand_fn = minhash_lsh_star_candidates if star else minhash_lsh_candidates
+    cands = cand_fn(sigs, id_col, "minhash", n_bands, n_hashes)
     out = cands.select(
         "id1", "id2", F.round("est_jaccard", 6).alias("est_jaccard")
     ).filter(F.col("est_jaccard") >= threshold)
@@ -358,9 +402,13 @@ def minhash_dedup_pairs(
     n_bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    star: bool = False,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: shingle -> signature ->
-    band-bucket join -> estimated-Jaccard filter.
+    band-bucket join -> estimated-Jaccard filter. ``star=True`` emits
+    per-bucket (rep, member) star edges instead of the clique — O(k) per
+    viral bucket, see ``minhash_lsh_star_candidates`` for the exact
+    semantics trade.
 
     Shingle-less (empty/NULL/short) docs are EXCLUDED before banding — their
     sentinel signatures would otherwise (a) declare every pair of
@@ -378,7 +426,8 @@ def minhash_dedup_pairs(
     # freed on GC): long-lived sessions issuing many dedup calls should
     # unpersist via the ``persisted`` hook below or spark.catalog.clearCache().
     sigs = sigs.persist()
-    cands = minhash_lsh_candidates(sigs, id_col, "minhash", n_bands, n_hashes)
+    cand_fn = minhash_lsh_star_candidates if star else minhash_lsh_candidates
+    cands = cand_fn(sigs, id_col, "minhash", n_bands, n_hashes)
     out = cands.filter(F.col("est_jaccard") >= threshold)
     out._persisted_inputs = [sigs]  # unpersist hook for long-lived sessions
     return out

@@ -3209,3 +3209,46 @@ def events_trailing_24h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(w), 6).alias("avg_24h"),
         F.count(F.lit(1)).over(w).alias("n_24h"),
     )
+
+
+@query(
+    "minhash_md5_star_dedup",
+    # round-5 window candidate (tests/test_registry_window.py R5_PROMOTIONS)
+    oracle=f"""
+WITH t AS (SELECT doc_id, list_transform({_DUCK_TOKS}, x -> lower(x)) AS toks
+           FROM documents),
+e AS MATERIALIZED (
+    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+    FROM t WHERE len(toks) >= 3),
+hi AS (SELECT doc_id, i,
+              min(('0x' || substring(md5(i::VARCHAR || ':' || sh), 1, 15))::BIGINT) AS h
+       FROM e, unnest(range(16)) AS u(i)
+       GROUP BY doc_id, i),
+sigs AS MATERIALIZED (SELECT doc_id, list(h ORDER BY i) AS sig FROM hi GROUP BY doc_id),
+bands AS MATERIALIZED (
+    SELECT doc_id, b, sig[b*4+1:b*4+4]::VARCHAR AS bk
+    FROM sigs, unnest(range(4)) AS u(b)),
+starred AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY b, bk) AS rep FROM bands),
+cand AS (SELECT DISTINCT rep AS id1, doc_id AS id2 FROM starred WHERE doc_id <> rep),
+paired AS (SELECT id1, id2,
+                  len(list_filter(range(1, 17), i -> s1.sig[i] = s2.sig[i])) / 16.0 AS est
+           FROM cand
+           JOIN sigs s1 ON s1.doc_id = cand.id1
+           JOIN sigs s2 ON s2.doc_id = cand.id2)
+SELECT id1, id2, round(est, 6) AS est_jaccard
+FROM paired WHERE est >= 0.5
+""",
+)
+def minhash_md5_star_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-edge LSH banding on the md5 twin family (operators/dedup.py
+    minhash_lsh_star_candidates): each band bucket emits only
+    (bucket-min, member) pairs — O(k) per k-member bucket where the clique
+    join is O(k^2), the viral-cluster mitigation measured in SCALE.md
+    (10.2M -> ~47k pairs on the skew-stress corpus, identical components
+    at threshold 0). The oracle replays signatures, banding, the
+    per-bucket window min, and the agreement filter bit-for-bit."""
+    from ..operators.dedup import minhash_md5_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_md5_pairs(d, threshold=0.5, star=True)

@@ -281,3 +281,57 @@ def test_interval_join_validates(spark):
     )
     with _pytest.raises(ValueError):
         interval_join(df, clash_iv, bucket_seconds=10, point_time="ts")
+
+
+# --- star-edge LSH banding ------------------------------------------------
+
+
+def test_star_candidates_give_identical_components(spark, sf_dir):
+    """At threshold 0 (bucket equivalence feeding components), star edges
+    span exactly the clique's connected components — same clustering from
+    O(k) pairs instead of O(k^2)."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        connected_components,
+        unpersist_inputs,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        minhash_md5_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").limit(200)
+    clique = minhash_md5_pairs(docs, threshold=0.0)
+    star = minhash_md5_pairs(docs, threshold=0.0, star=True)
+    n_clique, n_star = clique.count(), star.count()
+    assert n_star <= n_clique
+    comp_c = {
+        (r.doc_id, r.component)
+        for r in connected_components(clique, nodes=docs).collect()
+    }
+    comp_s = {
+        (r.doc_id, r.component)
+        for r in connected_components(star, nodes=docs).collect()
+    }
+    assert comp_c == comp_s
+    unpersist_inputs(clique)
+    unpersist_inputs(star)
+
+
+def test_star_candidates_edge_shape(spark):
+    """Every star pair's id1 is its bucket's minimum: id1 < id2 always, and
+    each id2 appears at most once per distinct rep."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        minhash_md5_signatures,
+        minhash_lsh_star_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact boilerplate text repeated for everyone") for i in range(30)]
+        + [(100, "a completely different document about other things entirely")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_md5_signatures(docs)
+    pairs = minhash_lsh_star_candidates(sigs, n_bands=4, n_hashes=16).collect()
+    assert pairs  # the 30-clone bucket produced edges
+    assert all(r.id1 < r.id2 for r in pairs)
+    # 30 identical docs -> exactly 29 star edges from rep 0, not 435 clique pairs
+    assert {(r.id1, r.id2) for r in pairs} == {(0, i) for i in range(1, 30)}

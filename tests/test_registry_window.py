@@ -94,6 +94,7 @@ R5_PROMOTIONS = [
     "doc_dedup_keep_best",
     "doc_line_dedup",
     "events_click_in_purchase_window",
+    "minhash_md5_star_dedup",
 ]
 
 
