@@ -28,6 +28,7 @@ from .textstats import (
     quality_score,
     repetition_stats,
     repetition_stats_batch,
+    script_ratios,
     word_count,
 )
 from .vectors import (
@@ -51,10 +52,12 @@ __all__ = [
     "hf_token_count_udf",
     "clean_thinking_tokens",
     "filename_stem",
+    "normalize_text",
     "normalize_whitespace",
     "sanitize_model_name",
     "repetition_stats",
     "repetition_stats_batch",
+    "script_ratios",
     "int8_dequantize",
     "int8_quantize",
     "int8_scale",

@@ -222,3 +222,31 @@ def char_entropy_batch(df, id_col: str = "doc_id", text_col: str = "text"):
             ).alias("entropy"),
         )
     )
+
+
+def script_ratios(col: Column | str) -> Column:
+    """Unicode-script composition of a document as one struct column:
+    ``(n_letters, latin_ratio, cyrillic_ratio, han_ratio)`` — the signal a
+    multilingual curation pipeline routes on BEFORE language ID (script is
+    deterministic where stopword-based lang ID needs enough tokens; a
+    "vi"-labeled doc that is 90% Han is mislabeled upstream).
+
+    Counts are ``length`` after deleting the complement class — four
+    codegen'd regexp_replace passes, scan-speed, zero shuffle. Ratios are
+    over LETTERS (``\\p{L}``), so digits/punct/whitespace dilute nothing;
+    a letterless doc reports 0.0 everywhere. Java spells the classes
+    ``\\p{IsLatin}``; RE2 (the DuckDB oracle) spells them ``\\p{Latin}`` —
+    same script sets."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def n(cls: str) -> Column:
+        return F.length(F.regexp_replace(c, f"[^\\p{{{cls}}}]", ""))
+
+    letters = n("L")
+    ratio = lambda x: F.when(letters > 0, F.round(x / letters, 6)).otherwise(F.lit(0.0))  # noqa: E731
+    return F.struct(
+        letters.alias("n_letters"),
+        ratio(n("IsLatin")).alias("latin_ratio"),
+        ratio(n("IsCyrillic")).alias("cyrillic_ratio"),
+        ratio(n("IsHan")).alias("han_ratio"),
+    )

@@ -621,3 +621,41 @@ def events_click_in_purchase_window(spark: SparkSession, sf_dir: str) -> DataFra
         clicks, purchases, bucket_seconds=1800, point_time="ts", on="user_id"
     )
     return out.select("user_id", "click_id", "purchase_id")
+
+
+@query(
+    "doc_script_ratios",
+    # round-5 window candidate (tests/test_registry_window.py R5_PROMOTIONS)
+    oracle="""
+WITH m AS (SELECT doc_id, text || ' привет мир 世界和平' AS t FROM documents),
+c AS (SELECT doc_id,
+             length(regexp_replace(t, '[^\\p{L}]', '', 'g')) AS n_letters,
+             length(regexp_replace(t, '[^\\p{Latin}]', '', 'g')) AS n_latin,
+             length(regexp_replace(t, '[^\\p{Cyrillic}]', '', 'g')) AS n_cyr,
+             length(regexp_replace(t, '[^\\p{Han}]', '', 'g')) AS n_han
+      FROM m)
+SELECT doc_id, n_letters,
+       round(CAST(n_latin AS DOUBLE) / n_letters, 6) AS latin_ratio,
+       round(CAST(n_cyr AS DOUBLE) / n_letters, 6) AS cyrillic_ratio,
+       round(CAST(n_han AS DOUBLE) / n_letters, 6) AS han_ratio
+FROM c
+""",
+)
+def doc_script_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition (functions/textstats.py script_ratios):
+    per-doc Latin/Cyrillic/Han letter ratios — the pre-language-ID routing
+    signal for multilingual curation. The ASCII harness corpus gets a
+    deterministic Cyrillic+Han suffix so the ratios are non-trivial; the
+    oracle recomputes each script class in RE2. Four scan-side
+    regexp passes, zero shuffle."""
+    from ..functions.textstats import script_ratios
+
+    docs = _t(spark, sf_dir, "documents")
+    s = script_ratios(F.concat(F.col("text"), F.lit(" привет мир 世界和平")))
+    return docs.select(
+        "doc_id",
+        s["n_letters"].alias("n_letters"),
+        s["latin_ratio"].alias("latin_ratio"),
+        s["cyrillic_ratio"].alias("cyrillic_ratio"),
+        s["han_ratio"].alias("han_ratio"),
+    )

@@ -335,3 +335,31 @@ def test_star_candidates_edge_shape(spark):
     assert all(r.id1 < r.id2 for r in pairs)
     # 30 identical docs -> exactly 29 star edges from rep 0, not 435 clique pairs
     assert {(r.id1, r.id2) for r in pairs} == {(0, i) for i in range(1, 30)}
+
+
+# --- script_ratios --------------------------------------------------------
+
+
+def test_script_ratios_values(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions import (
+        script_ratios,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),  # pure latin
+            (2, "привет"),  # pure cyrillic
+            (3, "ab гд 世界"),  # 2 + 2 + 2 letters
+            (4, "123 !!!"),  # letterless
+            (5, None),
+        ],
+        "id long, t string",
+    )
+    got = {r.id: r.s for r in df.select("id", script_ratios("t").alias("s")).collect()}
+    assert got[1].latin_ratio == 1.0 and got[1].cyrillic_ratio == 0.0
+    assert got[2].cyrillic_ratio == 1.0
+    assert got[3].n_letters == 6
+    assert got[3].latin_ratio == pytest.approx(1 / 3)
+    assert got[3].han_ratio == pytest.approx(1 / 3)
+    assert got[4].n_letters == 0 and got[4].latin_ratio == 0.0
+    assert got[5].n_letters is None  # NULL text propagates, not a crash

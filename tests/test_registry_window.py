@@ -95,6 +95,7 @@ R5_PROMOTIONS = [
     "doc_line_dedup",
     "events_click_in_purchase_window",
     "minhash_md5_star_dedup",
+    "doc_script_ratios",
 ]
 
 
