@@ -33,13 +33,20 @@ def asof_join(
     right_time: str = "ts",
     right_cols: tuple[str, ...] | None = None,
     suffix: str = "_right",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """LEFT as-of join: every ``left`` row, plus the latest ``right`` row of
     the same ``on`` key with ``right_time <= left_time`` (NULLs if none).
 
     ``right_cols`` selects which right-side payload columns to carry
     (default: all except the key); each is emitted as ``<name><suffix>``.
-    """
+
+    ``tolerance_seconds`` bounds the lookback (pandas ``merge_asof``'s
+    ``tolerance``): a match older than ``left_time - tolerance`` is nulled
+    out — an attribution window, "quote too stale to use", etc. Applied as
+    a post-window predicate on the matched payload's own timestamp, so the
+    plan (one shuffle + one sort) is unchanged; works for TIMESTAMP and
+    numeric time columns alike (numeric columns are treated as seconds)."""
     internal = {"_k", "_t", "_side", "_p", "_m"}
     clash = internal & set(left.columns)
     if clash:
@@ -95,6 +102,15 @@ def asof_join(
     matched = l.unionByName(r, allowMissingColumns=True).withColumn(
         "_m", F.last("_p", ignorenulls=True).over(w)
     )
+    if tolerance_seconds is not None:
+        if tolerance_seconds < 0:
+            raise ValueError(f"tolerance_seconds must be >= 0, got {tolerance_seconds}")
+        age = F.col("_t").cast("timestamp").cast("double") - F.col("_m")[
+            right_time
+        ].cast("timestamp").cast("double")
+        matched = matched.withColumn(
+            "_m", F.when(age <= F.lit(float(tolerance_seconds)), F.col("_m"))
+        )
     out = matched.filter(F.col("_side") == 1).select(
         *left_cols,
         *[F.col("_m")[c].alias(f"{c}{suffix}") for c in (right_time, *right_cols)],

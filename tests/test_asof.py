@@ -102,3 +102,71 @@ def test_reserved_and_colliding_names_fail_loudly(spark):
     )
     with pytest.raises(ValueError, match="collide with left"):
         asof_join(left2, right, on="user", right_cols=("rid",))
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        asof_join,
+    )
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 100.0), (1, 500.0), (2, 50.0)], "k long, ts double"
+    )
+    right = spark.createDataFrame(
+        [(1, 90.0, "a"), (1, 120.0, "b")], "k long, ts double, tag string"
+    )
+    out = {
+        (r.k, r.ts): r.tag_right
+        for r in asof_join(
+            left, right, on="k", tolerance_seconds=60.0
+        ).collect()
+    }
+    assert out[(1, 100.0)] == "a"  # 10s old: inside tolerance
+    assert out[(1, 500.0)] is None  # latest match 'b' is 380s stale -> nulled
+    assert out[(2, 50.0)] is None  # no right row at all
+
+
+def test_asof_tolerance_zero_keeps_simultaneous(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame([(1, 100.0)], "k long, ts double")
+    right = spark.createDataFrame([(1, 100.0, "x")], "k long, ts double, tag string")
+    row = asof_join(left, right, on="k", tolerance_seconds=0.0).first()
+    assert row.tag_right == "x"  # >= semantics: age 0 passes tolerance 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, on="k", tolerance_seconds=-1.0)
+
+
+def test_asof_tolerance_matches_reference_semantics_on_events(spark, sf_dir):
+    """Tolerance == a windowed attribution: every purchase attributed only
+    to a click at most 30min earlier — cross-checked against the plain
+    as-of join filtered the naive way."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        asof_join,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    tol = asof_join(
+        buys, clicks, on="user_id", tolerance_seconds=1800.0
+    ).collect()
+    plain = asof_join(buys, clicks, on="user_id").collect()
+    naive = {}
+    for r in plain:
+        key = (r.user_id, r.ts)
+        if r.ts_right is not None and (r.ts - r.ts_right).total_seconds() <= 1800:
+            naive[key] = r.click_id_right
+        else:
+            naive[key] = None
+    got = {(r.user_id, r.ts): r.click_id_right for r in tol}
+    assert got == naive
