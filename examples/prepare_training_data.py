@@ -52,6 +52,7 @@ from map_reduced_approach_for_vietnamese_long_document_summarization_spark.opera
     dedup_keep_canonical,
     epoch_upsample,
     exact_dedup,
+    ivf_assign,
     ivf_build_index,
     md5_hash32,
     ngram_contamination,
@@ -139,7 +140,10 @@ def prepare(spark, sf_dir, max_tokens=512, n_shards=8):
     sem_keep = (
         sem.select(F.col("vec_id").alias("doc_id")).localCheckpoint(eager=True)
     )
-    biggest = cell_histogram(sem.select("vec_id", "cell")).first()
+    # histogram the FULL assignment, not the survivors: the quadratic
+    # within-cell stage runs over every member of a cell, so a megacell of
+    # near-dups that collapses to a few survivors would otherwise hide
+    biggest = cell_histogram(ivf_assign(emb, centroids)).first()
     unpersist_inputs(sem)  # release the cached assignment table
     # docs without an embedding row pass through (no evidence to drop on)
     emb_ids = emb.select(F.col("vec_id").alias("doc_id"))
@@ -147,7 +151,7 @@ def prepare(spark, sf_dir, max_tokens=512, n_shards=8):
         survivors.join(sem_keep, "doc_id", "left_semi")
     )
     if biggest is not None:
-        print(f"semantic dedup: biggest cell holds {biggest['n']} survivors")
+        print(f"semantic dedup: biggest cell holds {biggest['n']} members")
 
     # 5: span-level dedup across the deduped corpus (repeated boilerplate
     # spans keep one global copy); docs whose every span was seen die here

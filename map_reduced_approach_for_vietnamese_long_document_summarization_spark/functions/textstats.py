@@ -243,7 +243,14 @@ def script_ratios(col: Column | str) -> Column:
         return F.length(F.regexp_replace(c, f"[^\\p{{{cls}}}]", ""))
 
     letters = n("L")
-    ratio = lambda x: F.when(letters > 0, F.round(x / letters, 6)).otherwise(F.lit(0.0))  # noqa: E731
+    # NULL text must yield NULL ratios (n_letters is NULL — ratios of 0.0
+    # next to it would misreport NULL docs as "letterless" AND diverge from
+    # the SQL oracle's NULL arithmetic); only a genuinely letterless doc
+    # reads 0.0
+    ratio = lambda x: (  # noqa: E731
+        F.when(letters > 0, F.round(x / letters, 6))
+        .when(letters.isNotNull(), F.lit(0.0))
+    )
     return F.struct(
         letters.alias("n_letters"),
         ratio(n("IsLatin")).alias("latin_ratio"),

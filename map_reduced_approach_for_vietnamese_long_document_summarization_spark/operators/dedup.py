@@ -167,10 +167,11 @@ def minhash_lsh_star_candidates(
     (band_idx, band_hash) bucket emits only (bucket-min id, member) pairs,
     O(k) rows per k-member bucket where the clique join
     (``minhash_lsh_candidates``) emits O(k^2). Measured on the skew-stress
-    corpus (ten 2000-replica viral clusters, SCALE.md): 10.2M clique pairs
-    -> ~47k star pairs for the SAME downstream connected components,
-    because connecting every member to the bucket minimum spans exactly the
-    clique's component.
+    corpus (ten 2000-replica viral clusters, SCALE.md) at threshold 0 —
+    the regime where clustering is provably identical: 13,805,902 clique
+    pairs -> 106,562 star pairs (130x) with the SAME downstream connected
+    components, because connecting every member to the bucket minimum
+    spans exactly the clique's component.
 
     The trade, stated precisely: at ``threshold == 0`` (bucket equivalence
     feeding a components pass) clustering is IDENTICAL to the clique's.
@@ -712,9 +713,14 @@ def line_dedup(
 
     from ..functions.text import strip_ws
 
+    # NULL text would explode to zero rows and silently DELETE the document
+    # from the output (posexplode generates nothing) — coalesce to '' so the
+    # doc survives as an empty husk, span_dedup's convention
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "line_idx", "line"
+        ),
     )
     content = F.length(strip_ws(F.col("line"))) >= min_chars
     if dedup_key == "hash":
@@ -724,9 +730,14 @@ def line_dedup(
     else:
         raise ValueError(f"dedup_key must be 'hash' or 'text', got {dedup_key!r}")
     # blank lines get a per-occurrence unique key: always rank 1 (kept),
-    # never a corpus-wide hot partition
-    part = F.when(content, key.cast("string")).otherwise(
-        F.concat(F.lit("_blank:"), F.col(id_col), F.lit(":"), F.col("line_idx"))
+    # never a corpus-wide hot partition. The content ("c:") and blank ("b:")
+    # namespaces are prefix-disjoint — without the prefixes, a content line
+    # whose TEXT spells the blank salt (text-key mode) would land in a blank
+    # line's partition and one of the two would wrongly drop
+    part = F.when(
+        content, F.concat(F.lit("c:"), key.cast("string"))
+    ).otherwise(
+        F.concat(F.lit("b:"), F.col(id_col), F.lit(":"), F.col("line_idx"))
     )
     w = Window.partitionBy(part).orderBy(F.col(id_col), F.col("line_idx"))
     ranked = lines.withColumn("_rn", F.row_number().over(w))

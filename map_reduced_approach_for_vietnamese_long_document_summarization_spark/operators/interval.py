@@ -51,6 +51,11 @@ def interval_join(
     clash = (set(points.columns) & set(intervals.columns)) - ({on} if on else set())
     if clash:
         raise ValueError(f"rename clashing payload columns first: {sorted(clash)}")
+    # "_b" is the internal bucket column: withColumn would silently replace
+    # (then drop) a payload column of that name on either side
+    reserved = {"_b"} & (set(points.columns) | set(intervals.columns))
+    if reserved:
+        raise ValueError("interval_join reserves column name '_b'; rename it first")
 
     def secs(c):
         # TIMESTAMP -> epoch seconds; numeric columns round-trip unchanged

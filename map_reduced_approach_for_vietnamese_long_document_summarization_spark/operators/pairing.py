@@ -94,7 +94,13 @@ def skip_existing_bloom(
     m = (num_bits + 63) // 64 * 64  # whole 64-bit words
 
     def positions(df: DataFrame) -> list:
-        k = F.col(key)
+        # hash the key's STRING form: xxhash64 is type-sensitive (int 5 and
+        # bigint 5 hash differently), so hashing the raw column would break
+        # the no-false-negative guarantee whenever docs and existing_keys
+        # carry different integer widths for the same logical key — existing
+        # docs would test "definitely new" and leak through even in exact
+        # mode (the anti-join coerces; the bloom must too)
+        k = F.col(key).cast("string")
         return [
             F.pmod(F.xxhash64(F.lit(i), k), F.lit(m)).alias(f"_p{i}")
             for i in range(n_hashes)

@@ -215,6 +215,11 @@ def mixture_rates(
     outside the target dict are implicitly rate-0 (dropped); feed the rates
     to ``epoch_upsample`` (epochs=rate) or a ``hash_uniform`` filter.
 
+    A target source ABSENT from ``df`` still gets its row (mass 0, rate 0)
+    and forces ``T = 0`` — every row's ``kept_mass`` reads 0, so an
+    unachievable mixture is loud in the output instead of silently
+    collapsing onto the sources that do exist.
+
     Closed-form and deterministic — replayable in SQL. Scale: one
     map-side-combinable sum per source, a broadcast of the (n_sources-row)
     table, and a scalar min; nothing touches corpus rows."""
@@ -229,7 +234,13 @@ def mixture_rates(
         f"{source_col} string, target_share double",
     )
     mass = df.groupBy(source_col).agg(F.sum(mass_col).alias("mass"))
-    joined = mass.join(F.broadcast(shares), source_col)
+    # LEFT join from shares: a target source missing from the corpus keeps
+    # its row with mass 0 rather than vanishing (which would re-solve the
+    # mixture over the present sources only — the caller would believe the
+    # target was hit)
+    joined = F.broadcast(shares).join(mass, source_col, "left").withColumn(
+        "mass", F.coalesce("mass", F.lit(0).cast("long"))
+    )
     t = joined.select(
         F.min(F.col("mass") / F.col("target_share")).alias("_t")
     )
@@ -237,8 +248,13 @@ def mixture_rates(
         source_col,
         "mass",
         F.round("target_share", 9).alias("target_share"),
-        F.round(
-            F.least(F.lit(1.0), F.col("target_share") * F.col("_t") / F.col("mass")), 9
-        ).alias("rate"),
+        F.when(F.col("mass") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.least(F.lit(1.0), F.col("target_share") * F.col("_t") / F.col("mass")),
+                9,
+            )
+        )
+        .alias("rate"),
         F.round(F.col("target_share") * F.col("_t"), 3).alias("kept_mass"),
     )

@@ -436,11 +436,12 @@ def doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH shares(source, target_share) AS (
     VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
 mass AS (SELECT source, sum(n_chars) AS mass FROM documents GROUP BY source),
-j AS (SELECT m.source, CAST(m.mass AS BIGINT) AS mass, s.target_share
-      FROM mass m JOIN shares s USING (source)),
+j AS (SELECT s.source, CAST(coalesce(m.mass, 0) AS BIGINT) AS mass, s.target_share
+      FROM shares s LEFT JOIN mass m USING (source)),
 t AS (SELECT min(mass / target_share) AS t FROM j)
 SELECT j.source, j.mass, round(j.target_share, 9) AS target_share,
-       round(least(1.0, j.target_share * t.t / j.mass), 9) AS rate,
+       CASE WHEN j.mass = 0 THEN 0.0
+            ELSE round(least(1.0, j.target_share * t.t / j.mass), 9) END AS rate,
        round(j.target_share * t.t, 3) AS kept_mass
 FROM j, t
 """,

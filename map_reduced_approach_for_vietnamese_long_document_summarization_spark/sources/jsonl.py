@@ -38,6 +38,36 @@ DOC_SCHEMA = T.StructType(
 _CORRUPT = "_corrupt_record"
 
 
+def _parse_jsonl_lines(lines: DataFrame, schema: T.StructType) -> DataFrame:
+    """Shared parse stage for the batch and streaming readers — ONE
+    definition of "what counts as a document vs a corrupt line", so the
+    two ingest paths cannot diverge.
+
+    Parses via text + ``from_json`` rather than the native JSON relation:
+    Spark disallows queries that reference ONLY the corrupt column of a
+    JSON file source (SPARK-21610) — the documented workaround is caching
+    the whole corpus, which is exactly wrong at 100 TB. The from_json
+    expression has no such restriction, costs the same single pass, and
+    JSON scans have no pushdown to lose.
+
+    Blank/whitespace-only lines (double newlines, CRLF endings, tab
+    padding) are neither documents nor corruption: from_json would turn
+    them into all-NULL "clean" phantom rows, and DROPMALFORMED drops them
+    — skip them so both modes return the same corpus. NOT ``F.trim``: that
+    strips only ASCII spaces, so a CRLF file's blank lines ("\\r") would
+    slip through."""
+    # copy the schema — StructType.add mutates in place
+    full = T.StructType(list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())])
+    parsed = lines.filter(F.regexp_replace("value", r"\s", "") != "").select(
+        F.from_json(
+            "value",
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+        ).alias("_r")
+    )
+    return parsed.select("_r.*")
+
+
 def read_jsonl_corpus(
     spark: SparkSession,
     path: str,
@@ -52,34 +82,7 @@ def read_jsonl_corpus(
     at the source (DROPMALFORMED) for pipelines that have already ledgered
     them."""
     if keep_corrupt:
-        # parse via text + from_json rather than the native JSON relation:
-        # Spark disallows queries that reference ONLY the corrupt column of
-        # a JSON file source (SPARK-21610) — the documented workaround is
-        # caching the whole corpus, which is exactly wrong at 100 TB. The
-        # from_json expression has no such restriction, costs the same
-        # single pass, and JSON scans have no pushdown to lose.
-        # (copy the schema — StructType.add mutates in place)
-        full = T.StructType(
-            list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
-        )
-        # blank/whitespace-only lines (double newlines, CRLF endings, tab
-        # padding) are neither documents nor corruption: from_json would
-        # turn them into all-NULL "clean" phantom rows, and DROPMALFORMED
-        # drops them — skip them in both modes so the two return the same
-        # corpus. NOT F.trim: that strips only ASCII spaces, so a CRLF
-        # file's blank lines ("\r") would slip through.
-        parsed = (
-            spark.read.text(path)
-            .filter(F.regexp_replace("value", r"\s", "") != "")
-            .select(
-                F.from_json(
-                    "value",
-                    full,
-                    {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
-                ).alias("_r")
-            )
-        )
-        return parsed.select("_r.*")
+        return _parse_jsonl_lines(spark.read.text(path), schema)
     return spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
 
 
@@ -91,9 +94,9 @@ def read_jsonl_corpus_stream(
 ) -> DataFrame:
     """Streaming twin of ``read_jsonl_corpus``: watch ``path`` for new JSONL
     files and parse them with the same declared schema + corrupt-line
-    ledger semantics (text source + ``from_json``, blank/whitespace lines
-    skipped), so the batch and streaming ingest paths can never diverge on
-    what counts as a document vs a corrupt line.
+    ledger semantics (the shared ``_parse_jsonl_lines`` stage — one
+    definition, so the batch and streaming ingest paths structurally
+    cannot diverge on what counts as a document vs a corrupt line).
 
     The file source tracks processed files in the query checkpoint, so a
     restarted query resumes where it left off; ``max_files_per_trigger``
@@ -101,22 +104,10 @@ def read_jsonl_corpus_stream(
     Feed the result to ``streaming.write_stream_idempotent_parquet`` for an
     exactly-once landing zone the batch curation stages read via
     ``read_committed_batches``."""
-    full = T.StructType(list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())])
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    parsed = (
-        reader.text(path)
-        .filter(F.regexp_replace("value", r"\s", "") != "")
-        .select(
-            F.from_json(
-                "value",
-                full,
-                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
-            ).alias("_r")
-        )
-    )
-    return parsed.select("_r.*")
+    return _parse_jsonl_lines(reader.text(path), schema)
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:

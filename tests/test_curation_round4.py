@@ -363,3 +363,80 @@ def test_script_ratios_values(spark):
     assert got[3].han_ratio == pytest.approx(1 / 3)
     assert got[4].n_letters == 0 and got[4].latin_ratio == 0.0
     assert got[5].n_letters is None  # NULL text propagates, not a crash
+
+
+# --- review-pass regression fixes (round 4) -------------------------------
+
+
+def test_bloom_is_key_dtype_insensitive(spark):
+    """xxhash64 is type-sensitive; the bloom hashes the key's string form
+    so an int-typed batch against a long-typed curated corpus keeps the
+    no-false-negative guarantee (review finding: existing docs leaked
+    through as 'definitely new' under mixed dtypes)."""
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id int")
+    existing = spark.createDataFrame([(i,) for i in range(0, 20, 2)], "doc_id long")
+    got = {r.doc_id for r in skip_existing_bloom(docs, existing).collect()}
+    assert got == {i for i in range(20) if i % 2 == 1}
+
+
+def test_line_dedup_content_cannot_collide_with_blank_salt(spark):
+    """A content line whose text spells the blank-salt pattern must not
+    share a partition with a real blank line (review finding: either side
+    could wrongly drop)."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        line_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x\n\ny"), (2, "b:1:1\nz")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, dedup_key="text").collect()}
+    assert out[1].text == "x\n\ny" and out[1].n_removed == 0
+    assert out[2].text == "b:1:1\nz" and out[2].n_removed == 0
+
+
+def test_line_dedup_null_text_survives_as_husk(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        line_dedup,
+    )
+
+    docs = spark.createDataFrame([(1, "a"), (2, None)], "doc_id long, text string")
+    out = {r.doc_id: r.text for r in line_dedup(docs).collect()}
+    assert set(out) == {1, 2}  # review finding: doc 2 used to vanish
+    assert out[2] == ""
+
+
+def test_mixture_rates_absent_target_source_is_loud(spark):
+    """A target source with no corpus rows keeps its output row (mass 0,
+    rate 0) and forces T=0 — the unachievable mixture shows up as zero
+    kept_mass everywhere instead of silently re-solving over present
+    sources (review finding)."""
+    df = spark.createDataFrame([("a", 100)], "source string, m long")
+    out = {r.source: r for r in mixture_rates(df, {"a": 0.5, "b": 0.5}, "m").collect()}
+    assert set(out) == {"a", "b"}
+    assert out["b"].mass == 0 and out["b"].rate == 0.0
+    assert out["a"].kept_mass == 0.0 and out["b"].kept_mass == 0.0
+
+
+def test_interval_join_rejects_reserved_bucket_column(spark):
+    import pytest as _pytest
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        interval_join,
+    )
+
+    pts = spark.createDataFrame([(1, 1.0, 9.0)], "a long, ts double, _b double")
+    iv = spark.createDataFrame([(1, 0.0, 2.0)], "a long, start_ts double, end_ts double")
+    with _pytest.raises(ValueError):
+        interval_join(pts, iv, bucket_seconds=10, point_time="ts")
+
+
+def test_script_ratios_null_text_propagates_null_ratios(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions import (
+        script_ratios,
+    )
+
+    df = spark.createDataFrame([(1, None)], "id long, t string")
+    row = df.select(script_ratios("t").alias("s")).first().s
+    assert row.n_letters is None
+    assert row.latin_ratio is None  # was 0.0: misreported NULL as letterless
