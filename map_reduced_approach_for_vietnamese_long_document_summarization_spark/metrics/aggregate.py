@@ -60,3 +60,37 @@ def best_by_metric(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: str | None = None,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier flagging: adds ``q1``, ``q3`` and ``is_outlier``
+    (value outside ``[q1 - k*iqr, q3 + k*iqr]``) — the robust trim for
+    metric/quality distributions where a mean±stddev fence is dragged by
+    the very outliers it should catch. ``by`` computes the fences per group
+    (e.g. per language: a short-doc language's length fence differs from a
+    long-doc one's).
+
+    Scale: one exact ``percentile`` aggregate over the (small) group keys,
+    broadcast back onto the rows — no window over the full frame, no sort
+    of the corpus. Exact quantiles (linear interpolation, DuckDB
+    ``quantile_cont`` parity) keep the oracle replayable; swap in
+    ``percentile_approx`` at 100 TB if the value column is too wide for an
+    exact percentile's per-group state."""
+    keys = [by] if by else []
+    fences = df.groupBy(*keys).agg(
+        F.percentile(value_col, F.lit(0.25)).alias("q1"),
+        F.percentile(value_col, F.lit(0.75)).alias("q3"),
+    )
+    joined = (
+        df.join(F.broadcast(fences), keys) if keys else df.crossJoin(F.broadcast(fences))
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (F.col(value_col) < F.col("q1") - F.lit(k) * iqr) | (
+        F.col(value_col) > F.col("q3") + F.lit(k) * iqr
+    )
+    return joined.withColumn("is_outlier", out)

@@ -514,12 +514,20 @@ def simhash_near_dup_pairs(
     max_hamming: int = 8,
     bits: int = 64,
     hash_col_fn=None,
+    star: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the ``bits``-bit signature into 4
     equal-width keys (any pair within hamming distance 3 shares a band by
     pigeonhole; wider distances are caught with high probability), then
     verify with bit_count(xor) <= max_hamming. ``bits=32`` +
-    ``hash_col_fn=md5_hash32`` gives the oracle-checkable twin."""
+    ``hash_col_fn=md5_hash32`` gives the oracle-checkable twin.
+
+    ``star=True`` applies the same viral-cluster mitigation as
+    ``minhash_lsh_star_candidates``: each band bucket emits only
+    (bucket-min, member) pairs — O(k) per k-member bucket, identical
+    downstream components at ``max_hamming >= bits`` (no verify), an
+    approximation under a tighter hamming cut (members verify against the
+    bucket rep only)."""
     band_width = bits // 4
     band_mask = (1 << band_width) - 1
     # persist: referenced by both band-join sides (see minhash_dedup_pairs's
@@ -539,21 +547,38 @@ def simhash_near_dup_pairs(
     exploded = sigs.select(id_col, "simhash", F.explode(bands).alias("b")).select(
         id_col, "simhash", "b.band_idx", "b.band_key"
     )
-    l, r = exploded.alias("l"), exploded.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    if star:
+        w = Window.partitionBy("band_idx", "band_key")
+        starred = exploded.withColumn("_rep", F.min(id_col).over(w)).withColumn(
+            "_rep_sig", F.min(F.struct(id_col, "simhash")).over(w)["simhash"]
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id1"),
-            F.col(f"r.{id_col}").alias("id2"),
-            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        pairs = (
+            starred.filter(F.col(id_col) != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id1"),
+                F.col(id_col).alias("id2"),
+                F.bit_count(
+                    F.col("simhash").bitwiseXOR(F.col("_rep_sig"))
+                ).alias("hamming"),
+            )
+            .dropDuplicates(["id1", "id2"])
         )
-        .dropDuplicates(["id1", "id2"])
-    )
+    else:
+        l, r = exploded.alias("l"), exploded.alias("r")
+        pairs = (
+            l.join(
+                r,
+                (F.col("l.band_idx") == F.col("r.band_idx"))
+                & (F.col("l.band_key") == F.col("r.band_key"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id1"),
+                F.col(f"r.{id_col}").alias("id2"),
+                F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+            )
+            .dropDuplicates(["id1", "id2"])
+        )
     out = pairs.filter(F.col("hamming") <= max_hamming)
     out._persisted_inputs = [sigs]  # unpersist hook for long-lived sessions
     return out

@@ -660,3 +660,39 @@ def doc_script_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         s["cyrillic_ratio"].alias("cyrillic_ratio"),
         s["han_ratio"].alias("han_ratio"),
     )
+
+
+@query(
+    "doc_length_iqr_outliers",
+    # round-5 window candidate (tests/test_registry_window.py R5_PROMOTIONS)
+    oracle="""
+WITH f AS (SELECT lang,
+                  quantile_cont(n_chars, 0.25) AS q1,
+                  quantile_cont(n_chars, 0.75) AS q3
+           FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars,
+       round(f.q1, 6) AS q1, round(f.q3, 6) AS q3,
+       CAST(d.n_chars < f.q1 - 1.5 * (f.q3 - f.q1)
+            OR d.n_chars > f.q3 + 1.5 * (f.q3 - f.q1) AS INT) AS is_outlier
+FROM documents d JOIN f USING (lang)
+""",
+)
+def doc_length_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence length outliers per language (metrics/aggregate.py
+    iqr_outliers): per-lang exact quartiles broadcast back onto the rows,
+    flagging docs outside [q1-1.5*iqr, q3+1.5*iqr] — the robust trim a
+    quality gate uses where mean±stddev is dragged by the tail it should
+    catch. Exact percentile (linear interpolation) matches DuckDB
+    quantile_cont bit-for-bit; no corpus sort, no full-frame window."""
+    from ..metrics.aggregate import iqr_outliers
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = iqr_outliers(docs, "n_chars", by="lang")
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round("q1", 6).alias("q1"),
+        F.round("q3", 6).alias("q3"),
+        F.col("is_outlier").cast("int").alias("is_outlier"),
+    )

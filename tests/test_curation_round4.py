@@ -440,3 +440,44 @@ def test_script_ratios_null_text_propagates_null_ratios(spark):
     row = df.select(script_ratios("t").alias("s")).first().s
     assert row.n_letters is None
     assert row.latin_ratio is None  # was 0.0: misreported NULL as letterless
+
+
+def test_simhash_star_components_match_clique_without_verify(spark, sf_dir):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        connected_components,
+        unpersist_inputs,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        md5_hash32,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").limit(200)
+    kw = dict(max_hamming=32, bits=32, hash_col_fn=md5_hash32)  # no verify cut
+    clique = simhash_near_dup_pairs(docs, **kw)
+    star = simhash_near_dup_pairs(docs, star=True, **kw)
+    assert star.count() <= clique.count()
+    comp_c = {(r.doc_id, r.component) for r in connected_components(clique, nodes=docs).collect()}
+    comp_s = {(r.doc_id, r.component) for r in connected_components(star, nodes=docs).collect()}
+    assert comp_c == comp_s
+    unpersist_inputs(clique)
+    unpersist_inputs(star)
+
+
+def test_simhash_star_hamming_is_vs_bucket_rep(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        md5_hash32,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate page content here") for i in range(10)],
+        "doc_id long, text string",
+    )
+    pairs = simhash_near_dup_pairs(
+        docs, star=True, max_hamming=0, bits=32, hash_col_fn=md5_hash32
+    ).collect()
+    # 10 identical docs: 9 star edges from rep 0, hamming 0
+    assert {(r.id1, r.id2, r.hamming) for r in pairs} == {
+        (0, i, 0) for i in range(1, 10)
+    }
