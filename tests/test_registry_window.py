@@ -96,6 +96,7 @@ R5_PROMOTIONS = [
     "events_click_in_purchase_window",
     "minhash_md5_star_dedup",
     "doc_script_ratios",
+    "doc_length_iqr_outliers",
 ]
 
 
