@@ -10,6 +10,7 @@ from .dedup import (
     md5_hash32,
     md5_hash60,
     minhash_dedup_pairs,
+    minhash_incremental_pairs,
     minhash_lsh_star_candidates,
     minhash_md5_pairs,
     minhash_md5_signatures,
@@ -111,6 +112,7 @@ __all__ = [
     "md5_hash60",
     "minhash_signatures",
     "minhash_dedup_pairs",
+    "minhash_incremental_pairs",
     "minhash_lsh_star_candidates",
     "minhash_md5_signatures",
     "minhash_md5_pairs",

@@ -782,3 +782,58 @@ def line_dedup(
         )
         .select(id_col, text_col, "n_lines", "n_removed")
     )
+
+
+def minhash_incremental_pairs(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    n_bands: int = 16,
+    n_hashes: int = 64,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dup detection: pairs TOUCHING a new
+    batch — (new x corpus) band matches plus (new x new) self-matches —
+    without re-joining the corpus against itself. The daily-curation shape:
+    signatures are computed once per document and stored (they are plain
+    ``(id, array<long>)`` rows — parquet them next to the corpus); each
+    increment then pays one band join of batch-vs-corpus (broadcast-able
+    when the batch is small) and one tiny batch self-join, instead of the
+    full corpus self-join whose cost never changes.
+
+    Inputs are SIGNATURE frames (``minhash_signatures`` /
+    ``minhash_md5_signatures`` output, sentinel rows already excluded).
+    ``corpus_sigs`` must not contain the new ids. Output matches the full
+    self-join restricted to pairs with >= 1 new endpoint: (id1, id2,
+    est_jaccard), id1 < id2, est >= threshold."""
+    nb = lsh_band_table(new_sigs, id_col, sig_col, n_bands, n_hashes)
+    cb = lsh_band_table(corpus_sigs, id_col, sig_col, n_bands, n_hashes)
+    cross = (
+        nb.alias("l")
+        .join(
+            cb.alias("r"),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash")),
+        )
+        .select(
+            F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id1"),
+            F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id2"),
+        )
+    )
+    within = (
+        nb.alias("l")
+        .join(
+            nb.alias("r"),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id1"), F.col(f"r.{id_col}").alias("id2"))
+    )
+    pair_ids = cross.unionByName(within).dropDuplicates(["id1", "id2"])
+    all_sigs = new_sigs.select(id_col, sig_col).unionByName(
+        corpus_sigs.select(id_col, sig_col)
+    )
+    out = _attach_est_jaccard(pair_ids, all_sigs, id_col, sig_col)
+    return out.filter(F.col("est_jaccard") >= threshold)

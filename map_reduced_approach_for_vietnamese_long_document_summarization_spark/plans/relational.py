@@ -3252,3 +3252,53 @@ def minhash_md5_star_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return minhash_md5_pairs(d, threshold=0.5, star=True)
+
+
+@query(
+    "minhash_md5_incremental_dedup",
+    # round-5 window candidate (tests/test_registry_window.py R5_PROMOTIONS)
+    oracle=f"""
+WITH t AS (SELECT doc_id, list_transform({_DUCK_TOKS}, x -> lower(x)) AS toks
+           FROM documents),
+e AS MATERIALIZED (
+    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+    FROM t WHERE len(toks) >= 3),
+hi AS (SELECT doc_id, i,
+              min(('0x' || substring(md5(i::VARCHAR || ':' || sh), 1, 15))::BIGINT) AS h
+       FROM e, unnest(range(16)) AS u(i)
+       GROUP BY doc_id, i),
+sigs AS MATERIALIZED (SELECT doc_id, list(h ORDER BY i) AS sig FROM hi GROUP BY doc_id),
+bands AS MATERIALIZED (
+    SELECT doc_id, b, sig[b*4+1:b*4+4]::VARCHAR AS bk
+    FROM sigs, unnest(range(4)) AS u(b)),
+cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+         FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id),
+paired AS (SELECT id1, id2,
+                  len(list_filter(range(1, 17), i -> s1.sig[i] = s2.sig[i])) / 16.0 AS est
+           FROM cand
+           JOIN sigs s1 ON s1.doc_id = cand.id1
+           JOIN sigs s2 ON s2.doc_id = cand.id2)
+SELECT id1, id2, round(est, 6) AS est_jaccard
+FROM paired
+WHERE est >= 0.5 AND (id1 >= 400 OR id2 >= 400)
+""",
+)
+def minhash_md5_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection (operators/dedup.py
+    minhash_incremental_pairs): docs with id >= 400 play the "new batch",
+    the rest the stored corpus — the increment pays one batch-vs-corpus
+    band join plus the tiny batch self-join instead of the full corpus
+    self-join. Result == the full md5-family pair set restricted to pairs
+    touching a new doc, which is exactly what the oracle computes."""
+    from ..operators.dedup import minhash_incremental_pairs, minhash_md5_signatures
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_md5_signatures(docs).persist()
+    new = sigs.filter(F.col("doc_id") >= 400)
+    corpus = sigs.filter(F.col("doc_id") < 400)
+    out = minhash_incremental_pairs(
+        new, corpus, n_hashes=16, n_bands=4, threshold=0.5
+    ).select("id1", "id2", F.round("est_jaccard", 6).alias("est_jaccard"))
+    out._persisted_inputs = [sigs]
+    return out

@@ -481,3 +481,46 @@ def test_simhash_star_hamming_is_vs_bucket_rep(spark):
     assert {(r.id1, r.id2, r.hamming) for r in pairs} == {
         (0, i, 0) for i in range(1, 10)
     }
+
+
+def test_incremental_pairs_equal_full_join_restricted_to_new(spark, sf_dir):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        minhash_incremental_pairs,
+        unpersist_inputs,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        minhash_md5_pairs,
+        minhash_md5_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    full = minhash_md5_pairs(docs, threshold=0.0)
+    want = {
+        (r.id1, r.id2, round(r.est_jaccard, 6))
+        for r in full.collect()
+        if r.id1 >= 400 or r.id2 >= 400
+    }
+    sigs = minhash_md5_signatures(docs).persist()
+    got_df = minhash_incremental_pairs(
+        sigs.filter("doc_id >= 400"), sigs.filter("doc_id < 400"),
+        n_hashes=16, n_bands=4, threshold=0.0,
+    )
+    got = {(r.id1, r.id2, round(r.est_jaccard, 6)) for r in got_df.collect()}
+    assert got == want
+    unpersist_inputs(full)
+    sigs.unpersist()
+
+
+def test_incremental_pairs_empty_batch(spark, sf_dir):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        minhash_incremental_pairs,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        minhash_md5_signatures,
+    )
+
+    sigs = minhash_md5_signatures(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").limit(50)
+    )
+    empty = sigs.filter("doc_id < 0")
+    assert minhash_incremental_pairs(empty, sigs, n_hashes=16, n_bands=4).count() == 0

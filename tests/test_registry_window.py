@@ -97,6 +97,7 @@ R5_PROMOTIONS = [
     "minhash_md5_star_dedup",
     "doc_script_ratios",
     "doc_length_iqr_outliers",
+    "minhash_md5_incremental_dedup",
 ]
 
 
