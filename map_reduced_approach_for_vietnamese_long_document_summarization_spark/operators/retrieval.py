@@ -110,3 +110,43 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(top_k)
     )
+
+
+def rrf_fuse(
+    rankings: list,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    k0: int = 60,
+    top_k: int = 10,
+):
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid
+    retrieval combiner: each input ranking contributes ``1/(k0 + rank)``
+    per document, summed across retrievers; documents surfaced by several
+    retrievers rise without any score normalization (ranks are
+    scale-free, which is why RRF beats score averaging across a BM25/
+    cosine mismatch and stays exactly SQL-replayable — no float score
+    comparison crosses engines, only integer ranks).
+
+    ``rankings``: DataFrames each carrying (``id_col``, ``rank_col``)
+    (1-based). Returns (id, rrf_score, rnk) — top ``top_k`` by fused
+    score, ties broken by id. Scale: inputs are already top-N per
+    retriever (tiny); one union + one aggregate."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    contribs = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col))).alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), contribs)
+    fused = u.groupBy(id_col).agg(F.sum("_c").alias("rrf_score"))
+    w = Window.orderBy(F.desc("rrf_score"), id_col)
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(id_col, F.round("rrf_score", 9).alias("rrf_score"), "rnk")
+    )

@@ -321,3 +321,74 @@ def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = simhash_near_dup_pairs(docs, max_hamming=6, bits=32, hash_col_fn=md5_hash32)
     best = dedup_keep_best(docs, pairs, score_col="n_chars")
     return best.select("doc_id", "n_chars")
+
+
+@query(
+    "hybrid_search_top10",
+    # round-5 window candidate (tests/test_registry_window.py R5_PROMOTIONS)
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS_LOWER} AS toks FROM documents),
+corpus AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t WHERE len(toks) > 0),
+post AS (SELECT doc_id, len(toks) AS doc_len, tok AS term, count(*) AS tf
+         FROM t, unnest(toks) AS u(tok) GROUP BY 1, 2, 3),
+hit AS (SELECT * FROM post WHERE term IN ('spark', 'window', 'stream')),
+dfm AS (SELECT term, count(*) AS df FROM hit GROUP BY term),
+bm AS (SELECT doc_id,
+              round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                        * (tf * 2.2)
+                        / (tf + 1.2 * (1 - 0.75 + 0.75 * doc_len / avgdl))), 6) AS score
+       FROM hit JOIN dfm USING (term) CROSS JOIN corpus
+       GROUP BY doc_id
+       ORDER BY score DESC, doc_id
+       LIMIT 20),
+bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bm),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (SELECT e.vec_id AS doc_id,
+                list_dot_product(q.qv, e.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(q.qv, q.qv))
+                     * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+                  AS sim
+         FROM q, embeddings e WHERE e.vec_id <> 0),
+dr AS (SELECT doc_id, rnk FROM (
+         SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rnk
+         FROM sims) s WHERE rnk <= 20),
+u AS (SELECT doc_id, 1.0 / (60 + rnk) AS c FROM bmr
+      UNION ALL
+      SELECT doc_id, 1.0 / (60 + rnk) AS c FROM dr),
+f AS (SELECT doc_id, sum(c) AS rrf_score FROM u GROUP BY doc_id)
+SELECT doc_id, round(rrf_score, 9) AS rrf_score, rnk FROM (
+  SELECT doc_id, rrf_score,
+         row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rnk
+  FROM f) z
+WHERE rnk <= 10
+""",
+)
+def hybrid_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/retrieval.py rrf_fuse): BM25 top-20 for
+    {spark, window, stream} fused with cosine top-20 for the vec_id-0 query
+    embedding by reciprocal-rank fusion (k0=60) — the modern sparse+dense
+    search default. Rank-based fusion means no score normalization and an
+    exactly-replayable oracle (only integer ranks cross the fusion). Both
+    retriever legs are already driver-verified on their own
+    (bm25_search_top10, embedding_knn_top3)."""
+    from ..metrics.semantic import cosine_similarity_expr  # noqa: F401 (doc pointer)
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.similarity import cosine_topk
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bm = bm25_topk(docs, ["spark", "window", "stream"], top_k=20)
+    bmr = bm.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    ).select("doc_id", "rnk")
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    corpus = emb.select("vec_id", vec.alias("embedding"))
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    dense = cosine_topk(queries, corpus, k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rnk"
+    )
+    return rrf_fuse([bmr, dense], top_k=10)

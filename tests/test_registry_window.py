@@ -98,6 +98,7 @@ R5_PROMOTIONS = [
     "doc_script_ratios",
     "doc_length_iqr_outliers",
     "minhash_md5_incremental_dedup",
+    "hybrid_search_top10",
 ]
 
 

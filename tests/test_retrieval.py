@@ -75,3 +75,32 @@ def test_repeated_query_terms_deduplicated(spark, corpus):
     a = {r["doc_id"]: float(r["score"]) for r in bm25_topk(corpus, ["spark"]).collect()}
     b = {r["doc_id"]: float(r["score"]) for r in bm25_topk(corpus, ["spark", "spark"]).collect()}
     assert a == b
+
+
+def test_rrf_fuse_ranks_shared_docs_first(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rnk int")
+    b = spark.createDataFrame([(20, 1), (40, 2), (10, 3)], "doc_id long, rnk int")
+    out = rrf_fuse([a, b], top_k=10).collect()
+    order = [r.doc_id for r in out]
+    # 20: 1/62+1/61 > 10: 1/61+1/63 > singles 30/40
+    assert order[0] == 20 and order[1] == 10
+    assert set(order) == {10, 20, 30, 40}
+    import pytest as _pytest
+
+    assert out[0].rrf_score == _pytest.approx(1 / 62 + 1 / 61, abs=1e-9)
+    assert [r.rnk for r in out] == [1, 2, 3, 4]
+
+
+def test_rrf_fuse_single_ranking_is_identity_order(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame([(5, 1), (6, 2), (7, 3)], "doc_id long, rnk int")
+    out = rrf_fuse([a], top_k=2).collect()
+    assert [(r.doc_id, r.rnk) for r in out] == [(5, 1), (6, 2)]
