@@ -98,6 +98,26 @@ def curate_increment(spark, sink_dir: str, existing_docs):
     return exact_dedup(fresh), corrupt
 
 
+def near_dedup_increment(new_docs, existing_docs, threshold: float = 0.5):
+    """Near-dup pairs of the increment against the curated corpus PLUS
+    within the increment itself, without re-self-joining the corpus
+    (``minhash_incremental_pairs``): in production the corpus signatures
+    are computed once and stored next to the corpus — here they are built
+    inline. Returns (id1, id2, est_jaccard); drop ``id2`` (the new doc of
+    each pair: corpus ids precede batch ids here) to keep the corpus's
+    earlier copy, or feed the pairs to ``dedup_keep_best``."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        minhash_incremental_pairs,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    new_sigs = minhash_signatures(new_docs.select("doc_id", "text"))
+    corpus_sigs = minhash_signatures(existing_docs.select("doc_id", "text"))
+    return minhash_incremental_pairs(new_sigs, corpus_sigs, threshold=threshold)
+
+
 def main() -> None:
     import tempfile
 
@@ -115,8 +135,11 @@ def main() -> None:
     )
     new_docs, corrupt = curate_increment(spark, sink, existing)
     n_new, n_bad = new_docs.count(), corrupt.count()
+    pairs = near_dedup_increment(new_docs, existing)
+    n_near = pairs.count()
     print(f"landing zone: {sink}")
     print(f"new curated docs (skip-if-exists + exact dedup): {n_new}")
+    print(f"near-dup pairs vs curated corpus (incremental MinHash): {n_near}")
     print(f"quarantined corrupt lines: {n_bad}")
 
 

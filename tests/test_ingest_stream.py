@@ -104,3 +104,17 @@ def test_curate_increment_skips_existing_and_dedups(zone, spark, sf_dir):
     assert got_ids == expect
     assert corrupt.count() == 3
     assert corrupt.columns == ["raw_line"]
+
+
+def test_near_dedup_increment_finds_batch_vs_corpus_pairs(zone, spark, sf_dir):
+    """The increment's near-dup check: odd (new) docs that near-duplicate
+    even (curated) docs must pair, corpus-vs-corpus pairs must not appear."""
+    mod, _, sink, _ = zone
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    new_docs, _ = mod.curate_increment(spark, sink, existing)
+    pairs = mod.near_dedup_increment(new_docs, existing, threshold=0.0).collect()
+    new_ids = {r.doc_id for r in new_docs.select("doc_id").collect()}
+    for r in pairs:
+        assert r.id1 in new_ids or r.id2 in new_ids  # every pair touches the batch
+        assert r.id1 < r.id2
