@@ -103,9 +103,10 @@ def near_dedup_increment(new_docs, existing_docs, threshold: float = 0.5):
     within the increment itself, without re-self-joining the corpus
     (``minhash_incremental_pairs``): in production the corpus signatures
     are computed once and stored next to the corpus — here they are built
-    inline. Returns (id1, id2, est_jaccard); drop ``id2`` (the new doc of
-    each pair: corpus ids precede batch ids here) to keep the corpus's
-    earlier copy, or feed the pairs to ``dedup_keep_best``."""
+    inline. Returns (id1, id2, est_jaccard) with id1 < id2 BY ID VALUE —
+    batch and corpus ids interleave, so to keep the corpus's copy drop
+    whichever side of each pair is a batch id (semi-join against the
+    batch's id set), or feed the pairs to ``dedup_keep_best``."""
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
         minhash_incremental_pairs,
     )

@@ -86,9 +86,16 @@ def iqr_outliers(
         F.percentile(value_col, F.lit(0.25)).alias("q1"),
         F.percentile(value_col, F.lit(0.75)).alias("q3"),
     )
-    joined = (
-        df.join(F.broadcast(fences), keys) if keys else df.crossJoin(F.broadcast(fences))
-    )
+    if keys:
+        # null-safe key: groupBy treats a NULL group as its own stratum, but
+        # a plain equi-join would silently DROP every NULL-group row from
+        # the output (neither flagged nor passed through)
+        fences = fences.withColumnRenamed(by, "_iqr_key")
+        joined = df.join(
+            F.broadcast(fences), F.col(by).eqNullSafe(F.col("_iqr_key"))
+        ).drop("_iqr_key")
+    else:
+        joined = df.crossJoin(F.broadcast(fences))
     iqr = F.col("q3") - F.col("q1")
     out = (F.col(value_col) < F.col("q1") - F.lit(k) * iqr) | (
         F.col(value_col) > F.col("q3") + F.lit(k) * iqr

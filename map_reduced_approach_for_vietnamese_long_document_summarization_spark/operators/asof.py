@@ -45,8 +45,11 @@ def asof_join(
     ``tolerance``): a match older than ``left_time - tolerance`` is nulled
     out — an attribution window, "quote too stale to use", etc. Applied as
     a post-window predicate on the matched payload's own timestamp, so the
-    plan (one shuffle + one sort) is unchanged; works for TIMESTAMP and
-    numeric time columns alike (numeric columns are treated as seconds)."""
+    plan (one shuffle + one sort) is unchanged. TIMESTAMP columns measure
+    the tolerance in seconds; numeric time columns in their own units (no
+    intermediate timestamp cast — casting an epoch-microseconds axis
+    through TIMESTAMP would overflow to NULL and silently null every
+    match)."""
     internal = {"_k", "_t", "_side", "_p", "_m"}
     clash = internal & set(left.columns)
     if clash:
@@ -105,9 +108,17 @@ def asof_join(
     if tolerance_seconds is not None:
         if tolerance_seconds < 0:
             raise ValueError(f"tolerance_seconds must be >= 0, got {tolerance_seconds}")
-        age = F.col("_t").cast("timestamp").cast("double") - F.col("_m")[
-            right_time
-        ].cast("timestamp").cast("double")
+        # dtype-aware age: timestamp columns go through the timestamp cast
+        # (epoch seconds; NTZ cannot cast straight to double), numeric
+        # columns subtract in their native units WITHOUT a timestamp
+        # round-trip (an epoch-microseconds axis would overflow to NULL)
+        if dict(matched.dtypes)["_t"].startswith("timestamp"):
+            age = (
+                F.col("_t").cast("timestamp").cast("double")
+                - F.col("_m")[right_time].cast("timestamp").cast("double")
+            )
+        else:
+            age = F.col("_t").cast("double") - F.col("_m")[right_time].cast("double")
         matched = matched.withColumn(
             "_m", F.when(age <= F.lit(float(tolerance_seconds)), F.col("_m"))
         )

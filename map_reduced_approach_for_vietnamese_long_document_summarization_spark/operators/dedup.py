@@ -181,8 +181,6 @@ def minhash_lsh_star_candidates(
     versa); borderline-threshold pipelines that need exact pair semantics
     keep the clique join. No shuffle beyond the band table's own: the rep
     is a per-bucket window min, not a self-join."""
-    from pyspark.sql import Window
-
     exploded = lsh_band_table(df, id_col, sig_col, n_bands, n_hashes)
     w = Window.partitionBy("band_idx", "band_hash")
     starred = exploded.withColumn("_rep", F.min(id_col).over(w))
@@ -549,8 +547,12 @@ def simhash_near_dup_pairs(
     )
     if star:
         w = Window.partitionBy("band_idx", "band_key")
-        starred = exploded.withColumn("_rep", F.min(id_col).over(w)).withColumn(
-            "_rep_sig", F.min(F.struct(id_col, "simhash")).over(w)["simhash"]
+        # ONE struct-min over the bucket: lexicographic ordering makes its
+        # id field the bucket minimum and its simhash field that row's
+        # signature — two windows would double the per-bucket aggregate
+        m = F.min(F.struct(id_col, "simhash")).over(w)
+        starred = exploded.withColumn("_rep", m[id_col]).withColumn(
+            "_rep_sig", m["simhash"]
         )
         pairs = (
             starred.filter(F.col(id_col) != F.col("_rep"))
@@ -803,10 +805,18 @@ def minhash_incremental_pairs(
     full corpus self-join whose cost never changes.
 
     Inputs are SIGNATURE frames (``minhash_signatures`` /
-    ``minhash_md5_signatures`` output, sentinel rows already excluded).
-    ``corpus_sigs`` must not contain the new ids. Output matches the full
-    self-join restricted to pairs with >= 1 new endpoint: (id1, id2,
-    est_jaccard), id1 < id2, est >= threshold."""
+    ``minhash_md5_signatures`` output). Shingle-less sentinel signatures
+    (all Long.MaxValue — ``minhash_signatures`` emits them for NULL/empty/
+    short docs) are excluded HERE on both sides, the same guard
+    ``minhash_dedup_pairs`` applies: without it every content-free batch
+    doc pairs with every content-free corpus doc at est_jaccard 1.0 AND
+    piles a quadratic posting list on one sentinel bucket. ``corpus_sigs``
+    must not contain the new ids. Output matches the full self-join
+    restricted to pairs with >= 1 new endpoint: (id1, id2, est_jaccard),
+    id1 < id2, est >= threshold."""
+    sentinel_probe = F.size(F.filter(F.col(sig_col), lambda x: x != F.lit(2**63 - 1)))
+    new_sigs = new_sigs.filter(sentinel_probe > 0)
+    corpus_sigs = corpus_sigs.filter(sentinel_probe > 0)
     nb = lsh_band_table(new_sigs, id_col, sig_col, n_bands, n_hashes)
     cb = lsh_band_table(corpus_sigs, id_col, sig_col, n_bands, n_hashes)
     cross = (

@@ -135,6 +135,8 @@ def rrf_fuse(
 
     from pyspark.sql import Window
 
+    if not rankings:
+        raise ValueError("rankings must not be empty")
     contribs = [
         r.select(
             F.col(id_col),

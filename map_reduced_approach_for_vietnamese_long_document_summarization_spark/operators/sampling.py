@@ -238,7 +238,9 @@ def mixture_rates(
     # its row with mass 0 rather than vanishing (which would re-solve the
     # mixture over the present sources only — the caller would believe the
     # target was hit)
-    joined = F.broadcast(shares).join(mass, source_col, "left").withColumn(
+    # hint the BUILD side: a left-outer broadcast join can only build on
+    # the right, so hinting the preserved shares side would be ignored
+    joined = shares.join(F.broadcast(mass), source_col, "left").withColumn(
         "mass", F.coalesce("mass", F.lit(0).cast("long"))
     )
     t = joined.select(

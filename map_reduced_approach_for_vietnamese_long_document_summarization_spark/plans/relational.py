@@ -3245,8 +3245,8 @@ def minhash_md5_star_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_lsh_star_candidates): each band bucket emits only
     (bucket-min, member) pairs — O(k) per k-member bucket where the clique
     join is O(k^2), the viral-cluster mitigation measured in SCALE.md
-    (10.2M -> ~47k pairs on the skew-stress corpus, identical components
-    at threshold 0). The oracle replays signatures, banding, the
+    (13,805,902 -> 106,562 pairs on the skew-stress corpus at threshold 0,
+    where components are identical). The oracle replays signatures, banding, the
     per-bucket window min, and the agreement filter bit-for-bit."""
     from ..operators.dedup import minhash_md5_pairs
 

@@ -524,3 +524,64 @@ def test_incremental_pairs_empty_batch(spark, sf_dir):
     )
     empty = sigs.filter("doc_id < 0")
     assert minhash_incremental_pairs(empty, sigs, n_hashes=16, n_bands=4).count() == 0
+
+
+def test_iqr_outliers_keeps_null_group_rows(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.metrics.aggregate import (
+        iqr_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", 10.0), (2, "en", 12.0), (3, None, 5.0), (4, None, 500.0)],
+        "id long, lang string, v double",
+    )
+    out = iqr_outliers(df, "v", by="lang").collect()
+    assert len(out) == 4  # NULL-lang rows flagged within their own stratum
+    by_id = {r.id: r for r in out}
+    assert by_id[3].q1 is not None
+
+
+def test_asof_tolerance_numeric_axis_no_timestamp_overflow(spark):
+    """Numeric time columns subtract in native units — an epoch-microseconds
+    axis (1.7e15) must not overflow through a timestamp cast into
+    all-NULL matches (review finding)."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        asof_join,
+    )
+
+    us = 1.7e15  # epoch microseconds scale
+    left = spark.createDataFrame([(1, us + 5_000_000.0)], "k long, ts double")
+    right = spark.createDataFrame([(1, us, "q")], "k long, ts double, tag string")
+    row = asof_join(
+        left, right, on="k", tolerance_seconds=10_000_000.0  # native units
+    ).first()
+    assert row.tag_right == "q"
+
+
+def test_rrf_fuse_empty_rankings_raises(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_incremental_pairs_exclude_sentinel_docs(spark):
+    """Content-free docs (sentinel signatures) must never pair — a batch of
+    empty docs against a corpus with empty docs previously reported
+    est_jaccard 1.0 for every such pair (review finding)."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        minhash_incremental_pairs,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    new = spark.createDataFrame([(100, ""), (101, "x")], "doc_id long, text string")
+    corpus = spark.createDataFrame([(1, ""), (2, "y z")], "doc_id long, text string")
+    pairs = minhash_incremental_pairs(
+        minhash_signatures(new), minhash_signatures(corpus), threshold=0.0
+    ).collect()
+    ids = {i for r in pairs for i in (r.id1, r.id2)}
+    assert 100 not in ids and 1 not in ids  # sentinel docs never band
