@@ -81,6 +81,15 @@ HEADLINE = [
     "q9_product_profit",
     "q13_customer_distribution",
     "q21_latest_shipper",
+    # round-4 additions
+    "doc_line_dedup",
+    "doc_bloom_skip_existing",
+    "minhash_md5_star_dedup",
+    "minhash_md5_incremental_dedup",
+    "hybrid_search_top10",
+    "events_click_in_purchase_window",
+    "doc_text_normalize",
+    "doc_length_iqr_outliers",
 ]
 
 

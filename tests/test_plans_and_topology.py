@@ -127,3 +127,46 @@ def test_collapse_no_rounds_when_within_budget(spark):
     stats: dict = {}
     collapse_until_fits(df, MockSummarizer(50), token_max=200, stats=stats).collect()
     assert stats["rounds"] == 0
+
+
+def test_interval_join_is_hash_equi_not_nested_loop(spark, sf_dir):
+    """The bucketed range join must plan as a hash equi-join on
+    (user_id, bucket) — a BroadcastNestedLoopJoin here means the
+    bucketization regressed to the naive theta join."""
+    p = _plan(spark, sf_dir, "events_click_in_purchase_window")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+
+
+def test_line_dedup_has_exactly_two_exchanges(spark, sf_dir):
+    """Line dedup = one shuffle keyed by line, one back on the doc id —
+    a third exchange means a derived column stopped riding the existing
+    partitioning."""
+    t = _tree(_plan(spark, sf_dir, "doc_line_dedup"))
+    assert t.count("- Exchange") == 2, t
+
+
+def _tree(plan_text):
+    """The operator tree section of a formatted explain (the per-operator
+    detail list below it repeats every operator name once more)."""
+    return plan_text.split("\n\n(", 1)[0]
+
+
+def test_star_banding_has_no_self_join(spark, sf_dir):
+    """The star candidate stage is a window min over the band table, not a
+    band self-join: the only joins in the plan tree are the two signature
+    join-backs — a third join means the clique join crept back."""
+    import re
+
+    t = _tree(_plan(spark, sf_dir, "minhash_md5_star_dedup"))
+    n_joins = len(re.findall(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", t))
+    assert n_joins == 2, t
+    assert "Window" in t  # the per-bucket rep min
+
+
+def test_bloom_skip_plan_is_broadcast_only_for_membership(spark, sf_dir):
+    """Bloom membership = k broadcast joins of the word table; the incoming
+    corpus must not shuffle before the membership verdict."""
+    p = _plan(spark, sf_dir, "doc_bloom_skip_existing")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
