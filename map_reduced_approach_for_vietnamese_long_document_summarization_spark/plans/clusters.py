@@ -266,20 +266,116 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return slim
 
 
-@query("doc_quality_report")
+_REPORT_ORACLE = r"""
+WITH toks0 AS (
+  SELECT doc_id, text,
+         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(
+                     regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         coalesce(length(text), 0) AS n_chars,
+         coalesce(len(toks), 0) AS n_tokens,
+         round((least(1.0, length(text) / 50.0)
+                + CASE WHEN len(toks) > 0
+                        AND length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(toks)
+                            BETWEEN 3.0 AND 12.0
+                       THEN 1.0 ELSE 0.0 END
+                + CASE WHEN length(regexp_replace(text, '\s+', '', 'g')) > 0
+                       THEN length(regexp_replace(regexp_replace(text, '\s+', '', 'g'),
+                                                  '[^\p{L}\p{N}]', '', 'g')) * 1.0
+                            / length(regexp_replace(text, '\s+', '', 'g'))
+                       ELSE 0.0 END
+               ) / 3.0, 6) AS quality,
+         md5(regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
+                            '^ +| +$', '', 'g')) AS fingerprint
+  FROM toks0),
+h AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that'], lower(x)))) AS en,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], lower(x)))) AS de,
+    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','des'], lower(x)))) AS fr,
+    len(list_filter(toks, x -> list_contains(['el','la','los','y','es','un','una','que'], lower(x)))) AS es,
+    len(list_filter(toks, x -> list_contains(['và','là','của','không','có','một','những','được'], lower(x)))) AS vi
+  FROM toks0),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN greatest(en, de, fr, es, vi) = 0 THEN 'und'
+              WHEN en >= de AND en >= fr AND en >= es AND en >= vi THEN 'en'
+              WHEN de >= fr AND de >= es AND de >= vi THEN 'de'
+              WHEN fr >= es AND fr >= vi THEN 'fr'
+              WHEN es >= vi THEN 'es'
+              ELSE 'vi' END AS lang_guess
+  FROM h),
+ch AS (SELECT doc_id,
+              unnest(list_transform(range(1, length(text) + 1),
+                                    i -> substring(text, i, 1))) AS c
+       FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+pc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+ent AS (SELECT doc_id, sum(cnt)::BIGINT AS n, sum(cnt * log2(cnt)) AS clogc
+        FROM pc GROUP BY doc_id),
+lower_toks AS (SELECT doc_id, list_transform(toks, x -> lower(x)) AS toks FROM toks0),
+reps AS (
+  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+         CASE WHEN len(toks) >= 2
+              THEN len(list_distinct(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])))
+              ELSE 0 END AS nd_bg
+  FROM lower_toks),
+topc AS (SELECT doc_id, max(cnt) AS topc
+         FROM (SELECT doc_id, tok, count(*) AS cnt
+               FROM lower_toks, unnest(toks) AS u(tok) GROUP BY doc_id, tok)
+         GROUP BY doc_id),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+       FROM lower_toks, unnest(toks) AS u(tok) GROUP BY 1, 2),
+lm AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+tot AS (SELECT sum(c) AS t FROM lm),
+lp AS (SELECT tf.doc_id, sum(tf.tf) AS n,
+              sum(tf.tf * (log2(tot.t) - log2(lm.c))) AS bits
+       FROM tf JOIN lm USING (term) CROSS JOIN tot GROUP BY 1)
+SELECT q.doc_id, q.n_chars, q.n_tokens, q.quality, lang.lang_guess, q.fingerprint,
+       round(coalesce(log2(ent.n) - ent.clogc / ent.n, 0.0), 6) AS entropy,
+       round(CASE WHEN reps.n > 0 THEN 1 - reps.nd / reps.n::DOUBLE ELSE 0 END, 6) AS dup_token_ratio,
+       round(CASE WHEN reps.n >= 2 THEN 1 - reps.nd_bg / (reps.n - 1)::DOUBLE ELSE 0 END, 6) AS dup_bigram_ratio,
+       round(CASE WHEN reps.n > 0 THEN topc.topc / reps.n::DOUBLE ELSE 0 END, 6) AS top_token_ratio,
+       round(coalesce(lp.bits / lp.n, 0.0), 6) AS bits_per_token
+FROM q
+JOIN lang USING (doc_id)
+LEFT JOIN ent USING (doc_id)
+JOIN reps USING (doc_id)
+LEFT JOIN topc USING (doc_id)
+LEFT JOIN lp USING (doc_id)
+"""
+
+
+@query("doc_quality_report", oracle=_REPORT_ORACLE)
 def doc_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-call corpus profile (operators/report.py corpus_quality_report):
     counts, heuristic quality, language guess, fingerprint, char entropy,
     Gopher repetition ratios, and unigram-LM bits/token in one frame —
-    one row per document. Rows-only by design: every component signal has
-    its own oracled query (doc_quality_scores, doc_language_id,
-    doc_char_entropy, doc_repetition_stats, doc_unigram_logprob), and
-    tests/test_report.py pins this frame column-for-column against those
-    operators; a combined oracle would only re-concatenate the verified
-    SQL."""
+    one row per document, floats rounded to 6 for the oracle hash. The
+    oracle recomputes the whole battery from first principles in one SQL
+    (the per-signal oracles' arithmetic composed over shared token CTEs),
+    so the COMPOSITION — not just each signal — is driver-verified;
+    tests/test_report.py additionally pins the frame column-for-column
+    against the individual operators."""
     from ..operators.report import corpus_quality_report
 
-    return corpus_quality_report(_t(spark, sf_dir, "documents"))
+    out = corpus_quality_report(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "quality",
+        "lang_guess",
+        "fingerprint",
+        F.round("entropy", 6).alias("entropy"),
+        F.round("dup_token_ratio", 6).alias("dup_token_ratio"),
+        F.round("dup_bigram_ratio", 6).alias("dup_bigram_ratio"),
+        F.round("top_token_ratio", 6).alias("top_token_ratio"),
+        F.round("bits_per_token", 6).alias("bits_per_token"),
+    )
 
 
 @query(

@@ -99,6 +99,7 @@ R5_PROMOTIONS = [
     "doc_length_iqr_outliers",
     "minhash_md5_incremental_dedup",
     "hybrid_search_top10",
+    "doc_quality_report",  # rows-only until r4; now fully oracled
 ]
 
 
