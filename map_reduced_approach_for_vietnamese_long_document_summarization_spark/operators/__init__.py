@@ -5,6 +5,7 @@ from .collapse import bucket_by_token_budget, bucket_running_sum, collapse_until
 from .grouped import grouped_apply_sorted
 from .dedup import (
     exact_dedup,
+    hamming_near_dup_pairs,
     line_dedup,
     lsh_band_table,
     md5_hash32,
@@ -26,6 +27,7 @@ from .multimodal import (
     MEDIA_SCHEMA,
     attach_fake_media,
     decode_media,
+    media_average_hash,
     resize_media,
     sample_frames,
 )
@@ -106,6 +108,7 @@ __all__ = [
     "skip_existing",
     "skip_existing_bloom",
     "exact_dedup",
+    "hamming_near_dup_pairs",
     "line_dedup",
     "lsh_band_table",
     "md5_hash32",
@@ -125,6 +128,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_fake_media",
     "decode_media",
+    "media_average_hash",
     "resize_media",
     "sample_frames",
     "cosine_topk",

@@ -526,33 +526,59 @@ def simhash_near_dup_pairs(
     downstream components at ``max_hamming >= bits`` (no verify), an
     approximation under a tighter hamming cut (members verify against the
     bucket rep only)."""
-    band_width = bits // 4
-    band_mask = (1 << band_width) - 1
     # persist: referenced by both band-join sides (see minhash_dedup_pairs's
     # note on cache lifetime; unpersist hook attached to the result)
     sigs = simhash_signatures(df, text_col, id_col, bits, hash_col_fn).persist()
+    out = hamming_near_dup_pairs(
+        sigs, id_col=id_col, sig_col="simhash", max_hamming=max_hamming,
+        bits=bits, star=star,
+    )
+    out._persisted_inputs = [sigs]  # unpersist hook for long-lived sessions
+    return out
+
+
+def hamming_near_dup_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 8,
+    bits: int = 64,
+    n_bands: int = 4,
+    star: bool = False,
+) -> DataFrame:
+    """Generic hamming-distance near-dup pairs over ANY integer signature
+    column (SimHash, perceptual image hashes, audio fingerprints): band the
+    ``bits``-bit value into ``n_bands`` equal keys (pigeonhole: any pair
+    within hamming distance ``n_bands - 1`` shares a band), equi-join the
+    buckets, verify with ``bit_count(xor)``. ``star=True`` emits only
+    (bucket-min, member) pairs per bucket — O(k) per viral bucket, hamming
+    verified against the rep's signature (see
+    ``minhash_lsh_star_candidates`` for the semantics trade). Emits
+    (id1, id2, hamming), id1 < id2."""
+    band_width = bits // n_bands
+    band_mask = (1 << band_width) - 1
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.shiftright(F.col("simhash"), b * band_width)
+                F.shiftright(F.col(sig_col), b * band_width)
                 .bitwiseAND(F.lit(band_mask))
                 .alias("band_key"),
             )
-            for b in range(4)
+            for b in range(n_bands)
         ]
     )
-    exploded = sigs.select(id_col, "simhash", F.explode(bands).alias("b")).select(
-        id_col, "simhash", "b.band_idx", "b.band_key"
+    exploded = sigs.select(id_col, sig_col, F.explode(bands).alias("b")).select(
+        id_col, sig_col, "b.band_idx", "b.band_key"
     )
     if star:
         w = Window.partitionBy("band_idx", "band_key")
         # ONE struct-min over the bucket: lexicographic ordering makes its
-        # id field the bucket minimum and its simhash field that row's
+        # id field the bucket minimum and its signature field that row's
         # signature — two windows would double the per-bucket aggregate
-        m = F.min(F.struct(id_col, "simhash")).over(w)
+        m = F.min(F.struct(id_col, sig_col)).over(w)
         starred = exploded.withColumn("_rep", m[id_col]).withColumn(
-            "_rep_sig", m["simhash"]
+            "_rep_sig", m[sig_col]
         )
         pairs = (
             starred.filter(F.col(id_col) != F.col("_rep"))
@@ -560,7 +586,7 @@ def simhash_near_dup_pairs(
                 F.col("_rep").alias("id1"),
                 F.col(id_col).alias("id2"),
                 F.bit_count(
-                    F.col("simhash").bitwiseXOR(F.col("_rep_sig"))
+                    F.col(sig_col).bitwiseXOR(F.col("_rep_sig"))
                 ).alias("hamming"),
             )
             .dropDuplicates(["id1", "id2"])
@@ -577,13 +603,13 @@ def simhash_near_dup_pairs(
             .select(
                 F.col(f"l.{id_col}").alias("id1"),
                 F.col(f"r.{id_col}").alias("id2"),
-                F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+                F.bit_count(
+                    F.col(f"l.{sig_col}").bitwiseXOR(F.col(f"r.{sig_col}"))
+                ).alias("hamming"),
             )
             .dropDuplicates(["id1", "id2"])
         )
-    out = pairs.filter(F.col("hamming") <= max_hamming)
-    out._persisted_inputs = [sigs]  # unpersist hook for long-lived sessions
-    return out
+    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(

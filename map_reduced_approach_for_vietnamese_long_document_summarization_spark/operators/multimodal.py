@@ -219,3 +219,68 @@ def resize_media(
 
     parted = media.repartition(F.col("media_id"))
     return parted.mapInPandas(run, _RESIZED_SCHEMA)
+
+
+def media_average_hash(
+    media: DataFrame,
+    pixel_fn: Callable[[bytes], "list[int]"] | None = None,
+    grid: int = 64,
+    strict: bool = False,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per media row -> (media_id, ahash).
+
+    The REAL aHash algorithm — resample the pixel stream to ``grid`` cells,
+    threshold each cell's mean against the global mean, pack the bits into
+    one 64-bit integer — with the pixel source pluggable like every codec
+    step in this module: pass ``pixel_fn`` (bytes -> grayscale pixel list,
+    PIL-backed in a real runtime); the default uses the media row's raw
+    content bytes as the "pixel" stream (deterministic, codec-free — the
+    grid/threshold/pack stages are exactly what a real pipeline runs).
+    ``strict=True`` raises instead of falling back.
+
+    Rows with fewer than ``grid`` pixels yield a NULL hash (no stable
+    signature exists; filter them before pairing — a shared sentinel would
+    band every tiny asset together). Feed the result to
+    ``dedup.hamming_near_dup_pairs`` for near-duplicate detection: byte-
+    identical assets hash equal, small edits flip few bits."""
+    if grid <= 0 or grid > 64:
+        raise ValueError(f"grid must be in 1..64, got {grid}")
+    if strict and pixel_fn is None:
+        raise NotImplementedError(
+            "no media codec available: pass pixel_fn= (PIL-backed) or use "
+            "the raw-bytes stand-in (strict=False)"
+        )
+    pixels = pixel_fn or (lambda b: list(b or b""))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for content in pdf["content"]:
+                px = pixels(content)
+                n = len(px)
+                if n < grid:
+                    hashes.append(None)
+                    continue
+                total_mean = sum(px) / n
+                h = 0
+                for j in range(grid):
+                    cell = px[j * n // grid : (j + 1) * n // grid]
+                    if sum(cell) / len(cell) >= total_mean:
+                        h |= 1 << j
+                # two's-complement into a signed 64-bit long for the column
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    # nullable Int64, NOT a plain list: one None (short
+                    # asset) would coerce the column to float64 and round
+                    # every 64-bit hash to 53-bit float precision
+                    "ahash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        run, schema="media_id long, ahash long"
+    )

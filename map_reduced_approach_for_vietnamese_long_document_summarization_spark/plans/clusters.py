@@ -488,3 +488,54 @@ def hybrid_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"), "rnk"
     )
     return rrf_fuse([bmr, dense], top_k=10)
+
+
+@query(
+    "media_ahash_near_dups",
+    # round-5 window candidate (tests/test_registry_window.py R5_PROMOTIONS)
+    oracle="""
+WITH px AS (SELECT doc_id,
+                   list_transform(range(1, length(text) + 1),
+                                  i -> ord(substring(text, i, 1))) AS px,
+                   length(text) AS n
+            FROM documents WHERE length(text) >= 64),
+m AS (SELECT doc_id, px, n, list_sum(px) * 1.0 / n AS gmean FROM px),
+h AS (SELECT doc_id,
+             CAST(list_sum(list_transform(range(64), j ->
+               CASE WHEN list_sum(px[(j*n)//64 + 1 : ((j+1)*n)//64]) * 1.0
+                         / (((j+1)*n)//64 - (j*n)//64) >= gmean
+                    THEN CASE WHEN j = 63 THEN -9223372036854775808
+                              ELSE (1::BIGINT << CAST(j AS INT)) END
+                    ELSE 0 END)) AS BIGINT) AS ahash
+      FROM m),
+bands AS (SELECT doc_id, ahash, b, (ahash >> (b * 16)) & 65535 AS bk
+          FROM h, unnest(range(4)) AS u(b)),
+cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+                a.ahash AS h1, c.ahash AS h2
+         FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id)
+SELECT id1, id2, bit_count(xor(h1, h2)) AS hamming
+FROM cand WHERE bit_count(xor(h1, h2)) <= 14
+""",
+)
+def media_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-duplicate detection (operators/multimodal.py
+    media_average_hash + dedup.hamming_near_dup_pairs): the REAL aHash
+    algorithm — 64-cell grid resample, mean threshold, bit pack — over each
+    media row's pixel stream, then 16-bit-band bucketing with
+    bit_count(xor) hamming verify. Pixels come from the codec-free
+    stand-in (raw content bytes of the fake media lifted from the ASCII
+    documents corpus — byte == codepoint, so the oracle replays the exact
+    grid/threshold/pack/banding arithmetic from the text column); a real
+    runtime passes pixel_fn=PIL-backed grayscale. Scale: hash is one
+    Arrow-batched pass over the media bytes; pairing is the shared banded
+    hamming join (star mode available for viral assets)."""
+    from ..operators.multimodal import attach_fake_media, media_average_hash
+    from ..operators.dedup import hamming_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = media_average_hash(attach_fake_media(docs)).filter(
+        F.col("ahash").isNotNull()
+    )
+    return hamming_near_dup_pairs(
+        sigs, id_col="media_id", sig_col="ahash", max_hamming=14, bits=64
+    ).select(F.col("id1"), F.col("id2"), F.col("hamming"))

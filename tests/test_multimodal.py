@@ -91,3 +91,49 @@ def test_resize_media_strict_and_custom(media):
         resize_media(media, 4, 4, strict=True)
     out = resize_media(media, 4, 4, resizer=lambda b, w, h: b"z" * (w * h)).first()
     assert out.content == b"z" * 16
+
+
+def test_media_average_hash_properties(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        attach_fake_media,
+        hamming_near_dup_pairs,
+        media_average_hash,
+    )
+    from pyspark.sql import functions as F
+
+    base = "x" * 40 + "y" * 40 + "z" * 40
+    near = "x" * 40 + "y" * 39 + "w" + "z" * 40  # one byte changed
+    far = "".join(chr(97 + (i * 7) % 26) for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far), (5, "tiny")],
+        "doc_id long, text string",
+    )
+    sigs = media_average_hash(attach_fake_media(docs))
+    h = {r.media_id: r.ahash for r in sigs.collect()}
+    assert h[1] == h[2]  # identical content -> identical hash
+    assert h[5] is None  # < grid pixels -> no stable signature
+    assert bin((h[1] ^ h[3]) & ((1 << 64) - 1)).count("1") <= 4  # near: few bits
+    pairs = hamming_near_dup_pairs(
+        sigs.filter(F.col("ahash").isNotNull()),
+        id_col="media_id", sig_col="ahash", max_hamming=4,
+    ).collect()
+    got = {(r.id1, r.id2) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got
+    assert all(4 not in p for p in got)  # far content never pairs
+
+
+def test_media_average_hash_strict_and_pixel_fn(spark):
+    import pytest as _pytest
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        attach_fake_media,
+        media_average_hash,
+    )
+
+    docs = spark.createDataFrame([(1, "a" * 100)], "doc_id long, text string")
+    media = attach_fake_media(docs)
+    with _pytest.raises(NotImplementedError):
+        media_average_hash(media, strict=True)
+    # a custom pixel_fn (the PIL seam) drives the same grid/threshold/pack
+    flat = media_average_hash(media, pixel_fn=lambda b: [7] * 128).first()
+    assert flat.ahash == -1  # every cell mean == global mean -> all bits set

@@ -100,6 +100,7 @@ R5_PROMOTIONS = [
     "minhash_md5_incremental_dedup",
     "hybrid_search_top10",
     "doc_quality_report",  # rows-only until r4; now fully oracled
+    "media_ahash_near_dups",
 ]
 
 
