@@ -90,6 +90,8 @@ HEADLINE = [
     "events_click_in_purchase_window",
     "doc_text_normalize",
     "doc_length_iqr_outliers",
+    "media_ahash_near_dups",
+    "doc_compression_ratio",
 ]
 
 

@@ -23,6 +23,7 @@ from .text import (
 from .textstats import (
     char_count,
     char_entropy_batch,
+    compression_ratio_udf,
     doc_fingerprint,
     language_id,
     quality_score,
@@ -57,6 +58,7 @@ __all__ = [
     "sanitize_model_name",
     "repetition_stats",
     "repetition_stats_batch",
+    "compression_ratio_udf",
     "script_ratios",
     "int8_dequantize",
     "int8_quantize",

@@ -257,3 +257,31 @@ def script_ratios(col: Column | str) -> Column:
         ratio(n("IsCyrillic")).alias("cyrillic_ratio"),
         ratio(n("IsHan")).alias("han_ratio"),
     )
+
+
+def compression_ratio_udf(level: int = 6):
+    """zlib compression ratio per document (compressed/raw bytes) as an
+    Arrow-batched pandas UDF — the classic redundancy proxy (used alongside
+    the Gopher repetition ratios): boilerplate and templated text compress
+    far below natural prose (~0.3 vs ~0.6 on web text), random/encrypted
+    blobs sit near 1.0. Rows-only by nature (no SQL engine ships zlib);
+    deterministic for a fixed zlib version and ``level``. Empty/NULL text
+    reports NULL (no bytes, no ratio)."""
+    from pyspark.sql import functions as _F
+
+    @_F.pandas_udf("double")
+    def _udf(texts):  # annotation-free: returnType carries the schema
+        import zlib
+
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            if not t:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            out.append(len(zlib.compress(raw, level)) / len(raw))
+        return pd.Series(out, dtype="float64")
+
+    return _udf

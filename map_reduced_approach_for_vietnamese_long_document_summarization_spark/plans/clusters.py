@@ -539,3 +539,19 @@ def media_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_near_dup_pairs(
         sigs, id_col="media_id", sig_col="ahash", max_hamming=14, bits=64
     ).select(F.col("id1"), F.col("id2"), F.col("hamming"))
+
+
+@query("doc_compression_ratio")  # rows-only: no SQL engine ships zlib
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document (functions/textstats.py
+    compression_ratio_udf) — the redundancy proxy complementing the Gopher
+    repetition ratios: templated text compresses far below natural prose.
+    Rows-only like bpe_token_counts (the signal is a C library, not SQL);
+    unit tests pin the monotonicity (repetitive << natural << random) and
+    the NULL/empty contract."""
+    from ..functions.textstats import compression_ratio_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", compression_ratio_udf()("text").alias("compression_ratio")
+    )

@@ -585,3 +585,33 @@ def test_incremental_pairs_exclude_sentinel_docs(spark):
     ).collect()
     ids = {i for r in pairs for i in (r.id1, r.id2)}
     assert 100 not in ids and 1 not in ids  # sentinel docs never band
+
+
+def test_compression_ratio_monotonicity_and_nulls(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions import (
+        compression_ratio_udf,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rand_text = "".join(chr(33 + rng.randrange(90)) for _ in range(2000))
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 250),  # highly repetitive
+            (2, "the quick brown fox jumps over the lazy dog and keeps going " * 30),
+            (3, rand_text),  # near-incompressible
+            (4, ""),
+            (5, None),
+        ],
+        "id long, t string",
+    )
+    got = {
+        r.id: r.cr
+        for r in docs.select(
+            "id", compression_ratio_udf()("t").alias("cr")
+        ).collect()
+    }
+    assert got[1] < got[2] < got[3]
+    assert got[3] > 0.8
+    assert got[4] is None and got[5] is None
