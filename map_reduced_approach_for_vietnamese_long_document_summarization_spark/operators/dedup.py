@@ -555,6 +555,12 @@ def hamming_near_dup_pairs(
     verified against the rep's signature (see
     ``minhash_lsh_star_candidates`` for the semantics trade). Emits
     (id1, id2, hamming), id1 < id2."""
+    if not (1 <= n_bands <= bits) or bits % n_bands != 0:
+        raise ValueError(
+            f"n_bands must divide bits with 1 <= n_bands <= bits, got "
+            f"n_bands={n_bands}, bits={bits} (n_bands > bits would give a "
+            f"zero-width band key: every row in ONE bucket, a silent n^2 join)"
+        )
     band_width = bits // n_bands
     band_mask = (1 << band_width) - 1
     bands = F.array(

@@ -293,11 +293,11 @@ q AS (
   FROM toks0),
 h AS (
   SELECT doc_id,
-    len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that'], lower(x)))) AS en,
-    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], lower(x)))) AS de,
-    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','des'], lower(x)))) AS fr,
-    len(list_filter(toks, x -> list_contains(['el','la','los','y','es','un','una','que'], lower(x)))) AS es,
-    len(list_filter(toks, x -> list_contains(['và','là','của','không','có','một','những','được'], lower(x)))) AS vi
+    coalesce(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that'], lower(x)))), 0) AS en,
+    coalesce(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], lower(x)))), 0) AS de,
+    coalesce(len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','des'], lower(x)))), 0) AS fr,
+    coalesce(len(list_filter(toks, x -> list_contains(['el','la','los','y','es','un','una','que'], lower(x)))), 0) AS es,
+    coalesce(len(list_filter(toks, x -> list_contains(['và','là','của','không','có','một','những','được'], lower(x)))), 0) AS vi
   FROM toks0),
 lang AS (
   SELECT doc_id,
@@ -533,12 +533,19 @@ def media_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import hamming_near_dup_pairs
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = media_average_hash(attach_fake_media(docs)).filter(
-        F.col("ahash").isNotNull()
+    # persist: the band join references the signature frame on both sides —
+    # without this the Python hashing pass over all media bytes runs twice
+    # (the simhash_near_dup_pairs convention; unpersist hook attached)
+    sigs = (
+        media_average_hash(attach_fake_media(docs))
+        .filter(F.col("ahash").isNotNull())
+        .persist()
     )
-    return hamming_near_dup_pairs(
+    out = hamming_near_dup_pairs(
         sigs, id_col="media_id", sig_col="ahash", max_hamming=14, bits=64
     ).select(F.col("id1"), F.col("id2"), F.col("hamming"))
+    out._persisted_inputs = [sigs]
+    return out
 
 
 @query("doc_compression_ratio")  # rows-only: no SQL engine ships zlib

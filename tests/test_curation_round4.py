@@ -615,3 +615,15 @@ def test_compression_ratio_monotonicity_and_nulls(spark):
     assert got[1] < got[2] < got[3]
     assert got[3] > 0.8
     assert got[4] is None and got[5] is None
+
+
+def test_hamming_pairs_validates_band_parameters(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        hamming_near_dup_pairs,
+    )
+
+    sigs = spark.createDataFrame([(1, 5)], "doc_id long, simhash long")
+    with pytest.raises(ValueError):
+        hamming_near_dup_pairs(sigs, bits=8, n_bands=16)  # zero-width bands
+    with pytest.raises(ValueError):
+        hamming_near_dup_pairs(sigs, bits=64, n_bands=5)  # uneven split
