@@ -33,6 +33,7 @@ from .multimodal import (
 )
 from .pairing import (
     anti_pairs,
+    corpus_diff,
     pair_docs_with_refs,
     positional_zip_join,
     skip_existing,
@@ -103,6 +104,7 @@ __all__ = [
     "collapse_until_fits",
     "grouped_apply_sorted",
     "anti_pairs",
+    "corpus_diff",
     "pair_docs_with_refs",
     "positional_zip_join",
     "skip_existing",

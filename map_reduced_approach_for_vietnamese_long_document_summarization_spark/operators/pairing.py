@@ -143,3 +143,32 @@ def skip_existing_bloom(
         .join(existing_keys.select(key), key, "left_anti")
     )
     return definitely_new.unionByName(rescued)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff of two corpus versions: (key, status) where status is
+    ``added`` (key only in new), ``removed`` (only in old), ``changed``
+    (both, different normalized-text fingerprint) or ``unchanged`` — the
+    release-to-release audit every curated-corpus pipeline publishes next
+    to its manifest (how much churn did this rebuild introduce, and where).
+
+    One full outer join on the key with 16-byte fingerprints — the
+    documents' text never shuffles (fingerprints computed scan-side), so
+    the diff costs the same as any key join at 100 TB."""
+    from ..functions.textstats import doc_fingerprint
+
+    o = old.select(F.col(key), doc_fingerprint(F.col(text_col)).alias("_fp_old"))
+    n = new.select(F.col(key), doc_fingerprint(F.col(text_col)).alias("_fp_new"))
+    joined = o.join(n, key, "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") == F.col("_fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(key, status.alias("status"))

@@ -696,3 +696,43 @@ def doc_length_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q3", 6).alias("q3"),
         F.col("is_outlier").cast("int").alias("is_outlier"),
     )
+
+
+@query(
+    "corpus_diff_status",
+    # round-5 window candidate (tests/test_registry_window.py R5_PROMOTIONS)
+    oracle="""
+WITH old AS (SELECT doc_id,
+                    md5(regexp_replace(regexp_replace(text, '\\s+', ' ', 'g'),
+                                       '^ +| +$', '', 'g')) AS fp
+             FROM documents WHERE doc_id % 7 <> 0),
+new AS (SELECT doc_id,
+               md5(regexp_replace(regexp_replace(
+                     CASE WHEN doc_id % 3 = 0 THEN text || ' edited' ELSE text END,
+                     '\\s+', ' ', 'g'), '^ +| +$', '', 'g')) AS fp
+        FROM documents WHERE doc_id % 5 <> 0)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp = n.fp THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n USING (doc_id)
+""",
+)
+def corpus_diff_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/pairing.py corpus_diff): 'old' drops
+    every 7th doc, 'new' drops every 5th and edits every 3rd — the diff
+    must label each key added/removed/changed/unchanged by normalized-text
+    fingerprint. One full-outer key join of scan-side fingerprints; the
+    oracle replays the md5 normalization and the status CASE."""
+    from ..operators.pairing import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" edited"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return corpus_diff(old, new)

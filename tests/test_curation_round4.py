@@ -627,3 +627,21 @@ def test_hamming_pairs_validates_band_parameters(spark):
         hamming_near_dup_pairs(sigs, bits=8, n_bands=16)  # zero-width bands
     with pytest.raises(ValueError):
         hamming_near_dup_pairs(sigs, bits=64, n_bands=5)  # uneven split
+
+
+def test_corpus_diff_statuses(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        corpus_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "now different"), (4, "brand new"), (5, " same ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added", 5: "added"}
+    # fingerprint is whitespace-normalized: ' same ' vs 'same' would be
+    # 'unchanged' had doc 5 existed before

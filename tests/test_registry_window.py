@@ -101,6 +101,7 @@ R5_PROMOTIONS = [
     "hybrid_search_top10",
     "doc_quality_report",  # rows-only until r4; now fully oracled
     "media_ahash_near_dups",
+    "corpus_diff_status",
 ]
 
 
