@@ -51,6 +51,11 @@ from .similarity import (
     random_hyperplane_lsh_topk,
 )
 from .asof import asof_join
+from .classifier import (
+    fixed_quality_coefficients,
+    score_quality,
+    train_quality_classifier,
+)
 from .interval import interval_join
 from .components import connected_components, dedup_keep_best, dedup_keep_canonical
 from .contamination import ngram_contamination
@@ -72,6 +77,9 @@ from .vocab import tfidf_top_terms, top_ngrams, unigram_logprob
 
 __all__ = [
     "asof_join",
+    "fixed_quality_coefficients",
+    "score_quality",
+    "train_quality_classifier",
     "interval_join",
     "connected_components",
     "dedup_keep_best",

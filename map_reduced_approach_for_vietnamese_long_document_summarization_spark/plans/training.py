@@ -736,3 +736,47 @@ def corpus_diff_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     return corpus_diff(old, new)
+
+
+def _quality_coef_values_sql() -> str:
+    from ..operators.classifier import fixed_quality_coefficients
+
+    coefs, _ = fixed_quality_coefficients(dims=64, seed=11)
+    return ", ".join(f"({i}, {c!r})" for i, c in enumerate(coefs))
+
+
+@query(
+    "doc_quality_classifier_fixed",
+    # round-5 window candidate (tests/test_registry_window.py R5_PROMOTIONS)
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKS_LOWER}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+b AS (SELECT doc_id,
+             CAST(('0x' || substring(md5(term), 1, 8))::BIGINT % 64 AS INT) AS dim,
+             CAST(sum(tf) AS DOUBLE) AS w
+      FROM tf GROUP BY 1, 2),
+n AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM b GROUP BY 1),
+feat AS (SELECT b.doc_id, b.dim, round(b.w / n.nrm, 6) AS weight
+         FROM b JOIN n USING (doc_id)),
+coef(dim, coef) AS (VALUES {{COEFS}}),
+dots AS (SELECT doc_id, sum(weight * coef) AS dot
+         FROM feat JOIN coef USING (dim) GROUP BY doc_id)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-(coalesce(dots.dot, 0.0) + 0.1))), 6) AS quality_prob
+FROM documents d LEFT JOIN dots USING (doc_id)
+""".replace("{COEFS}", _quality_coef_values_sql()),
+)
+def doc_quality_classifier_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-quality-gate scoring path (operators/classifier.py
+    score_quality) with SEEDED coefficients — the oracle-checkable twin of
+    train_quality_classifier's learned weights, the ivf_fixed_centroids
+    verification pattern: bucketing, broadcast coefficient join, grouped
+    dot, sigmoid are the exact plan the trained model runs; only the
+    weights differ. The oracle replays hashing, L2 normalization, the dot
+    and the sigmoid with the coefficients as a VALUES table."""
+    from ..operators.classifier import fixed_quality_coefficients, score_quality
+
+    coefs, intercept = fixed_quality_coefficients(dims=64, seed=11)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = score_quality(docs, coefs, intercept)
+    return out.select("doc_id", F.round("quality_prob", 6).alias("quality_prob"))

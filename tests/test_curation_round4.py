@@ -645,3 +645,50 @@ def test_corpus_diff_statuses(spark):
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added", 5: "added"}
     # fingerprint is whitespace-normalized: ' same ' vs 'same' would be
     # 'unchanged' had doc 5 existed before
+
+
+# --- learned quality classifier -------------------------------------------
+
+
+def test_quality_classifier_learns_separable_corpus(spark):
+    """Train on a linearly separable synthetic corpus (good docs use one
+    vocabulary, bad docs another — disjoint hash buckets with high
+    probability) and verify held-out scores separate the classes."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    good_words = ["alpha", "bravo", "charlie", "delta", "echo"]
+    bad_words = ["zulu", "yankee", "xray", "whisky", "victor"]
+    rows = []
+    for i in range(120):
+        words = good_words if i % 2 == 0 else bad_words
+        text = " ".join(words[(i + j) % 5] for j in range(12))
+        rows.append((i, text, 1 if i % 2 == 0 else 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    train = df.filter("doc_id < 100")
+    held = df.filter("doc_id >= 100")
+
+    coefs, intercept = train_quality_classifier(train, dims=64)
+    assert len(coefs) == 64
+    scored = {
+        r.doc_id: r.quality_prob
+        for r in score_quality(held, coefs, intercept).collect()
+    }
+    for i in range(100, 120):
+        if i % 2 == 0:
+            assert scored[i] > 0.9, (i, scored[i])
+        else:
+            assert scored[i] < 0.1, (i, scored[i])
+
+
+def test_score_quality_tokenless_doc_scores_prior(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        score_quality,
+    )
+    import math
+
+    docs = spark.createDataFrame([(1, "has words"), (2, "")], "doc_id long, text string")
+    got = {r.doc_id: r.quality_prob for r in score_quality(docs, [0.5] * 64, 0.3).collect()}
+    assert got[2] == pytest.approx(1 / (1 + math.exp(-0.3)))

@@ -102,6 +102,7 @@ R5_PROMOTIONS = [
     "doc_quality_report",  # rows-only until r4; now fully oracled
     "media_ahash_near_dups",
     "corpus_diff_status",
+    "doc_quality_classifier_fixed",
 ]
 
 
