@@ -48,9 +48,19 @@ def train_quality_classifier(
         labeled.select(id_col, text_col), dims=dims, id_col=id_col, text_col=text_col
     )
     dense = to_dense_vector(sparse, dims=dims, id_col=id_col)
-    train = dense.join(labeled.select(id_col, label_col), id_col).select(
-        F.col(label_col).cast("double").alias("label"),
-        array_to_vector(F.col("embedding")).alias("features"),
+    # LEFT join from the labels with a zero-vector fallback: token-less
+    # labeled docs (empty/boilerplate-stripped — often the "drop" class)
+    # have no feature rows, and an inner join would silently train on a
+    # shifted class balance while score_quality still scores exactly those
+    # docs with the resulting intercept
+    zeros = F.array(*[F.lit(0.0)] * dims)
+    train = (
+        labeled.select(id_col, label_col)
+        .join(dense, id_col, "left")
+        .select(
+            F.col(label_col).cast("double").alias("label"),
+            array_to_vector(F.coalesce(F.col("embedding"), zeros)).alias("features"),
+        )
     )
     lr = LogisticRegression(maxIter=max_iter, regParam=reg_param, standardization=False)
     model = lr.fit(train)

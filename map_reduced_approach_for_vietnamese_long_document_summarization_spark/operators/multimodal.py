@@ -221,6 +221,26 @@ def resize_media(
     return parted.mapInPandas(run, _RESIZED_SCHEMA)
 
 
+def ahash_from_pixels(px: "list[int]", grid: int = 64) -> int | None:
+    """Pure aHash core (shared by the UDF and the property suite): resample
+    ``px`` into ``grid`` cells, threshold each cell mean against the global
+    mean, pack bits little-endian, return as a SIGNED 64-bit value (the
+    column type). ``None`` when fewer than ``grid`` pixels exist."""
+    n = len(px)
+    if n < grid:
+        return None
+    total_mean = sum(px) / n
+    h = 0
+    for j in range(grid):
+        cell = px[j * n // grid : (j + 1) * n // grid]
+        if sum(cell) / len(cell) >= total_mean:
+            h |= 1 << j
+    # two's-complement into a signed 64-bit long for the column
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
 def media_average_hash(
     media: DataFrame,
     pixel_fn: Callable[[bytes], "list[int]"] | None = None,
@@ -254,23 +274,7 @@ def media_average_hash(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hashes = []
-            for content in pdf["content"]:
-                px = pixels(content)
-                n = len(px)
-                if n < grid:
-                    hashes.append(None)
-                    continue
-                total_mean = sum(px) / n
-                h = 0
-                for j in range(grid):
-                    cell = px[j * n // grid : (j + 1) * n // grid]
-                    if sum(cell) / len(cell) >= total_mean:
-                        h |= 1 << j
-                # two's-complement into a signed 64-bit long for the column
-                if h >= 1 << 63:
-                    h -= 1 << 64
-                hashes.append(h)
+            hashes = [ahash_from_pixels(pixels(c), grid) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,

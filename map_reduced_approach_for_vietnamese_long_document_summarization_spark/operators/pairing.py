@@ -162,13 +162,24 @@ def corpus_diff(
     the diff costs the same as any key join at 100 TB."""
     from ..functions.textstats import doc_fingerprint
 
-    o = old.select(F.col(key), doc_fingerprint(F.col(text_col)).alias("_fp_old"))
-    n = new.select(F.col(key), doc_fingerprint(F.col(text_col)).alias("_fp_new"))
+    # explicit presence markers: deciding presence from fingerprint
+    # NULL-ness would misclassify NULL-text rows (their fingerprint is NULL
+    # while the row exists) — a removed NULL-text doc would read "added"
+    o = old.select(
+        F.col(key),
+        doc_fingerprint(F.col(text_col)).alias("_fp_old"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(key),
+        doc_fingerprint(F.col(text_col)).alias("_fp_new"),
+        F.lit(True).alias("_in_new"),
+    )
     joined = o.join(n, key, "full_outer")
     status = (
-        F.when(F.col("_fp_old").isNull(), F.lit("added"))
-        .when(F.col("_fp_new").isNull(), F.lit("removed"))
-        .when(F.col("_fp_old") == F.col("_fp_new"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old").eqNullSafe(F.col("_fp_new")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return joined.select(key, status.alias("status"))

@@ -738,11 +738,15 @@ def corpus_diff_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff(old, new)
 
 
-def _quality_coef_values_sql() -> str:
+def _quality_model_sql() -> tuple[str, str]:
+    """(VALUES rows, intercept literal) from THE SAME
+    fixed_quality_coefficients call the Spark query uses — a change to the
+    seed/dims/intercept updates both sides in lockstep instead of leaving
+    the oracle on a stale hardcoded literal."""
     from ..operators.classifier import fixed_quality_coefficients
 
-    coefs, _ = fixed_quality_coefficients(dims=64, seed=11)
-    return ", ".join(f"({i}, {c!r})" for i, c in enumerate(coefs))
+    coefs, intercept = fixed_quality_coefficients(dims=64, seed=11)
+    return ", ".join(f"({i}, {c!r})" for i, c in enumerate(coefs)), repr(intercept)
 
 
 @query(
@@ -762,9 +766,11 @@ coef(dim, coef) AS (VALUES {{COEFS}}),
 dots AS (SELECT doc_id, sum(weight * coef) AS dot
          FROM feat JOIN coef USING (dim) GROUP BY doc_id)
 SELECT d.doc_id,
-       round(1.0 / (1.0 + exp(-(coalesce(dots.dot, 0.0) + 0.1))), 6) AS quality_prob
+       round(1.0 / (1.0 + exp(-(coalesce(dots.dot, 0.0) + {{INTERCEPT}}))), 6) AS quality_prob
 FROM documents d LEFT JOIN dots USING (doc_id)
-""".replace("{COEFS}", _quality_coef_values_sql()),
+""".replace("{COEFS}", _quality_model_sql()[0]).replace(
+        "{INTERCEPT}", _quality_model_sql()[1]
+    ),
 )
 def doc_quality_classifier_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-quality-gate scoring path (operators/classifier.py
