@@ -19,15 +19,15 @@ from . import training as _training  # noqa: F401  (registers its queries)
 from . import tpch_extra as _tpch_extra  # noqa: F401  (registers its queries)
 
 _PRIORITY = [
-    # ROUND-4 ROTATION: the window (50) holds (a) the 5 pipeline flagships,
-    # (b) one representative per operator family (22), and (c) the 23
-    # oracled queries that have never seen a driver row
-    # (tests/test_registry_window.py R4_PROMOTIONS — the 11 TPC-H
-    # silhouettes, 7 lexical/mixing signals, the semantic-dedup pair, and 3
-    # event queries). Everything demoted to the tail already has a green
-    # driver row in CORRECTNESS_r01/r02/r03 and stays in the local parity
-    # suite. After this round, every oracle has had a driver row at least
-    # once.
+    # ROUND-5 ROTATION: the window (50) holds (a) the 5 pipeline flagships,
+    # (b) one representative per operator family (22 + 7 extra reps from
+    # the green pool), (c) the 15 R5_PROMOTIONS — oracled queries that
+    # landed after the round-4 window froze — and (d) corpus_top_bigrams,
+    # the one red r04 row (hash-only oracle-dtype artifact, oracle fixed
+    # this round with ::BIGINT), back for its green re-check. Everything
+    # demoted to the tail has a green driver row in CORRECTNESS_r01-r04
+    # and stays in the local parity suite. Once this window goes green,
+    # EVERY oracle in the registry has a green driver row.
     # -- summarization pipeline flagships (SURVEY §2.4 D1-D17) --------------
     "pipeline_mapreduce_mock",
     "pipeline_iterative_mock",
@@ -57,38 +57,37 @@ _PRIORITY = [
     "doc_split_assign",  # split/sampling
     "corpus_pack_512",  # sequence packing
     "purchase_click_attribution",  # as-of join
-    # -- R4 promotions: never driver-checked, each gets its first row now ---
-    # lexical / mixing signals (round-3 additions)
+    # -- extra family reps (green in r1-r3, distinct families) --------------
+    "doc_span_dedup",  # span dedup (C4 windows)
+    "doc_contamination_top20",  # n-gram decontamination
+    "doc_pii_redact",  # PII redaction
+    "doc_greedy_buckets",  # size-bounded grouping (D5)
+    "events_sessionization",  # gap sessionization
+    "doc_winnow_fingerprints",  # winnowing fingerprints
+    "rouge1_moments_by_lang",  # metric moments (A2/A3)
+    # -- R5 promotions: oracled mid-round-4, first driver row now ----------
+    "corpus_mixture_rates",
+    "doc_bloom_skip_existing",
+    "doc_text_normalize",
+    "doc_dedup_keep_best",
+    "doc_line_dedup",
+    "events_click_in_purchase_window",
+    "minhash_md5_star_dedup",
+    "doc_script_ratios",
+    "doc_length_iqr_outliers",
+    "minhash_md5_incremental_dedup",
+    "hybrid_search_top10",
+    "doc_quality_report",
+    "media_ahash_near_dups",
+    "corpus_diff_status",
+    "doc_quality_classifier_fixed",
+    # -- red re-check: r04 hash-only mismatch, oracle ::BIGINT cast fixed ---
     "corpus_top_bigrams",
-    "doc_epoch_upsample",
-    "doc_char_entropy",
-    "doc_tfidf_top3",
-    "doc_unigram_logprob",
-    "doc_feature_hash_embed",
-    "doc_source_quota",
-    # semantic dedup / decontamination
-    "embedding_split_contamination",
-    "embedding_semantic_dedup",
-    # event/time-series shapes
-    "events_dedup_first_per_minute",
-    "events_resample_1h_ffill",
-    "events_trailing_24h_stats",
-    # TPC-H silhouettes (plans/tpch_extra.py)
-    "q2_min_cost_supplier",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_inventory",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q19_disjunctive_revenue",
-    "q20_heavy_shippers",
-    "q21_latest_shipper",
-    # Tail: every other oracle is green in CORRECTNESS_r01/r02/r03 and
-    # stays parity-checked locally (tests/test_oracle_parity.py); rows-only
+    # Tail: every other oracle is green in CORRECTNESS_r01-r04 and stays
+    # parity-checked locally (tests/test_oracle_parity.py); rows-only
     # showcases (embedding_ivf_top3, bpe_token_counts, minhash/simhash raw
-    # twins, doc_winnow_fast, doc_quality_report) ride the tail by design.
+    # twins, doc_winnow_fast, minhash_star_fast, minhash_incremental_fast)
+    # ride the tail by design.
 ]
 
 

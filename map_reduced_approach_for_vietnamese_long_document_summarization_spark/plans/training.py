@@ -143,7 +143,10 @@ def doc_contamination_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_top_bigrams",
-    # round-4 window candidate (tests/test_registry_window.py R4_PROMOTIONS)
+    # r04 driver row was hash-red: DuckDB widens sum(BIGINT) to HUGEINT,
+    # which pandas materializes as float64, so the driver hashed 48.0 vs
+    # the engine's bigint 48 despite row-identical results. ::BIGINT keeps
+    # the oracle in int64 (same guard as doc_char_entropy).
     oracle=f"""
 WITH t AS (SELECT doc_id, list_transform({_DUCK_TOKS}, x -> lower(x)) AS toks
            FROM documents),
@@ -152,7 +155,7 @@ g AS (SELECT doc_id,
                                    i -> toks[i] || ' ' || toks[i+1])) AS ngram
       FROM t WHERE len(toks) >= 2),
 pd AS (SELECT ngram, doc_id, count(*) AS c FROM g GROUP BY 1, 2)
-SELECT ngram, sum(c) AS n_occurrences, count(*) AS n_docs
+SELECT ngram, sum(c)::BIGINT AS n_occurrences, count(*) AS n_docs
 FROM pd GROUP BY ngram
 ORDER BY n_occurrences DESC, ngram
 LIMIT 20
@@ -434,7 +437,10 @@ def doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-5 window candidate (tests/test_registry_window.py R5_PROMOTIONS)
     oracle="""
 WITH shares(source, target_share) AS (
-    VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    -- ::DOUBLE: bare 0.5 literals make DECIMAL(2,1), which round() keeps
+    -- and pandas materializes as object/Decimal — the same driver-hash
+    -- dtype hazard that made corpus_top_bigrams red in r04
+    VALUES ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE), ('src2', 0.2::DOUBLE)),
 mass AS (SELECT source, sum(n_chars) AS mass FROM documents GROUP BY source),
 j AS (SELECT s.source, CAST(coalesce(m.mass, 0) AS BIGINT) AS mass, s.target_share
       FROM shares s LEFT JOIN mass m USING (source)),

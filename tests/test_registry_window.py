@@ -45,48 +45,30 @@ FLAGSHIPS = [
     "doc_split_assign",
     "corpus_pack_512",
     "purchase_click_attribution",
+    # round-5 extra family reps (green in r1-r3; distinct families)
+    "doc_span_dedup",
+    "doc_contamination_top20",
+    "doc_pii_redact",
+    "doc_greedy_buckets",
+    "events_sessionization",
+    "doc_winnow_fingerprints",
+    "rouge1_moments_by_lang",
 ]
 
 
-# round-4 promotions: oracled queries with no driver row in r01-r03 —
-# rotated INTO the round-4 window so each gets its first driver row.
-# test_round4_promotions_inside_window enforces the rotation landed.
-R4_PROMOTIONS = [
+# round-5 re-check: the one red r04 row. Hash-only mismatch diagnosed as a
+# DuckDB HUGEINT -> pandas float dtype artifact in the ORACLE (engine rows
+# verified identical); the oracle now casts sum(c)::BIGINT. Stays in the
+# window until the driver records a green row.
+RED_RECHECKS = [
     "corpus_top_bigrams",
-    "doc_epoch_upsample",
-    "doc_char_entropy",
-    "doc_tfidf_top3",
-    "doc_unigram_logprob",
-    "doc_feature_hash_embed",
-    "doc_source_quota",
-    "embedding_split_contamination",
-    "embedding_semantic_dedup",
-    "events_dedup_first_per_minute",
-    "events_resample_1h_ffill",
-    "events_trailing_24h_stats",
-    # plans/tpch_extra.py — the remaining TPC-H silhouettes
-    "q2_min_cost_supplier",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_inventory",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q19_disjunctive_revenue",
-    "q20_heavy_shippers",
-    "q21_latest_shipper",
 ]
 
 
-# round-5 window candidates: oracled queries added MID-round-4, after the
-# round-4 window froze (evicting a frozen entry would un-check a promotion
-# before the driver records its row). They ride the tail this round —
-# locally parity-checked only — and MUST be rotated into the round-5 window
-# at round-5 START. The orphan test below exempts exactly this list, so a
-# new oracled query registered outside both the window and this list fails
-# the suite immediately (window-capacity hygiene: the rotation chore can
-# never silently backlog).
+# round-5 promotions: oracled queries added MID-round-4, after the round-4
+# window froze. Rotated INTO the round-5 window so each gets its first
+# driver row. test_round5_promotions_inside_window enforces the rotation
+# landed.
 R5_PROMOTIONS = [
     "corpus_mixture_rates",
     "doc_bloom_skip_existing",
@@ -104,6 +86,15 @@ R5_PROMOTIONS = [
     "corpus_diff_status",
     "doc_quality_classifier_fixed",
 ]
+
+
+# round-6 window candidates: oracled queries added MID-round-5, after the
+# round-5 window froze. Round 5 is a registry-catch-up round (VERDICT r4
+# item 7): net-new entries are rows-only production twins, so this list
+# should stay empty unless a mid-round oracled query genuinely lands. The
+# orphan test exempts exactly this list, so the rotation chore can never
+# silently backlog.
+R6_PROMOTIONS: list = []
 
 
 def _driver_checked_names():
@@ -127,18 +118,19 @@ def test_flagships_inside_driver_window():
     assert not missing, f"flagships outside the driver window: {missing}"
 
 
-def test_round4_promotions_inside_window():
+def test_round5_promotions_inside_window():
     window = list(QUERIES)[:WINDOW]
-    missing = [n for n in R4_PROMOTIONS if n not in window]
-    assert not missing, f"never-driver-checked queries still outside: {missing}"
+    missing = [n for n in R5_PROMOTIONS + RED_RECHECKS if n not in window]
+    assert not missing, f"never-driver-green queries still outside: {missing}"
 
 
 def test_window_is_exactly_full():
-    """5 flagship pipelines + 22 family representatives + 23 promotions
-    must fill the window exactly — an underfull window wastes driver
-    checks, an overfull one silently evicts the back of the list."""
+    """5 flagship pipelines + 29 family representatives + 15 promotions +
+    1 red re-check must fill the window exactly — an underfull window
+    wastes driver checks, an overfull one silently evicts the back of the
+    list."""
     window = list(QUERIES)[:WINDOW]
-    expected = set(FLAGSHIPS) | set(R4_PROMOTIONS)
+    expected = set(FLAGSHIPS) | set(R5_PROMOTIONS) | set(RED_RECHECKS)
     assert len(expected) == WINDOW
     assert set(window) == expected, (
         f"unexpected in window: {sorted(set(window) - expected)}; "
@@ -150,11 +142,11 @@ def test_every_oracled_query_has_a_driver_row_somewhere():
     """Window-capacity hygiene: no oracled query may sit outside EVERY
     window — it must have a green row in a past round's CORRECTNESS file,
     be inside the current first-50 (so the coming round checks it), or be
-    explicitly queued in R5_PROMOTIONS for the next rotation. A new
+    explicitly queued in R6_PROMOTIONS for the next rotation. A new
     oracled query registered anywhere else fails here immediately, so the
     rotation chore can never silently backlog."""
     window = set(list(QUERIES)[:WINDOW])
-    covered = _driver_checked_names() | window | set(R5_PROMOTIONS)
+    covered = _driver_checked_names() | window | set(R6_PROMOTIONS)
     orphans = sorted(set(ORACLES) - covered)
     assert not orphans, f"oracled queries never driver-checked: {orphans}"
 
@@ -163,7 +155,7 @@ def test_promotion_candidates_are_oracled():
     """Every promotion candidate must exist and carry an oracle — and once
     one gains a green driver row, the next rotation drops it from the
     promotions list so the orphan exemption doesn't outlive its purpose."""
-    for n in R4_PROMOTIONS + R5_PROMOTIONS:
+    for n in R5_PROMOTIONS + R6_PROMOTIONS + RED_RECHECKS:
         assert n in QUERIES, f"promotion candidate {n} not registered"
         assert n in ORACLES, f"promotion candidate {n} has no oracle"
 
