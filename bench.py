@@ -92,6 +92,11 @@ HEADLINE = [
     "doc_length_iqr_outliers",
     "media_ahash_near_dups",
     "doc_compression_ratio",
+    # round-5 additions: xxhash64 production twins of the two 5s md5 oracle
+    # twins above — the bench shows production cost next to the md5
+    # replayability tax (same convention as winnow fingerprints/fast)
+    "minhash_star_fast",
+    "minhash_incremental_fast",
 ]
 
 

@@ -81,6 +81,13 @@ def iqr_outliers(
     ``quantile_cont`` parity) keep the oracle replayable; swap in
     ``percentile_approx`` at 100 TB if the value column is too wide for an
     exact percentile's per-group state."""
+    clash = {"q1", "q3", "is_outlier", "_iqr_key"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"iqr_outliers reserves output columns {sorted(clash)}; rename "
+            "them first (an existing q1/q3 would make the fence expressions "
+            "ambiguous or silently wrong)"
+        )
     keys = [by] if by else []
     fences = df.groupBy(*keys).agg(
         F.percentile(value_col, F.lit(0.25)).alias("q1"),

@@ -89,6 +89,15 @@ def skip_existing_bloom(
     ``exact=False`` skips the join and accepts losing ~fpp of new docs.
     Default sizing ``num_bits = 16 * expected_items`` gives fpp ~1% at
     ``n_hashes=3``."""
+    internal = {"_maybe"} | {
+        f"_{p}{i}" for i in range(n_hashes) for p in ("p", "w", "b")
+    }
+    reserved = internal & set(docs.columns)
+    if reserved:
+        raise ValueError(
+            f"skip_existing_bloom reserves column names {sorted(reserved)}; "
+            "rename them first"
+        )
     if num_bits is None:
         num_bits = max(64, 16 * expected_items)
     m = (num_bits + 63) // 64 * 64  # whole 64-bit words

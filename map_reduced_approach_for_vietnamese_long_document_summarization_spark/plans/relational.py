@@ -3302,3 +3302,45 @@ def minhash_md5_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("id1", "id2", F.round("est_jaccard", 6).alias("est_jaccard"))
     out._persisted_inputs = [sigs]
     return out
+
+
+@query("minhash_star_fast")  # rows-only: xxhash64 family is Spark-specific
+def minhash_star_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash star-banding twin: identical star-edge selection to
+    minhash_md5_star_dedup but the xxhash64 affine MinHash family (one JVM
+    hash per shingle vs n_hashes full md5 digest+hex+parse chains — the
+    default for non-harness callers, same convention as doc_winnow_fast).
+    No SQL oracle exists for xxhash64, so this row is rows-only; star-edge
+    correctness rides on the md5 twin's green oracle (identical banding
+    code via minhash_lsh_star_candidates) plus the hash-agnostic
+    star-vs-clique component-identity test in tests/test_dedup_similarity.py.
+    Benches the true production cost of the viral-cluster escape hatch next
+    to the oracle twin's md5 replayability tax."""
+    from ..operators.dedup import minhash_dedup_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = minhash_dedup_pairs(d, threshold=0.5, star=True)
+    return out.select("id1", "id2", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+@query("minhash_incremental_fast")  # rows-only: xxhash64 family is Spark-specific
+def minhash_incremental_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash incremental twin: the minhash_md5_incremental_dedup
+    shape (docs with id >= 400 as the "new batch" vs the stored corpus) on
+    xxhash64 signatures. In production the corpus signatures are parquet'd
+    once and only the batch is hashed; here both sides are computed
+    in-query so the bench shows the worst-case increment cost with the
+    cheap hash family. Rows-only (no SQL xxhash64); the batch-vs-corpus
+    band-join logic is oracle-verified on the md5 twin (shared
+    minhash_incremental_pairs code path)."""
+    from ..operators.dedup import minhash_incremental_pairs, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signatures(docs, n_hashes=64).persist()
+    new = sigs.filter(F.col("doc_id") >= 400)
+    corpus = sigs.filter(F.col("doc_id") < 400)
+    out = minhash_incremental_pairs(
+        new, corpus, n_hashes=64, n_bands=16, threshold=0.5
+    ).select("id1", "id2", F.round("est_jaccard", 6).alias("est_jaccard"))
+    out._persisted_inputs = [sigs]
+    return out

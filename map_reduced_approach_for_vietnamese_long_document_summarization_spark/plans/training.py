@@ -553,7 +553,9 @@ l AS (SELECT doc_id,
              generate_subscripts(string_split(t, chr(10)), 1) - 1 AS line_idx
       FROM m),
 rk AS (SELECT doc_id, line, line_idx,
-              CASE WHEN length(trim(line)) >= 1 THEN
+              -- blank test mirrors the operator's strip_ws (regex whitespace
+              -- class, tabs too), not DuckDB trim() which strips spaces only
+              CASE WHEN length(regexp_replace(line, '^\\s+|\\s+$', '', 'g')) >= 1 THEN
                 row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx)
               ELSE 1 END AS rn
        FROM l),

@@ -1,0 +1,100 @@
+"""Round-5 additions: xxhash64 production twins of the md5 star/incremental
+oracle twins (rows-only registry entries, bench-visible), plus the
+reserved-column guards added per round-4 ADVICE."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.metrics.aggregate import (
+    iqr_outliers,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+    minhash_dedup_pairs,
+    minhash_incremental_pairs,
+    minhash_signatures,
+    unpersist_inputs,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.pairing import (
+    skip_existing_bloom,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans import QUERIES
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+
+def test_star_fast_pairs_subset_of_clique(spark, sf_dir):
+    """Star edges are a subset of the clique pair set (same xxhash64
+    signatures, same buckets — star just emits (bucket-min, member) spokes),
+    and every clique pair's endpoints stay connected through some star rep."""
+    docs = _docs(spark, sf_dir)
+    star = minhash_dedup_pairs(docs, threshold=0.0, star=True)
+    clique = minhash_dedup_pairs(docs, threshold=0.0, star=False)
+    star_pairs = {(r.id1, r.id2) for r in star.collect()}
+    clique_pairs = {(r.id1, r.id2) for r in clique.collect()}
+    unpersist_inputs(star)
+    unpersist_inputs(clique)
+    assert star_pairs <= clique_pairs
+    # connectivity equivalence: union-find over each edge set gives the
+    # same partition of the touched ids (the star-contraction guarantee)
+    def components(pairs):
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        groups: dict = {}
+        for x in list(parent):
+            groups.setdefault(find(x), set()).add(x)
+        return {frozenset(g) for g in groups.values()}
+
+    assert components(star_pairs) == components(clique_pairs)
+
+
+def test_incremental_fast_matches_full_restricted(spark, sf_dir):
+    """The incremental xxhash64 pair set == the full-corpus pair set
+    restricted to pairs touching a 'new' id — the minhash_incremental_pairs
+    contract, verified here on the production hash family (the md5 twin
+    carries the SQL oracle)."""
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, n_hashes=64).persist()
+    new = sigs.filter(F.col("doc_id") >= 400)
+    corpus = sigs.filter(F.col("doc_id") < 400)
+    inc = minhash_incremental_pairs(new, corpus, n_hashes=64, n_bands=16, threshold=0.5)
+    inc_pairs = {(r.id1, r.id2) for r in inc.collect()}
+    full = minhash_dedup_pairs(docs, threshold=0.5, star=False)
+    full_pairs = {
+        (r.id1, r.id2) for r in full.collect() if r.id1 >= 400 or r.id2 >= 400
+    }
+    unpersist_inputs(full)
+    sigs.unpersist()
+    assert inc_pairs == full_pairs
+
+
+def test_twin_registry_entries_run(spark, sf_dir):
+    for name in ("minhash_star_fast", "minhash_incremental_fast"):
+        df = QUERIES[name](spark, sf_dir)
+        assert df.columns == ["id1", "id2", "est_jaccard"]
+        assert df.count() >= 0
+        unpersist_inputs(df)
+
+
+def test_bloom_reserved_column_guard(spark):
+    docs = spark.createDataFrame([(1, True)], "doc_id long, _maybe boolean")
+    existing = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="_maybe"):
+        skip_existing_bloom(docs, existing, expected_items=10)
+
+
+def test_iqr_reserved_column_guard(spark):
+    df = spark.createDataFrame([(1, 2.0, 0.0)], "id long, v double, q1 double")
+    with pytest.raises(ValueError, match="q1"):
+        iqr_outliers(df, "v")
