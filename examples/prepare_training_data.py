@@ -29,6 +29,11 @@ lazy plan except the dedup-cluster iteration):
                                 MIXED train stream — replicas pack too)
  11. shard sink                (one bin-ordered parquet file per shard —
                                 what the trainer's data loader streams)
+ 12. learned quality gate      (train the DCLM-style classifier on labels
+                                derived from the stage-1/2 heuristics over
+                                a 30% seed sample, score the corpus, report
+                                held-out rank agreement — the train->score
+                                seam on real corpus data)
 """
 
 import os
@@ -72,6 +77,56 @@ from map_reduced_approach_for_vietnamese_long_document_summarization_spark.sourc
     load_table,
     write_training_shards,
 )
+
+
+def learned_quality_gate(docs, sample_mod: int = 3, dims: int = 64):
+    """Stage 1-alternative: the fastText/DCLM-style LEARNED quality gate,
+    trained on labels DERIVED FROM the heuristic signals over the real
+    corpus (not a synthetic separable set — this is the train->score seam
+    a curation team actually runs: heuristics label a seed sample, the
+    classifier generalizes the judgment to the whole corpus at scan speed).
+
+    * continuous heuristic composite: ``quality_score + entropy/8 -
+      dup_token_ratio`` (the three stage-1/2 gate signals, folded so
+      repetition hurts and entropy helps);
+    * binary labels: composite >= corpus median;
+    * deterministic ~30% training sample (xxhash64(doc_id) % 10 < 3 —
+      replayable, no RNG);
+    * fit ``train_quality_classifier`` (seeded pyspark.ml LR over hashed
+      bag-of-words), score EVERYTHING with ``score_quality``.
+
+    Returns ``(scored, labeled_all, sample_ids)`` so callers can check the
+    held-out agreement: scored quality_prob must rank-correlate with the
+    heuristic composite on docs the fit never saw. The oracle-checked twin
+    (``doc_quality_classifier_fixed``) pins the scoring math; this stage
+    proves the LEARNED path end-to-end on corpus data."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    rep = repetition_stats_batch(docs).select("doc_id", "dup_token_ratio")
+    ent = char_entropy_batch(docs).select("doc_id", "entropy")
+    q = docs.select("doc_id", quality_score("text").alias("q"))
+    heur = (
+        q.join(rep, "doc_id")
+        .join(ent, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("q") + F.col("entropy") / 8 - F.col("dup_token_ratio")).alias(
+                "heur"
+            ),
+        )
+    )
+    med = heur.approxQuantile("heur", [0.5], 0.0)[0]
+    labeled_all = heur.withColumn("label", (F.col("heur") >= med).cast("int"))
+    sample_ids = labeled_all.filter(
+        F.pmod(F.xxhash64("doc_id"), F.lit(10)) < sample_mod
+    ).select("doc_id", "label")
+    train = docs.join(sample_ids, "doc_id")
+    coef, intercept = train_quality_classifier(train, dims=dims)
+    scored = score_quality(docs, coef, intercept)
+    return scored, labeled_all, sample_ids.select("doc_id")
 
 
 def prepare(spark, sf_dir, max_tokens=512, n_shards=8):
@@ -224,6 +279,29 @@ def main() -> None:
     print(f"contaminated test docs (containment >= 0.8): {flagged}")
     print(f"mixture: {n_train} train docs -> {n_mixed} rows after epoch weighting")
     print(f"train bins: {stats['n_bins']}, mean fill: {stats['f']}")
+
+    # learned quality gate: train on heuristic-derived labels over a 30%
+    # seed, report held-out agreement (rank correlation with the heuristic
+    # composite on docs the fit never saw)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored, labeled_all, sample = learned_quality_gate(docs)
+    held = (
+        scored.join(labeled_all, "doc_id").join(sample, "doc_id", "left_anti")
+    )
+    ranked = held.withColumn(
+        "ra", F.row_number().over(Window.orderBy("quality_prob", "doc_id"))
+    ).withColumn("rb", F.row_number().over(Window.orderBy("heur", "doc_id")))
+    rho = ranked.agg(F.corr("ra", "rb")).first()[0]
+    means = {
+        r["label"]: r["p"]
+        for r in held.groupBy("label").agg(F.avg("quality_prob").alias("p")).collect()
+    }
+    print(
+        f"learned gate: held-out spearman vs heuristic {rho:.3f}, "
+        f"mean prob keep={means.get(1, 0):.3f} drop={means.get(0, 0):.3f}"
+    )
 
     # 11: write the packed train stream as bin-ordered shards
     import tempfile
