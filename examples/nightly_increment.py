@@ -13,10 +13,12 @@ Each nightly run composes four operators that all exist standalone:
 
   1. ``read_committed_batches`` — the exactly-once landing zone written by
      the streaming ingester (examples/ingest_stream.py stages 1-3).
-  2. ``skip_existing_bloom`` — drop docs the corpus already holds; the
-     corpus's key set broadcasts as a bit table, not a row set (the shape
-     that survives 10^10 keys), and exact mode keeps the result equal to
-     a plain anti-join.
+  2. ``skip_existing_bloom`` — drop docs the corpus already holds BY ID;
+     the corpus's key set broadcasts as a bit table, not a row set (the
+     shape that survives 10^10 keys), and exact mode keeps the result
+     equal to a plain anti-join. A fingerprint anti-join then drops docs
+     whose exact TEXT the corpus holds under another id (re-crawls get new
+     ids; short texts also evade the shingle-based near-dup gate).
   3. ``minhash_incremental_pairs`` — near-dup the deduped batch against
      the STORED corpus signatures (computed once, parquet'd next to the
      snapshot; only the batch is hashed tonight) plus within the batch.
@@ -90,11 +92,28 @@ def nightly_increment(
     landed = read_committed_batches(spark, landing_sink).drop("batch_id")
     clean, corrupt = split_corrupt(landed)
 
-    # 2. skip-if-exists through the bloom pre-filter, then in-batch exact
-    # dedup (two near-identical crawls of the same page tonight)
-    fresh = exact_dedup(
+    # 2. skip-if-exists through the bloom pre-filter, in-batch exact dedup
+    # (two identical crawls of the same page tonight), THEN batch-vs-corpus
+    # exact-text check: a curated page re-landing under a NEW id passes the
+    # id-keyed bloom and — if too short to shingle — the near-dup gate too,
+    # so the fingerprint anti-join is the only thing standing between it
+    # and a permanent duplicate. Scan-side 16-byte fingerprints, one
+    # equi-join — at scale the corpus side is the stored fingerprint
+    # sidecar, not a re-read of the text.
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions.textstats import (
+        doc_fingerprint,
+    )
+
+    batch_deduped = exact_dedup(
         skip_existing_bloom(clean, snap.select("doc_id"), key="doc_id")
-    ).persist()
+    )
+    corpus_fps = snap.select(doc_fingerprint(F.col("text")).alias("_fp"))
+    fresh = (
+        batch_deduped.withColumn("_fp", doc_fingerprint(F.col("text")))
+        .join(corpus_fps, "_fp", "left_anti")
+        .drop("_fp")
+        .persist()
+    )
 
     # 3. near-dup the batch against STORED corpus signatures; only the
     # batch is hashed tonight

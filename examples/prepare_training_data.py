@@ -117,6 +117,10 @@ def learned_quality_gate(docs, sample_mod: int = 3, dims: int = 64):
                 "heur"
             ),
         )
+        # two explode-shuffle batch stats feed this, and it is consumed by
+        # the quantile, the training sample, AND the caller's held-out
+        # evaluation — materialize once (small: 2 cols/doc) and cut lineage
+        .localCheckpoint(eager=True)
     )
     med = heur.approxQuantile("heur", [0.5], 0.0)[0]
     labeled_all = heur.withColumn("label", (F.col("heur") >= med).cast("int"))

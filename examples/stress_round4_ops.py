@@ -66,7 +66,12 @@ def stress_line_dedup(spark, sf_dir: str, n_docs: int) -> float:
     )
     # 8 unique content lines from the doc's own tokens + salt, 2 blank
     # lines, and (80% of docs) the shared boilerplate line
-    toks = F.split(F.coalesce("text", F.lit("")), " ")
+    # fold ALL whitespace to single spaces first: a source corpus with real
+    # newlines would otherwise leak un-prefixed fragment lines into the
+    # synthetic docs and break the removed-count accounting below
+    toks = F.split(
+        F.regexp_replace(F.coalesce("text", F.lit("")), r"\s+", " "), " "
+    )
     uniq = F.transform(
         F.sequence(F.lit(0), F.lit(7)),
         lambda i: F.concat_ws(
@@ -112,8 +117,13 @@ def stress_interval_join(spark, sf_dir: str, n_intervals: int) -> float:
     owning 50% of them. Correctness = bucket-width invariance."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
     hot_user = 7
+    # deterministic interval selection (hash filter, not limit): limit()
+    # without an ordering may pick a DIFFERENT sample if the persisted
+    # frame is evicted and recomputed between the two joins, which would
+    # fire the width-invariance assert as a false alarm
+    sel_mod = max(1, 100_000 // n_intervals)
     iv = (
-        ev.limit(n_intervals)
+        ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(sel_mod)) == 0)
         .select(
             F.col("event_id").alias("iv_id"),
             F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0, F.lit(hot_user))

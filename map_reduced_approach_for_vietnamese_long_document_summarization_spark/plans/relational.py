@@ -3320,7 +3320,11 @@ def minhash_star_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     out = minhash_dedup_pairs(d, threshold=0.5, star=True)
-    return out.select("id1", "id2", F.round("est_jaccard", 6).alias("est_jaccard"))
+    sel = out.select("id1", "id2", F.round("est_jaccard", 6).alias("est_jaccard"))
+    # .select() builds a NEW DataFrame — carry the unpersist hook over or
+    # unpersist_inputs(result) silently no-ops and the signature cache leaks
+    sel._persisted_inputs = out._persisted_inputs
+    return sel
 
 
 @query("minhash_incremental_fast")  # rows-only: xxhash64 family is Spark-specific

@@ -49,11 +49,11 @@ def nightly(spark, sf_dir, tmp_path_factory):
     ingest_mod.ingest(spark, landing, sink, ckpt)
     c1 = nightly_mod.nightly_increment(spark, sink, corpus_dir, v0)
     c2 = nightly_mod.nightly_increment(spark, sink, corpus_dir, c1["version"])
-    return nightly_mod, corpus_dir, c1, c2
+    return nightly_mod, corpus_dir, c1, c2, sink, str(work)
 
 
 def test_night1_counts_consistent(nightly, spark):
-    _, corpus_dir, c1, _ = nightly
+    _, corpus_dir, c1, _, _, _ = nightly
     assert c1["corrupt"] == 3
     assert c1["published"] == c1["fresh_after_skip_and_exact"] - c1["near_dup_losers"]
     # the audit artifacts agree with the counts
@@ -66,7 +66,7 @@ def test_night1_counts_consistent(nightly, spark):
 def test_snapshot_and_signatures_stay_in_lockstep(nightly, spark):
     """Every published doc has exactly one stored signature and vice versa
     — the sidecar invariant the next night's increment depends on."""
-    _, corpus_dir, c1, _ = nightly
+    _, corpus_dir, c1, _, _, _ = nightly
     nv = c1["version"]
     snap = spark.read.parquet(f"{corpus_dir}/snapshot/v{nv}")
     sigs = spark.read.parquet(f"{corpus_dir}/signatures/v{nv}")
@@ -79,7 +79,7 @@ def test_snapshot_and_signatures_stay_in_lockstep(nightly, spark):
 def test_increment_pairs_equal_full_recompute_restricted(nightly, spark, sf_dir):
     """The minhash_incremental_pairs contract on the composed run: logged
     pairs == full (corpus ∪ batch) self-join pairs touching a batch id."""
-    _, corpus_dir, c1, _ = nightly
+    _, corpus_dir, c1, _, _, _ = nightly
     nv = c1["version"]
     snap0 = spark.read.parquet(f"{corpus_dir}/snapshot/v0")
     logged = {
@@ -118,11 +118,45 @@ def test_increment_pairs_equal_full_recompute_restricted(nightly, spark, sf_dir)
     assert logged == full_restricted
 
 
+def test_recrawl_under_new_id_never_publishes(nightly, spark, sf_dir):
+    """A curated page re-landing under a NEW doc_id must not re-enter the
+    corpus: it passes the id-keyed bloom, has no in-batch exact twin, and —
+    when too short to shingle — evades the MinHash gate too; the
+    fingerprint anti-join is the gate that catches it. Plant exactly that:
+    bootstrap a corpus whose ids are shifted (disjoint from the landing
+    zone's) but whose TEXTS include every even doc's text."""
+    nightly_mod, _, _, _, sink, work = nightly
+    corpus_dir = os.path.join(work, "corpus_recrawl")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    shifted = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    v0 = nightly_mod.bootstrap_corpus(spark, shifted, corpus_dir)
+    c = nightly_mod.nightly_increment(spark, sink, corpus_dir, v0)
+    added = spark.read.parquet(f"{corpus_dir}/diff/v1").filter(
+        F.col("status") == "added"
+    )
+    snap1 = spark.read.parquet(f"{corpus_dir}/snapshot/v1")
+    published = snap1.join(added, "doc_id", "left_semi")
+    # no published doc's text may byte-equal a curated doc's text
+    dup_texts = published.join(
+        shifted.select("text").distinct(), "text", "left_semi"
+    )
+    assert dup_texts.count() == 0
+    # and every landed even doc WAS dropped by the fingerprint gate, not
+    # published under its new (original) id
+    even_ids = published.filter(F.col("doc_id") % 2 == 0).count()
+    assert even_ids == 0
+    assert c["published"] == added.count()
+
+
 def test_night2_is_a_noop_publish(nightly):
     """Replaying the same landing zone publishes nothing: the bloom skips
     every curated doc, the near-dup gate re-rejects last night's losers,
     and the diff is all-unchanged."""
-    _, _, c1, c2 = nightly
+    _, _, c1, c2, _, _ = nightly
     assert c2["published"] == 0
     assert set(c2["diff"]) == {"unchanged"}
     # the only docs surviving the bloom are night-1's near-dup losers —
