@@ -194,6 +194,19 @@ def test_line_dedup_keeps_first_occurrence_and_blanks(spark):
     assert out[3].n_removed == 1
 
 
+def test_line_dedup_plan_has_exactly_two_shuffles(spark, sf_dir):
+    """Pins the scale claim: one exchange keyed by the (salted) line for
+    the rank window, one keyed by the doc id for reassembly — nothing
+    pairwise, nothing extra."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        line_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
 def test_line_dedup_hash_and_text_keys_agree(spark, sf_dir):
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
         line_dedup,
@@ -247,6 +260,32 @@ def test_interval_join_matches_naive_range_join(spark, sf_dir):
     }
     assert got == naive
     assert got  # non-degenerate
+
+
+def test_interval_join_plan_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The whole point of bucketization: the physical plan must be a hash
+    equi-join on (key, bucket), never the BroadcastNestedLoopJoin Spark
+    falls back to for a bare range predicate."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        interval_join,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.select("user_id", F.col("event_id").alias("click_id"), "ts")
+    buys = ev.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 45 MINUTES")).alias("start_ts"),
+        F.col("ts").alias("end_ts"),
+    )
+    plan = (
+        interval_join(clicks, buys, bucket_seconds=600, point_time="ts", on="user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
 def test_interval_join_half_open_boundaries(spark):
