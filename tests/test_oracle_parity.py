@@ -65,6 +65,14 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     scols, srows = _normalize(sdf)
     ocols, orows = _normalize(odf)
     assert scols == ocols, f"{name}: column mismatch {scols} vs {ocols}"
+    # dtype-KIND parity: _norm_cell folds 48.0 -> "48", but the driver
+    # hashes raw values, so an oracle column materializing as float while
+    # Spark returns int (DuckDB HUGEINT/DECIMAL widening — the r04
+    # corpus_top_bigrams red) passes the value compare here yet fails the
+    # driver. Catch the class locally.
+    kinds_s = {c: sdf[c].dtype.kind for c in scols}
+    kinds_o = {c: odf[c].dtype.kind for c in ocols}
+    assert kinds_s == kinds_o, f"{name}: pandas dtype-kind mismatch {kinds_s} vs {kinds_o}"
     assert len(srows) == len(orows), f"{name}: rowcount {len(srows)} vs {len(orows)}"
     if srows != orows:
         diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:5]
