@@ -152,6 +152,18 @@ def test_recrawl_under_new_id_never_publishes(nightly, spark, sf_dir):
     assert c["published"] == added.count()
 
 
+def test_empty_landing_zone_is_a_graceful_noop(nightly, spark, tmp_path):
+    """'No drops tonight' must not crash the scheduled run OR burn a
+    version: same version comes back, no new snapshot is written."""
+    nightly_mod, corpus_dir, _, c2, _, _ = nightly
+    empty = tmp_path / "empty_zone"
+    empty.mkdir()
+    v = c2["version"]
+    c = nightly_mod.nightly_increment(spark, str(empty), corpus_dir, v)
+    assert c["version"] == v and c["published"] == 0 and c["landed"] == 0
+    assert not os.path.exists(f"{corpus_dir}/snapshot/v{v + 1}")
+
+
 def test_night2_is_a_noop_publish(nightly):
     """Replaying the same landing zone publishes nothing: the bloom skips
     every curated doc, the near-dup gate re-rejects last night's losers,
