@@ -140,17 +140,46 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # full-precision record next to the script (the per-round harness keeps
+    # only the LAST ~2000 chars of stdout, and 69 queries no longer fit at
+    # 3 decimals — round 4's recorded JSON lost its head to exactly this)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_last.json"), "w") as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line below is still the contract
+    # stdout contract: ONE parseable JSON line. Adaptively drop per-query
+    # decimals until the line fits the 2000-char tail window with slack.
+    for nd in (3, 2, 1):
+        slim = dict(result, queries={k: round(v, nd) for k, v in timings.items()},
+                    value=round(total, nd))
+        line = json.dumps(slim, separators=(",", ":"))
+        if len(line) <= 1900:
+            break
+    if len(line) > 1990:
+        # last resort as the registry keeps growing: keep the most
+        # expensive queries (the ones perf review reads first), count the
+        # rest; bench_last.json always has the full map
+        q = sorted(timings.items(), key=lambda kv: -kv[1])
+        while len(line) > 1900 and q:
+            q = q[:-1]
+            slim = dict(
+                result,
+                queries={k: round(v, 1) for k, v in q},
+                value=round(total, 1),
+                omitted=len(timings) - len(q),
+            )
+            line = json.dumps(slim, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
