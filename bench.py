@@ -159,18 +159,22 @@ def main() -> None:
         pass  # read-only checkout: stdout line below is still the contract
     # stdout contract: ONE parseable JSON line. Adaptively drop per-query
     # decimals until the line fits the 2000-char tail window with slack.
+    # 1995 = the observed 2000-char window minus the trailing newline with
+    # a little slack; break and fallback MUST share the constant or a line
+    # landing between the two thresholds gets neither treatment
+    target = 1995
     for nd in (3, 2, 1):
         slim = dict(result, queries={k: round(v, nd) for k, v in timings.items()},
                     value=round(total, nd))
         line = json.dumps(slim, separators=(",", ":"))
-        if len(line) <= 1900:
+        if len(line) <= target:
             break
-    if len(line) > 1990:
+    if len(line) > target:
         # last resort as the registry keeps growing: keep the most
         # expensive queries (the ones perf review reads first), count the
         # rest; bench_last.json always has the full map
         q = sorted(timings.items(), key=lambda kv: -kv[1])
-        while len(line) > 1900 and q:
+        while len(line) > target and q:
             q = q[:-1]
             slim = dict(
                 result,

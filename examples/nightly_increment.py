@@ -6,6 +6,7 @@ State on disk (the "curated corpus" between runs):
     corpus_dir/
       snapshot/v{N}/     curated documents (doc_id, text, ...)
       signatures/v{N}/   stored MinHash signatures (doc_id, minhash)
+      fingerprints/v{N}/ stored exact-text fingerprints (doc_id, fp)
       diff/v{N}/         (key, status) audit vs v{N-1}
       pairs/v{N}/        near-dup pair audit for night N's batch
 
@@ -66,13 +67,32 @@ from map_reduced_approach_for_vietnamese_long_document_summarization_spark.strea
 )
 
 
+def _text_fingerprint(text_col):
+    """Exact-text dedup key: 16-byte fingerprint with a sentinel for NULL
+    text. doc_fingerprint(NULL) is NULL, and NULL join keys never match in
+    an anti-join — without the sentinel a NULL-text doc would re-publish
+    under a fresh id every night (it also evades the MinHash gate, whose
+    sentinel signatures are excluded by design)."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions.textstats import (
+        doc_fingerprint,
+    )
+
+    return F.coalesce(doc_fingerprint(text_col), F.lit("<null-text>"))
+
+
 def bootstrap_corpus(spark, docs: DataFrame, corpus_dir: str) -> int:
-    """Version 0: seed the curated corpus and its signature sidecar."""
+    """Version 0: seed the curated corpus and its two sidecars — MinHash
+    signatures (near-dup gate) and exact-text fingerprints (re-crawl
+    gate). Both are computed ONCE per doc here and extended incrementally
+    at publish time, so no nightly run ever re-reads the corpus text."""
     docs.write.mode("overwrite").parquet(f"{corpus_dir}/snapshot/v0")
     snap = spark.read.parquet(f"{corpus_dir}/snapshot/v0")
     minhash_signatures(snap.select("doc_id", "text")).write.mode(
         "overwrite"
     ).parquet(f"{corpus_dir}/signatures/v0")
+    snap.select(
+        "doc_id", _text_fingerprint(F.col("text")).alias("fp")
+    ).write.mode("overwrite").parquet(f"{corpus_dir}/fingerprints/v0")
     return 0
 
 
@@ -84,15 +104,22 @@ def nightly_increment(
     threshold: float = 0.5,
 ) -> dict:
     """Run one night: returns the stage counts a scheduler would log.
-    Reads snapshot/signatures v{version}, writes v{version+1}."""
+    Reads snapshot/signatures/fingerprints v{version}, writes v{version+1}."""
     snap = spark.read.parquet(f"{corpus_dir}/snapshot/v{version}")
     stored_sigs = spark.read.parquet(f"{corpus_dir}/signatures/v{version}")
+    stored_fps = spark.read.parquet(f"{corpus_dir}/fingerprints/v{version}")
 
     # 1. tonight's landing zone (only committed batches are visible).
     # "No drops tonight" is a normal scheduler outcome, not an error: keep
     # the current version (no new snapshot — republishing an identical
     # corpus would burn a version number and a full copy) and report a
-    # no-op so the scheduler's log still shows the run happened.
+    # no-op so the scheduler's log still shows the run happened. A MISSING
+    # zone directory is different — that's a misconfigured sink path, and
+    # folding it into the no-op would hide it as eternal "success".
+    if not os.path.isdir(landing_sink):
+        raise FileNotFoundError(
+            f"landing zone {landing_sink!r} does not exist — check the sink path"
+        )
     try:
         landed = read_committed_batches(spark, landing_sink).drop("batch_id")
     except ValueError:
@@ -113,20 +140,15 @@ def nightly_increment(
     # exact-text check: a curated page re-landing under a NEW id passes the
     # id-keyed bloom and — if too short to shingle — the near-dup gate too,
     # so the fingerprint anti-join is the only thing standing between it
-    # and a permanent duplicate. Scan-side 16-byte fingerprints, one
-    # equi-join — at scale the corpus side is the stored fingerprint
-    # sidecar, not a re-read of the text.
-    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions.textstats import (
-        doc_fingerprint,
-    )
-
+    # and a permanent duplicate. The corpus side is the STORED fingerprint
+    # sidecar (computed once per doc, like the signatures) — tonight's cost
+    # stays O(|batch|); the corpus text is never re-read.
     batch_deduped = exact_dedup(
         skip_existing_bloom(clean, snap.select("doc_id"), key="doc_id")
     )
-    corpus_fps = snap.select(doc_fingerprint(F.col("text")).alias("_fp"))
     fresh = (
-        batch_deduped.withColumn("_fp", doc_fingerprint(F.col("text")))
-        .join(corpus_fps, "_fp", "left_anti")
+        batch_deduped.withColumn("_fp", _text_fingerprint(F.col("text")))
+        .join(stored_fps.select(F.col("fp").alias("_fp")), "_fp", "left_anti")
         .drop("_fp")
         .persist()
     )
@@ -169,6 +191,9 @@ def nightly_increment(
     stored_sigs.unionByName(
         batch_sigs.join(survivors.select("doc_id"), "doc_id", "left_semi")
     ).write.mode("overwrite").parquet(f"{corpus_dir}/signatures/v{nv}")
+    stored_fps.unionByName(
+        survivors.select("doc_id", _text_fingerprint(F.col("text")).alias("fp"))
+    ).write.mode("overwrite").parquet(f"{corpus_dir}/fingerprints/v{nv}")
     new_snap = spark.read.parquet(f"{corpus_dir}/snapshot/v{nv}")
     diff = corpus_diff(snap, new_snap)
     diff.write.mode("overwrite").parquet(f"{corpus_dir}/diff/v{nv}")

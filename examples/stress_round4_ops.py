@@ -121,7 +121,7 @@ def stress_interval_join(spark, sf_dir: str, n_intervals: int) -> float:
     # without an ordering may pick a DIFFERENT sample if the persisted
     # frame is evicted and recomputed between the two joins, which would
     # fire the width-invariance assert as a false alarm
-    sel_mod = max(1, 100_000 // n_intervals)
+    sel_mod = max(1, ev.count() // n_intervals)
     iv = (
         ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(sel_mod)) == 0)
         .select(

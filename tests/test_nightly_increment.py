@@ -70,10 +70,12 @@ def test_snapshot_and_signatures_stay_in_lockstep(nightly, spark):
     nv = c1["version"]
     snap = spark.read.parquet(f"{corpus_dir}/snapshot/v{nv}")
     sigs = spark.read.parquet(f"{corpus_dir}/signatures/v{nv}")
+    fps = spark.read.parquet(f"{corpus_dir}/fingerprints/v{nv}")
     assert snap.count() == snap.select("doc_id").distinct().count()
-    assert sigs.count() == sigs.select("doc_id").distinct().count()
-    assert snap.join(sigs, "doc_id", "left_anti").count() == 0
-    assert sigs.join(snap, "doc_id", "left_anti").count() == 0
+    for side in (sigs, fps):
+        assert side.count() == side.select("doc_id").distinct().count()
+        assert snap.join(side, "doc_id", "left_anti").count() == 0
+        assert side.join(snap, "doc_id", "left_anti").count() == 0
 
 
 def test_increment_pairs_equal_full_recompute_restricted(nightly, spark, sf_dir):
@@ -162,6 +164,39 @@ def test_empty_landing_zone_is_a_graceful_noop(nightly, spark, tmp_path):
     c = nightly_mod.nightly_increment(spark, str(empty), corpus_dir, v)
     assert c["version"] == v and c["published"] == 0 and c["landed"] == 0
     assert not os.path.exists(f"{corpus_dir}/snapshot/v{v + 1}")
+    # a MISSING zone is a misconfigured sink path, not a quiet night —
+    # folding it into the no-op would report eternal success while no
+    # data ever flows
+    with pytest.raises(FileNotFoundError, match="landing zone"):
+        nightly_mod.nightly_increment(
+            spark, str(tmp_path / "no_such_zone"), corpus_dir, v
+        )
+
+
+def test_text_fingerprint_sentinel_catches_null_text(nightly, spark):
+    """doc_fingerprint(NULL) is NULL and NULL keys never match an
+    anti-join — the sentinel is what stops a NULL-text doc re-publishing
+    under a fresh id every night. Empty text must stay distinct from NULL
+    (md5('') is a real value)."""
+    nightly_mod = nightly[0]
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    fps = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", nightly_mod._text_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fps[1] == "<null-text>"
+    assert fps[2] != fps[1] and fps[3] != fps[1] and fps[2] != fps[3]
+    # the anti-join actually drops a re-landing NULL-text doc
+    batch = df.withColumn("_fp", nightly_mod._text_fingerprint(F.col("text")))
+    stored = spark.createDataFrame([("<null-text>",)], "fp string")
+    kept = batch.join(
+        stored.select(F.col("fp").alias("_fp")), "_fp", "left_anti"
+    )
+    assert {r.doc_id for r in kept.collect()} == {2, 3}
 
 
 def test_night2_is_a_noop_publish(nightly):
