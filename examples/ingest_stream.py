@@ -85,6 +85,11 @@ def ingest(spark, landing_dir: str, sink_dir: str, ckpt_dir: str,
 def curate_increment(spark, sink_dir: str, existing_docs):
     """Stage 4: (new_docs, corrupt_ledger) from the committed landing zone.
 
+    NOTE: this is the minimal ID-keyed skip — a re-crawled page landing
+    under a NEW doc_id passes it. The full gate chain (stored exact-text
+    fingerprints + incremental near-dup against stored signatures +
+    snapshot diff) is the ``examples/nightly_increment.py`` walkthrough.
+
     ``new_docs`` is exact-deduped and excludes anything whose ``doc_id``
     the curated corpus already holds; ``corrupt_ledger`` is the raw text of
     every malformed line for the quarantine sink. The skip-if-exists check
