@@ -94,6 +94,12 @@ R5_PROMOTIONS = [
 # should stay empty unless a mid-round oracled query genuinely lands. The
 # orphan test exempts exactly this list, so the rotation chore can never
 # silently backlog.
+#
+# ROUND-6 ROTATION PLAN: if CORRECTNESS_r05 lands 50/50 green, every
+# oracle has a driver row and the catch-up is complete. From round 6 on,
+# the window = flagships + any new promotions + the OLDEST-green rows
+# (refresh r01/r02 rows first — their green predates the dtype-kind
+# parity hardening and several operator rewrites).
 R6_PROMOTIONS: list = []
 
 
