@@ -47,6 +47,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # sibling exampl
 from pyspark.sql import DataFrame, functions as F
 
 from map_reduced_approach_for_vietnamese_long_document_summarization_spark import get_spark
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions import (
+    doc_fingerprint_nullsafe,
+)
 from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
     exact_dedup,
 )
@@ -67,19 +70,6 @@ from map_reduced_approach_for_vietnamese_long_document_summarization_spark.strea
 )
 
 
-def _text_fingerprint(text_col):
-    """Exact-text dedup key: 16-byte fingerprint with a sentinel for NULL
-    text. doc_fingerprint(NULL) is NULL, and NULL join keys never match in
-    an anti-join — without the sentinel a NULL-text doc would re-publish
-    under a fresh id every night (it also evades the MinHash gate, whose
-    sentinel signatures are excluded by design)."""
-    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions.textstats import (
-        doc_fingerprint,
-    )
-
-    return F.coalesce(doc_fingerprint(text_col), F.lit("<null-text>"))
-
-
 def bootstrap_corpus(spark, docs: DataFrame, corpus_dir: str) -> int:
     """Version 0: seed the curated corpus and its two sidecars — MinHash
     signatures (near-dup gate) and exact-text fingerprints (re-crawl
@@ -91,7 +81,7 @@ def bootstrap_corpus(spark, docs: DataFrame, corpus_dir: str) -> int:
         "overwrite"
     ).parquet(f"{corpus_dir}/signatures/v0")
     snap.select(
-        "doc_id", _text_fingerprint(F.col("text")).alias("fp")
+        "doc_id", doc_fingerprint_nullsafe(F.col("text")).alias("fp")
     ).write.mode("overwrite").parquet(f"{corpus_dir}/fingerprints/v0")
     return 0
 
@@ -114,12 +104,9 @@ def nightly_increment(
     # the current version (no new snapshot — republishing an identical
     # corpus would burn a version number and a full copy) and report a
     # no-op so the scheduler's log still shows the run happened. A MISSING
-    # zone directory is different — that's a misconfigured sink path, and
-    # folding it into the no-op would hide it as eternal "success".
-    if not os.path.isdir(landing_sink):
-        raise FileNotFoundError(
-            f"landing zone {landing_sink!r} does not exist — check the sink path"
-        )
+    # zone root is different — a misconfigured sink path must stay loud,
+    # and the reader distinguishes it (FileNotFoundError, filesystem-API
+    # based so object-store URIs work) from the quiet-night ValueError.
     try:
         landed = read_committed_batches(spark, landing_sink).drop("batch_id")
     except ValueError:
@@ -146,10 +133,12 @@ def nightly_increment(
     batch_deduped = exact_dedup(
         skip_existing_bloom(clean, snap.select("doc_id"), key="doc_id")
     )
+    # keep _fp on the survivors: the publish step stores the SAME column in
+    # the sidecar, so the gate value and the stored value can never drift
+    # (and the batch text is fingerprinted once, not re-hashed at publish)
     fresh = (
-        batch_deduped.withColumn("_fp", _text_fingerprint(F.col("text")))
+        batch_deduped.withColumn("_fp", doc_fingerprint_nullsafe(F.col("text")))
         .join(stored_fps.select(F.col("fp").alias("_fp")), "_fp", "left_anti")
-        .drop("_fp")
         .persist()
     )
 
@@ -192,10 +181,13 @@ def nightly_increment(
         batch_sigs.join(survivors.select("doc_id"), "doc_id", "left_semi")
     ).write.mode("overwrite").parquet(f"{corpus_dir}/signatures/v{nv}")
     stored_fps.unionByName(
-        survivors.select("doc_id", _text_fingerprint(F.col("text")).alias("fp"))
+        survivors.select("doc_id", F.col("_fp").alias("fp"))
     ).write.mode("overwrite").parquet(f"{corpus_dir}/fingerprints/v{nv}")
-    new_snap = spark.read.parquet(f"{corpus_dir}/snapshot/v{nv}")
-    diff = corpus_diff(snap, new_snap)
+    # diff from the fingerprint SIDECARS, not the snapshots: the audit is
+    # then O(keys) — corpus text is never re-read by a nightly run, which
+    # is the whole point of maintaining the sidecar
+    new_fps = spark.read.parquet(f"{corpus_dir}/fingerprints/v{nv}")
+    diff = corpus_diff(stored_fps, new_fps, fingerprint_col="fp")
     diff.write.mode("overwrite").parquet(f"{corpus_dir}/diff/v{nv}")
     # pair audit: which near-dups tonight's batch hit (and lost to) — the
     # log a curation team reviews when a source suddenly collapses

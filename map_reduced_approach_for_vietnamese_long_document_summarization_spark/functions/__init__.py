@@ -24,7 +24,9 @@ from .textstats import (
     char_count,
     char_entropy_batch,
     compression_ratio_udf,
+    NULL_TEXT_FINGERPRINT,
     doc_fingerprint,
+    doc_fingerprint_nullsafe,
     language_id,
     quality_score,
     repetition_stats,
@@ -70,7 +72,9 @@ __all__ = [
     "truncate_tokens",
     "ws_token_count",
     "char_count",
+    "NULL_TEXT_FINGERPRINT",
     "doc_fingerprint",
+    "doc_fingerprint_nullsafe",
     "language_id",
     "quality_score",
     "word_count",

@@ -181,6 +181,23 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_whitespace(col))
 
 
+#: Sentinel dedup key for NULL text (see ``doc_fingerprint_nullsafe``).
+#: Cannot collide with a real fingerprint: md5 hex is exactly 32 chars.
+NULL_TEXT_FINGERPRINT = "<null-text>"
+
+
+def doc_fingerprint_nullsafe(col: Column | str) -> Column:
+    """``doc_fingerprint`` with a sentinel for NULL text — the JOIN-safe
+    variant. ``doc_fingerprint(NULL)`` is NULL, and NULL keys never match
+    in equi/anti-joins, so an exact-text gate built on the raw fingerprint
+    silently passes every NULL-text doc through (they also evade
+    MinHash-based gates, whose sentinel signatures are excluded by
+    design). Use THIS when the fingerprint is a join key; use the raw
+    variant when NULL-ness itself carries meaning (``corpus_diff`` keeps
+    explicit presence markers instead)."""
+    return F.coalesce(doc_fingerprint(col), F.lit(NULL_TEXT_FINGERPRINT))
+
+
 def char_entropy_batch(df, id_col: str = "doc_id", text_col: str = "text"):
     """Per-document Shannon character entropy (bits/char) — the cheap
     gibberish/degenerate-text signal quality pipelines layer next to the

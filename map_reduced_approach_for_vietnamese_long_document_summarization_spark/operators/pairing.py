@@ -159,6 +159,7 @@ def corpus_diff(
     new: DataFrame,
     key: str = "doc_id",
     text_col: str = "text",
+    fingerprint_col: str | None = None,
 ) -> DataFrame:
     """Snapshot diff of two corpus versions: (key, status) where status is
     ``added`` (key only in new), ``removed`` (only in old), ``changed``
@@ -168,20 +169,29 @@ def corpus_diff(
 
     One full outer join on the key with 16-byte fingerprints — the
     documents' text never shuffles (fingerprints computed scan-side), so
-    the diff costs the same as any key join at 100 TB."""
+    the diff costs the same as any key join at 100 TB. When the pipeline
+    already maintains a fingerprint sidecar (``examples/
+    nightly_increment.py``), pass its column as ``fingerprint_col`` and
+    hand in the sidecar frames — the diff then never touches text at all
+    (O(keys), not O(corpus bytes))."""
     from ..functions.textstats import doc_fingerprint
 
+    fp = (
+        F.col(fingerprint_col)
+        if fingerprint_col
+        else doc_fingerprint(F.col(text_col))
+    )
     # explicit presence markers: deciding presence from fingerprint
     # NULL-ness would misclassify NULL-text rows (their fingerprint is NULL
     # while the row exists) — a removed NULL-text doc would read "added"
     o = old.select(
         F.col(key),
-        doc_fingerprint(F.col(text_col)).alias("_fp_old"),
+        fp.alias("_fp_old"),
         F.lit(True).alias("_in_old"),
     )
     n = new.select(
         F.col(key),
-        doc_fingerprint(F.col(text_col)).alias("_fp_new"),
+        fp.alias("_fp_new"),
         F.lit(True).alias("_in_new"),
     )
     joined = o.join(n, key, "full_outer")

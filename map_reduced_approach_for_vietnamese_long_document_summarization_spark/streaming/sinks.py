@@ -105,9 +105,14 @@ def read_committed_batches(spark, path: str) -> DataFrame:
     fs = w._fs(spark)
     root = w._hpath(spark, w.path)
     if not fs.exists(root):
-        # same logical condition as "zero committed batches" — surface the
-        # same clean error instead of a Py4J FileNotFoundException
-        raise ValueError(f"no committed batches under {path}")
+        # DISTINCT from "zero committed batches": a zone that exists but
+        # holds nothing yet is a quiet night a scheduler may treat as a
+        # no-op, while a missing root is a misconfigured sink path that
+        # must stay loud (works for any Hadoop filesystem — local, HDFS,
+        # object stores — unlike an os.path check)
+        raise FileNotFoundError(
+            f"landing zone {path!r} does not exist — check the sink path"
+        )
     committed = []
     for status in fs.listStatus(root):
         p = status.getPath()

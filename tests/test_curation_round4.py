@@ -685,6 +685,20 @@ def test_corpus_diff_statuses(spark):
     # fingerprint is whitespace-normalized: ' same ' vs 'same' would be
     # 'unchanged' had doc 5 existed before
 
+    # sidecar path: precomputed fingerprint frames give the identical diff
+    # without corpus_diff ever seeing text (the nightly O(keys) audit)
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions import (
+        doc_fingerprint_nullsafe,
+    )
+
+    old_fp = old.select("doc_id", doc_fingerprint_nullsafe(F.col("text")).alias("fp"))
+    new_fp = new.select("doc_id", doc_fingerprint_nullsafe(F.col("text")).alias("fp"))
+    via_fp = {
+        r.doc_id: r.status
+        for r in corpus_diff(old_fp, new_fp, fingerprint_col="fp").collect()
+    }
+    assert via_fp == got
+
 
 # --- learned quality classifier -------------------------------------------
 

@@ -173,26 +173,30 @@ def test_empty_landing_zone_is_a_graceful_noop(nightly, spark, tmp_path):
         )
 
 
-def test_text_fingerprint_sentinel_catches_null_text(nightly, spark):
+def test_text_fingerprint_sentinel_catches_null_text(spark):
     """doc_fingerprint(NULL) is NULL and NULL keys never match an
     anti-join — the sentinel is what stops a NULL-text doc re-publishing
     under a fresh id every night. Empty text must stay distinct from NULL
     (md5('') is a real value)."""
-    nightly_mod = nightly[0]
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions import (
+        NULL_TEXT_FINGERPRINT,
+        doc_fingerprint_nullsafe,
+    )
+
     df = spark.createDataFrame(
         [(1, None), (2, ""), (3, "x")], "doc_id long, text string"
     )
     fps = {
         r.doc_id: r.fp
         for r in df.select(
-            "doc_id", nightly_mod._text_fingerprint(F.col("text")).alias("fp")
+            "doc_id", doc_fingerprint_nullsafe(F.col("text")).alias("fp")
         ).collect()
     }
-    assert fps[1] == "<null-text>"
+    assert fps[1] == NULL_TEXT_FINGERPRINT
     assert fps[2] != fps[1] and fps[3] != fps[1] and fps[2] != fps[3]
     # the anti-join actually drops a re-landing NULL-text doc
-    batch = df.withColumn("_fp", nightly_mod._text_fingerprint(F.col("text")))
-    stored = spark.createDataFrame([("<null-text>",)], "fp string")
+    batch = df.withColumn("_fp", doc_fingerprint_nullsafe(F.col("text")))
+    stored = spark.createDataFrame([(NULL_TEXT_FINGERPRINT,)], "fp string")
     kept = batch.join(
         stored.select(F.col("fp").alias("_fp")), "_fp", "left_anti"
     )

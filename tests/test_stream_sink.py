@@ -90,6 +90,16 @@ def test_batch_id_partition_prunes(spark, sf_dir, out_dir):
     assert got.count() == 5
 
 
-def test_reader_on_missing_dir_raises_value_error(spark, tmp_path):
-    with pytest.raises(ValueError):
+def test_reader_on_missing_dir_raises_file_not_found(spark, tmp_path):
+    """A missing ROOT is a misconfigured sink path (loud, distinct), not
+    the quiet 'zero committed batches yet' ValueError an existing-but-empty
+    zone raises — schedulers fold the latter into a no-op night."""
+    with pytest.raises(FileNotFoundError, match="landing zone"):
         read_committed_batches(spark, str(tmp_path / "never-created"))
+
+
+def test_reader_on_existing_empty_dir_raises_value_error(spark, tmp_path):
+    empty = tmp_path / "empty-zone"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no committed batches"):
+        read_committed_batches(spark, str(empty))
