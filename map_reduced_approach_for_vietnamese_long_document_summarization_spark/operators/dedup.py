@@ -30,7 +30,15 @@ from ..functions.textstats import doc_fingerprint
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one row (min id) per distinct normalized text; adds n_copies."""
+    """Keep one row (min id) per distinct normalized text; adds n_copies.
+
+    NULL-text docs count as ONE distinct group (SQL DISTINCT semantics —
+    window partitioning groups NULL fingerprints, and the DuckDB oracle
+    replays the same rule), so duplicates among them collapse like any
+    other repeated value. This differs deliberately from line_dedup /
+    span_dedup, which PRESERVE each NULL/emptied doc as its own husk:
+    there the doc row carries structure worth keeping; here the contract
+    is one row per distinct content value, and NULL is one value."""
     w = Window.partitionBy("_fp").orderBy(id_col)
     return (
         df.withColumn("_fp", doc_fingerprint(text_col))
