@@ -9,6 +9,9 @@ State on disk (the "curated corpus" between runs):
       fingerprints/v{N}/ stored exact-text fingerprints (doc_id, fp)
       diff/v{N}/         (key, status) audit vs v{N-1}
       pairs/v{N}/        near-dup pair audit for night N's batch
+      manifest/v{N}_COMMITTED  written LAST — an unmarked version is a
+                         crashed publish and stays invisible; recovery is
+                         re-running the night (all writes are overwrite)
 
 Each nightly run composes four operators that all exist standalone:
 
@@ -70,6 +73,34 @@ from map_reduced_approach_for_vietnamese_long_document_summarization_spark.strea
 )
 
 
+def _corpus_fs(spark, corpus_dir: str):
+    """Hadoop FS handle + path factory for the corpus dir (scheme-agnostic:
+    file:, hdfs:, s3a: — same pattern as the landing zone's sink)."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.sinks import (
+        IdempotentParquetBatchWriter,
+    )
+
+    w = IdempotentParquetBatchWriter(corpus_dir)
+    return w._fs(spark), (lambda p: w._hpath(spark, p))
+
+
+def mark_version_committed(spark, corpus_dir: str, version: int) -> None:
+    """Atomic publish commit: the marker is written only after ALL of a
+    version's artifacts (snapshot + both sidecars + diff + pairs) landed —
+    the per-version twin of the landing zone's per-batch ``_COMMITTED``.
+    A publisher crash between artifact writes leaves an unmarked (hence
+    invisible) version; re-running the same night overwrites every
+    artifact and then marks, so recovery is a plain re-run."""
+    fs, hpath = _corpus_fs(spark, corpus_dir)
+    fs.mkdirs(hpath(f"{corpus_dir}/manifest"))
+    fs.create(hpath(f"{corpus_dir}/manifest/v{version}_COMMITTED"), True).close()
+
+
+def is_version_committed(spark, corpus_dir: str, version: int) -> bool:
+    fs, hpath = _corpus_fs(spark, corpus_dir)
+    return fs.exists(hpath(f"{corpus_dir}/manifest/v{version}_COMMITTED"))
+
+
 def bootstrap_corpus(spark, docs: DataFrame, corpus_dir: str) -> int:
     """Version 0: seed the curated corpus and its two sidecars — MinHash
     signatures (near-dup gate) and exact-text fingerprints (re-crawl
@@ -83,6 +114,7 @@ def bootstrap_corpus(spark, docs: DataFrame, corpus_dir: str) -> int:
     snap.select(
         "doc_id", doc_fingerprint_nullsafe(F.col("text")).alias("fp")
     ).write.mode("overwrite").parquet(f"{corpus_dir}/fingerprints/v0")
+    mark_version_committed(spark, corpus_dir, 0)
     return 0
 
 
@@ -94,7 +126,15 @@ def nightly_increment(
     threshold: float = 0.5,
 ) -> dict:
     """Run one night: returns the stage counts a scheduler would log.
-    Reads snapshot/signatures/fingerprints v{version}, writes v{version+1}."""
+    Reads snapshot/signatures/fingerprints v{version}, writes v{version+1}
+    and marks it committed LAST (crash mid-publish = unmarked = invisible;
+    recovery = re-run the same night)."""
+    if not is_version_committed(spark, corpus_dir, version):
+        raise ValueError(
+            f"corpus version v{version} is not committed — a previous "
+            "publish crashed mid-write; re-run the night that produces it "
+            "(or bootstrap) before consuming it"
+        )
     snap = spark.read.parquet(f"{corpus_dir}/snapshot/v{version}")
     stored_sigs = spark.read.parquet(f"{corpus_dir}/signatures/v{version}")
     stored_fps = spark.read.parquet(f"{corpus_dir}/fingerprints/v{version}")
@@ -192,6 +232,8 @@ def nightly_increment(
     # pair audit: which near-dups tonight's batch hit (and lost to) — the
     # log a curation team reviews when a source suddenly collapses
     pairs.write.mode("overwrite").parquet(f"{corpus_dir}/pairs/v{nv}")
+    # commit LAST: all five artifacts are on disk, v{nv} becomes visible
+    mark_version_committed(spark, corpus_dir, nv)
 
     counts = {
         "landed": landed.count(),

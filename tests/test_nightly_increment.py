@@ -203,6 +203,40 @@ def test_text_fingerprint_sentinel_catches_null_text(spark):
     assert {r.doc_id for r in kept.collect()} == {2, 3}
 
 
+def test_crashed_publish_is_invisible_and_rerunnable(nightly, spark, sf_dir):
+    """The per-version commit marker is written after ALL artifacts: a
+    crash mid-publish (marker + one sidecar missing) makes the version
+    loudly unconsumable, and recovery is re-running the same night — every
+    artifact write is overwrite-mode, so the rebuild is byte-deterministic."""
+    import shutil
+
+    nightly_mod, _, _, _, sink, work = nightly
+    corpus_dir = os.path.join(work, "corpus_crash")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    v0 = nightly_mod.bootstrap_corpus(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), corpus_dir
+    )
+    c1 = nightly_mod.nightly_increment(spark, sink, corpus_dir, v0)
+    assert nightly_mod.is_version_committed(spark, corpus_dir, 1)
+
+    # simulate the publisher dying between the fingerprint write and the
+    # marker: v1 loses its marker AND a sidecar
+    os.remove(os.path.join(corpus_dir, "manifest", "v1_COMMITTED"))
+    shutil.rmtree(os.path.join(corpus_dir, "fingerprints", "v1"))
+    with pytest.raises(ValueError, match="not committed"):
+        nightly_mod.nightly_increment(spark, sink, corpus_dir, 1)
+
+    # recovery: re-run the night that produces v1
+    c1b = nightly_mod.nightly_increment(spark, sink, corpus_dir, v0)
+    assert c1b == c1
+    assert nightly_mod.is_version_committed(spark, corpus_dir, 1)
+    fps = spark.read.parquet(f"{corpus_dir}/fingerprints/v1")
+    snap = spark.read.parquet(f"{corpus_dir}/snapshot/v1")
+    assert fps.count() == snap.count()
+
+
 def test_night2_is_a_noop_publish(nightly):
     """Replaying the same landing zone publishes nothing: the bloom skips
     every curated doc, the near-dup gate re-rejects last night's losers,
