@@ -18,76 +18,83 @@ from . import subqueries as _subqueries  # noqa: F401  (registers its queries)
 from . import training as _training  # noqa: F401  (registers its queries)
 from . import tpch_extra as _tpch_extra  # noqa: F401  (registers its queries)
 
+# Rounds of CORRECTNESS artifacts this window's staleness ranking was
+# computed from (CORRECTNESS_r01..r{N}.json). Bump when re-rotating so the
+# policy test re-derives the expected window from the same evidence.
+ROTATION_BASIS_ROUNDS = 5
+
 _PRIORITY = [
-    # ROUND-5 ROTATION: the window (50) holds (a) the 5 pipeline flagships,
-    # (b) one representative per operator family (22 + 7 extra reps from
-    # the green pool), (c) the 15 R5_PROMOTIONS — oracled queries that
-    # landed after the round-4 window froze — and (d) corpus_top_bigrams,
-    # the one red r04 row (hash-only oracle-dtype artifact, oracle fixed
-    # this round with ::BIGINT), back for its green re-check. Everything
-    # demoted to the tail has a green driver row in CORRECTNESS_r01-r04
-    # and stays in the local parity suite. Once this window goes green,
-    # EVERY oracle in the registry has a green driver row.
-    # -- summarization pipeline flagships (SURVEY §2.4 D1-D17) --------------
+    # ROUND-6 ROTATION — STALENESS REFRESH. As of CORRECTNESS_r05 every one
+    # of the 141 oracled queries has a green driver row (union verified by
+    # the r5 judge), so the window's job flips from *adding* coverage to
+    # *keeping it fresh*: the 50 slots hold the 5 pipeline flagships (always
+    # in) plus the 45 oracles whose most recent green driver row is OLDEST
+    # (all 40 r1-vintage rows + the first 5 of the 11 r2-vintage rows, by
+    # name). r1/r2 green predates the dtype-kind parity hardening and
+    # several operator rewrites — refreshing those rows is worth more than
+    # re-checking last round's. tests/test_registry_window.py::
+    # test_window_prefers_stalest re-derives this exact set from the
+    # CORRECTNESS_r01..r05 artifacts, so the rotation is a pinned policy,
+    # not a judgment call.
+    # -- summarization pipeline flagships (SURVEY §2.4 D1-D17): always in --
     "pipeline_mapreduce_mock",
     "pipeline_iterative_mock",
     "pipeline_critique_mock",
     "pipeline_hierarchical_mock",
     "pipeline_truncated_mock",
-    # -- family representatives (all green in a prior round) ----------------
-    "mock_collapse_loop",  # collapse loop (D4-D8)
-    "doc_chunk_fixed100",  # chunking (D1)
-    "tree_file_hierarchical",  # S3 file source -> D12-D17
-    "doc_exact_dedup",  # exact dedup
-    "minhash_md5_dedup",  # MinHash+LSH
-    "simhash_md5_near_dups",  # SimHash
-    "ngram_jaccard_top20",  # n-gram Jaccard verify
-    "doc_dup_clusters",  # connected components
-    "embedding_knn_top3",  # ANN exact
-    "embedding_ann_lsh_top3",  # ANN SRP-LSH
-    "ann_recall_at3",  # ANN recall harness
-    "multimodal_decode_features",  # multimodal plumbing
-    "rouge1_per_doc",  # M1
-    "bertscore_mock_pairs",  # M2
-    "llm_judge_mock_scores",  # M4/A7
-    "bm25_search_top10",  # retrieval
-    "doc_repetition_stats",  # text analysis (Gopher)
-    "events_tumbling_10min",  # streaming batch twin
-    "order_priority_exists_late",  # subquery family
-    "doc_split_assign",  # split/sampling
-    "corpus_pack_512",  # sequence packing
-    "purchase_click_attribution",  # as-of join
-    # -- extra family reps (green in r1-r3, distinct families) --------------
-    "doc_span_dedup",  # span dedup (C4 windows)
-    "doc_contamination_top20",  # n-gram decontamination
-    "doc_pii_redact",  # PII redaction
-    "doc_greedy_buckets",  # size-bounded grouping (D5)
-    "events_sessionization",  # gap sessionization
-    "doc_winnow_fingerprints",  # winnowing fingerprints
-    "rouge1_moments_by_lang",  # metric moments (A2/A3)
-    # -- R5 promotions: oracled mid-round-4, first driver row now ----------
-    "corpus_mixture_rates",
-    "doc_bloom_skip_existing",
-    "doc_text_normalize",
-    "doc_dedup_keep_best",
-    "doc_line_dedup",
-    "events_click_in_purchase_window",
-    "minhash_md5_star_dedup",
-    "doc_script_ratios",
-    "doc_length_iqr_outliers",
-    "minhash_md5_incremental_dedup",
-    "hybrid_search_top10",
-    "doc_quality_report",
-    "media_ahash_near_dups",
-    "corpus_diff_status",
-    "doc_quality_classifier_fixed",
-    # -- red re-check: r04 hash-only mismatch, oracle ::BIGINT cast fixed ---
-    "corpus_top_bigrams",
-    # Tail: every other oracle is green in CORRECTNESS_r01-r04 and stays
-    # parity-checked locally (tests/test_oracle_parity.py); rows-only
+    # -- r1-vintage (last green CORRECTNESS_r01; 40 rows) -------------------
+    "cheapest_parts",
+    "customer_running_spend",
+    "customers_with_orders",
+    "customers_without_orders",
+    "doc_clean_thinking",
+    "doc_keyword_mentions",
+    "doc_language_id",
+    "doc_quality_scores",
+    "doc_stats_by_lang",
+    "doc_truncate_first50",
+    "events_json_key_counts",
+    "events_json_props",
+    "events_sliding_10m_5m",
+    "events_user_pivot",
+    "lang_source_roster",
+    "late_shipment_counts",
+    "local_supplier_volume_q5",
+    "monthly_order_volume",
+    "nation_foreign_regions",
+    "nation_top_customer",
+    "order_gap_days",
+    "orders_in_trailing_90d",
+    "part_both_flags_all",
+    "part_heavy_and_light",
+    "part_heavy_only",
+    "price_histogram",
+    "pricing_summary",
+    "priority_distinct_customers",
+    "priority_slices_union",
+    "region_customer_stats",
+    "region_nation_rollup",
+    "returned_item_customers_q10",
+    "returnflag_cube",
+    "returnflag_metrics_unpivot",
+    "salted_priority_counts",
+    "scalar_function_showcase",
+    "segment_stats",
+    "shipping_priority_q3",
+    "top2_orders_per_customer",
+    "top_revenue_orders",
+    # -- r2-vintage (last green CORRECTNESS_r02; first 5 of 11 by name) -----
+    "best_source_by_quality",
+    "customer_first_last_order",
+    "customer_order_full_outer",
+    "doc_collapse_buckets",
+    "doc_dedup_survivors",
+    # Tail: everything else is r2(+)-fresh and stays parity-checked locally
+    # every session (tests/test_oracle_parity.py, 141 oracles); rows-only
     # showcases (embedding_ivf_top3, bpe_token_counts, minhash/simhash raw
     # twins, doc_winnow_fast, minhash_star_fast, minhash_incremental_fast)
-    # ride the tail by design.
+    # ride the tail by design. Next-stalest queue for round 7: the 6
+    # remaining r2-vintage rows, then the 18 r3-vintage rows.
 ]
 
 
