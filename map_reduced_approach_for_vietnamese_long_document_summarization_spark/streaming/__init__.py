@@ -2,6 +2,7 @@
 
 from .events import (
     correlate_event_pairs,
+    interval_join_stream,
     dedup_events_stream,
     enrich_stream_with_dim,
     incremental_summarize_stream,
@@ -27,6 +28,7 @@ __all__ = [
     "session_event_counts",
     "stateful_user_running_stats",
     "correlate_event_pairs",
+    "interval_join_stream",
     "dedup_events_stream",
     "enrich_stream_with_dim",
     "incremental_summarize_stream",

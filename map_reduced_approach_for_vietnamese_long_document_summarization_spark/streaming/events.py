@@ -249,6 +249,75 @@ def correlate_event_pairs(
     )
 
 
+def interval_join_stream(
+    points: DataFrame,
+    intervals: DataFrame,
+    bucket_seconds: int,
+    max_interval: str,
+    point_time: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    on: str | None = None,
+    point_watermark: str = "1 hour",
+    interval_watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``operators.interval.interval_join`` — the same
+    bucketization, run as a stream-stream join with watermarks on both
+    sides so the join state is bounded and late rows drop.
+
+    The bucket column does double duty here: in batch it turns the range
+    predicate into a hash equi-join; in streaming it ALSO hands
+    StreamingSymmetricHashJoin its equality key, so the state store is
+    partitioned by (key, bucket) instead of the planner rejecting a pure
+    range condition. ``max_interval`` is the streaming-only contract: every
+    interval must satisfy ``end - start <= max_interval`` (the explicit
+    ``point_time <= start + max_interval`` bound is what lets Spark compute
+    state-eviction thresholds from the two watermarks — unbounded intervals
+    would mean unbounded state). For bounded intervals the bound is implied
+    by ``point_time < end`` and results equal the batch operator's exactly;
+    longer intervals lose matches beyond the bound, by contract.
+
+    Semantics are otherwise the batch operator's: half-open containment
+    ``start <= t < end``, optional equality key ``on``, both payloads ride
+    through (the interval-side key column is returned under its own name).
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    clash = (set(points.columns) & set(intervals.columns)) - ({on} if on else set())
+    if clash:
+        raise ValueError(f"rename clashing payload columns first: {sorted(clash)}")
+    reserved = {"_pb", "_ib", "_ikey"} & (set(points.columns) | set(intervals.columns))
+    if reserved:
+        raise ValueError(
+            f"interval_join_stream reserves {sorted(reserved)}; rename first"
+        )
+
+    def secs(c):
+        return F.col(c).cast("timestamp").cast("double")
+
+    w = F.lit(float(bucket_seconds))
+    p = points.withWatermark(point_time, point_watermark).withColumn(
+        "_pb", F.floor(secs(point_time) / w)
+    )
+    iv = intervals.withWatermark(start, interval_watermark)
+    if on is not None:
+        iv = iv.withColumnRenamed(on, "_ikey")
+    iv = iv.withColumn(
+        "_ib",
+        F.explode(F.sequence(F.floor(secs(start) / w), F.floor(secs(end) / w))),
+    )
+    cond = (
+        (F.col("_pb") == F.col("_ib"))
+        & (F.col(start) <= F.col(point_time))
+        & (F.col(point_time) < F.col(end))
+        # state-eviction bound: ties the two watermarked columns together
+        & (F.col(point_time) <= F.col(start) + F.expr(f"INTERVAL {max_interval}"))
+    )
+    if on is not None:
+        cond = cond & (F.col(on) == F.col("_ikey"))
+    return p.join(iv, cond).drop("_pb", "_ib", "_ikey")
+
+
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),

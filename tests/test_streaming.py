@@ -299,3 +299,149 @@ def test_stateful_running_stats(spark, sf_dir, events_stream):
         .collect()
     }
     assert got == want
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir, events_stream):
+    """Streaming twin of the events_click_in_purchase_window oracle query:
+    every click inside the 30-minute window before a same-user purchase,
+    run THROUGH the stream-stream bucketized interval join with watermarks
+    on both sides. The batch operator (driver-green r5) is the anchor."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        interval_join,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
+        interval_join_stream,
+    )
+
+    def shape(ev):
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), "ts"
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("start_ts"),
+            F.col("ts").alias("end_ts"),
+        )
+        return clicks, purchases
+
+    s_clicks, s_purchases = shape(events_stream)
+    name = _run_to_memory(
+        interval_join_stream(
+            s_clicks,
+            s_purchases,
+            bucket_seconds=1800,
+            max_interval="30 minutes",
+            on="user_id",
+        ).select("user_id", "click_id", "purchase_id"),
+        "append",
+    )
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    b_clicks, b_purchases = shape(load_table(spark, sf_dir, "events"))
+    want = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in interval_join(
+            b_clicks, b_purchases, bucket_seconds=1800, point_time="ts", on="user_id"
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_interval_join_stream_drops_late_points(spark, tmp_path):
+    """3-batch late-data contract (same protocol as
+    test_watermark_drops_late_rows): the watermark computed from batch N
+    becomes operative in batch N+1, so a click landing in batch 3 with an
+    event time below the operative watermark is dropped even though a
+    stored interval contains it — bounded state means late rows lose."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
+        interval_join_stream,
+    )
+
+    pdir = tmp_path / "points"
+    idir = tmp_path / "intervals"
+    pdir.mkdir()
+    idir.mkdir()
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    now = _time.time()
+
+    def write_points(name, minutes, ids, mtime):
+        path = str(pdir / name)
+        pd.DataFrame(
+            {
+                "click_id": ids,
+                "ts": [base + pd.Timedelta(minutes=m) for m in minutes],
+                "user_id": [1] * len(ids),
+            }
+        ).to_parquet(path)
+        os.utime(path, (mtime, mtime))
+
+    def write_intervals(name, rows, mtime):
+        # rows: (purchase_id, start_min, end_min)
+        path = str(idir / name)
+        pd.DataFrame(
+            {
+                "purchase_id": [r[0] for r in rows],
+                "start_ts": [base + pd.Timedelta(minutes=r[1]) for r in rows],
+                "end_ts": [base + pd.Timedelta(minutes=r[2]) for r in rows],
+                "user_id": [1] * len(rows),
+            }
+        ).to_parquet(path)
+        os.utime(path, (mtime, mtime))
+
+    # batch 1: interval A [10:00, 10:30) and a click at 10:05 (matches A);
+    # a click at 11:59 + interval B [11:50, 12:05) advance both watermarks
+    # to ~11:29 / ~11:20 (30m delay), operative from batch 2 on
+    write_points("p1.parquet", [5, 119], [100, 101], now - 100)
+    write_intervals("i1.parquet", [(200, 0, 30), (201, 110, 125)], now - 100)
+    # batch 2: an on-time click at 118 min (matches B). The now-operative
+    # watermark lets the join evict interval A's state this batch (no
+    # point <= A.start + 30min can still arrive).
+    write_points("p2.parquet", [118], [103], now - 50)
+    # batch 3: a LATE click at 10:10 — interval A contains it, but A's
+    # state is gone and the row is below the operative watermark
+    write_points("p3.parquet", [10], [102], now)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    points = (
+        spark.readStream.schema("click_id long, ts long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(pdir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    intervals = (
+        spark.readStream.schema(
+            "purchase_id long, start_ts long, end_ts long, user_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(idir))
+        .withColumn("start_ts", F.timestamp_micros(F.expr("start_ts div 1000")))
+        .withColumn("end_ts", F.timestamp_micros(F.expr("end_ts div 1000")))
+    )
+    name = _run_to_memory(
+        interval_join_stream(
+            points,
+            intervals,
+            bucket_seconds=600,
+            max_interval="30 minutes",
+            on="user_id",
+            point_watermark="30 minutes",
+            interval_watermark="30 minutes",
+        ).select("click_id", "purchase_id"),
+        "append",
+    )
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # on-time matches arrive; the late click 102 never pairs with A (200)
+    assert (100, 200) in got
+    assert (103, 201) in got
+    assert not any(c == 102 for c, _ in got), got
