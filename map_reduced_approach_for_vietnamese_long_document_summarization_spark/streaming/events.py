@@ -279,7 +279,8 @@ def interval_join_stream(
 
     Semantics are otherwise the batch operator's: half-open containment
     ``start <= t < end``, optional equality key ``on``, both payloads ride
-    through (the interval-side key column is returned under its own name).
+    through; the key column appears once in the output (the point side's —
+    the interval side's copy is equal by the join condition and dropped).
     """
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be positive")
