@@ -106,12 +106,18 @@ def main() -> None:
         QUERIES[name](spark, d).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - start
 
-    rows = []
+    rows, errors = [], []
     for name in names:
         small_ts, big_ts = [], []
-        for _ in range(max(1, args.reps)):
-            small_ts.append(_run(name, args.small))
-            big_ts.append(_run(name, args.big))
+        try:
+            for _ in range(max(1, args.reps)):
+                small_ts.append(_run(name, args.small))
+                big_ts.append(_run(name, args.big))
+        except Exception as exc:  # noqa: BLE001 — a tripwire that dies on
+            # the first broken query hides every later one's slope
+            errors.append({"query": name, "err": f"{type(exc).__name__}: {exc}"})
+            print(f"# {name}: ERROR {exc}", file=sys.stderr)
+            continue
         ts, tb = min(small_ts), min(big_ts)
         e = effective_exponent(ts, tb, data_ratio)
         flagged = is_superlinear(ts, tb, data_ratio)
@@ -135,6 +141,7 @@ def main() -> None:
         "max_exponent": MAX_EXPONENT,
         "min_big_sec": MIN_BIG_SEC,
         "rows": rows,
+        "errors": errors,
     }
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "scaling_last.json")
@@ -152,8 +159,11 @@ def main() -> None:
         print(f"| {r['query']}{mark} | {r['t_small']}s | {r['t_big']}s "
               f"| {r['ratio']} | {r['exponent']} |")
     flagged = [r["query"] for r in rows if r["flagged"]]
-    if flagged:
-        print(f"SUPERLINEAR: {flagged}", file=sys.stderr)
+    if flagged or errors:
+        if flagged:
+            print(f"SUPERLINEAR: {flagged}", file=sys.stderr)
+        if errors:
+            print(f"ERRORED: {[e['query'] for e in errors]}", file=sys.stderr)
         raise SystemExit(1)
     print(f"# all {len(rows)} queries <= e={MAX_EXPONENT} (or under "
           f"{MIN_BIG_SEC}s at sf{_sf(args.big)})", file=sys.stderr)

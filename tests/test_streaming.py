@@ -445,3 +445,35 @@ def test_interval_join_stream_drops_late_points(spark, tmp_path):
     assert (100, 200) in got
     assert (103, 201) in got
     assert not any(c == 102 for c, _ in got), got
+
+
+def test_interval_join_stream_plan_is_symmetric_hash_join(spark, events_stream):
+    """The bucket column must hand the stream-stream join its equality key:
+    the physical plan is StreamingSymmetricHashJoin fed by one exchange per
+    side — never a nested-loop fallback (which would mean the range
+    predicate reached the planner without the bucket equi-key and state
+    could not be keyed)."""
+    import pyspark
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
+        interval_join_stream,
+    )
+
+    clicks = events_stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = events_stream.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("start_ts"),
+        F.col("ts").alias("end_ts"),
+    )
+    out = interval_join_stream(
+        clicks, purchases, 1800, "30 minutes", on="user_id"
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    if pyspark.__version__.startswith("4.1"):
+        assert "StreamingSymmetricHashJoin" in plan, plan
