@@ -23,16 +23,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
+def compute_window(basis: int):
+    """(pinned, window, last-green map) under the staleness policy — the
+    same derivation as tests/test_registry_window.py::
+    expected_stalest_window, parameterized by basis round (a test pins the
+    two in lockstep for the current basis)."""
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans import ORACLES
     from tests.test_registry_window import FLAGSHIPS, R7_PROMOTIONS, WINDOW
 
     files = sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
-    rounds = [int(re.search(r"_r(\d+)\.json$", f).group(1)) for f in files]
-    basis = int(sys.argv[1]) if len(sys.argv) > 1 else max(rounds)
-
     last = {}
-    for f, rnd in zip(files, rounds):
+    for f in files:
+        rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
         if rnd > basis:
             continue
         with open(f) as fh:
@@ -45,7 +47,16 @@ def main() -> None:
         (n for n in ORACLES if n not in pinned),
         key=lambda n: (last.get(n, 0), n),
     )
-    window = pinned + pool[: WINDOW - len(pinned)]
+    return pinned, pinned + pool[: WINDOW - len(pinned)], last, pool[WINDOW - len(pinned):]
+
+
+def main() -> None:
+    from tests.test_registry_window import FLAGSHIPS, R7_PROMOTIONS
+
+    files = sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
+    rounds = [int(re.search(r"_r(\d+)\.json$", f).group(1)) for f in files]
+    basis = int(sys.argv[1]) if len(sys.argv) > 1 else max(rounds)
+    pinned, window, last, overflow = compute_window(basis)
 
     print(f"# ROTATION_BASIS_ROUNDS = {basis}")
     print("_PRIORITY = [")
@@ -64,7 +75,7 @@ def main() -> None:
             print(f"    # -- last green r{cur} --")
         print(f'    "{n}",')
     print("]")
-    nxt = [n for n in pool[WINDOW - len(pinned):]][:10]
+    nxt = overflow[:10]
     print(f"# next-stalest queue after this window: {nxt}")
 
 

@@ -154,3 +154,17 @@ def test_window_oracle_density():
 def test_every_oracled_name_is_registered():
     assert set(ORACLES) <= set(QUERIES)
     assert len(QUERIES) >= 25
+
+
+def test_rotation_helper_matches_policy():
+    """examples/rotate_window.py is the chore tool that generates the next
+    _PRIORITY block; its derivation must stay in lockstep with this test's
+    policy or a rotation could silently drift."""
+    import importlib.util
+
+    path = os.path.join(_REPO, "examples", "rotate_window.py")
+    spec = importlib.util.spec_from_file_location("rotate_window", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    _, window, _, _ = mod.compute_window(ROTATION_BASIS_ROUNDS)
+    assert window == expected_stalest_window()
