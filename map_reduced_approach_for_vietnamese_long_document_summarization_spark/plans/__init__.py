@@ -21,80 +21,75 @@ from . import tpch_extra as _tpch_extra  # noqa: F401  (registers its queries)
 # Rounds of CORRECTNESS artifacts this window's staleness ranking was
 # computed from (CORRECTNESS_r01..r{N}.json). Bump when re-rotating so the
 # policy test re-derives the expected window from the same evidence.
-ROTATION_BASIS_ROUNDS = 5
+ROTATION_BASIS_ROUNDS = 6
 
 _PRIORITY = [
-    # ROUND-6 ROTATION — STALENESS REFRESH. As of CORRECTNESS_r05 every one
-    # of the 141 oracled queries has a green driver row (union verified by
-    # the r5 judge), so the window's job flips from *adding* coverage to
-    # *keeping it fresh*: the 50 slots hold the 5 pipeline flagships (always
-    # in) plus the 45 oracles whose most recent green driver row is OLDEST
-    # (all 40 r1-vintage rows + the first 5 of the 11 r2-vintage rows, by
-    # name). r1/r2 green predates the dtype-kind parity hardening and
-    # several operator rewrites — refreshing those rows is worth more than
-    # re-checking last round's. tests/test_registry_window.py::
-    # test_window_prefers_stalest re-derives this exact set from the
-    # CORRECTNESS_r01..r05 artifacts, so the rotation is a pinned policy,
-    # not a judgment call.
+    # ROUND-7 ROTATION — STALENESS REFRESH (VERDICT r6 item 1). Basis =
+    # CORRECTNESS_r01..r06. The 45 non-flagship slots retire the entire
+    # ≤r3 tail: all 6 oracles last green in r2, all 18 last green in r3,
+    # and the first 21 of the r4 vintage by name. After r7 goes green no
+    # oracle's most recent driver row is older than r4.
+    # tests/test_registry_window.py::test_window_prefers_stalest re-derives
+    # this exact set from the artifacts; examples/rotate_window.py printed
+    # this block.
     # -- summarization pipeline flagships (SURVEY §2.4 D1-D17): always in --
     "pipeline_mapreduce_mock",
     "pipeline_iterative_mock",
     "pipeline_critique_mock",
     "pipeline_hierarchical_mock",
     "pipeline_truncated_mock",
-    # -- r1-vintage (last green CORRECTNESS_r01; 40 rows) -------------------
-    "cheapest_parts",
-    "customer_running_spend",
-    "customers_with_orders",
-    "customers_without_orders",
-    "doc_clean_thinking",
-    "doc_keyword_mentions",
-    "doc_language_id",
-    "doc_quality_scores",
-    "doc_stats_by_lang",
-    "doc_truncate_first50",
-    "events_json_key_counts",
-    "events_json_props",
-    "events_sliding_10m_5m",
-    "events_user_pivot",
-    "lang_source_roster",
-    "late_shipment_counts",
-    "local_supplier_volume_q5",
-    "monthly_order_volume",
-    "nation_foreign_regions",
-    "nation_top_customer",
-    "order_gap_days",
-    "orders_in_trailing_90d",
-    "part_both_flags_all",
-    "part_heavy_and_light",
-    "part_heavy_only",
-    "price_histogram",
-    "pricing_summary",
-    "priority_distinct_customers",
-    "priority_slices_union",
-    "region_customer_stats",
-    "region_nation_rollup",
-    "returned_item_customers_q10",
-    "returnflag_cube",
-    "returnflag_metrics_unpivot",
-    "salted_priority_counts",
-    "scalar_function_showcase",
-    "segment_stats",
-    "shipping_priority_q3",
-    "top2_orders_per_customer",
-    "top_revenue_orders",
-    # -- r2-vintage (last green CORRECTNESS_r02; first 5 of 11 by name) -----
-    "best_source_by_quality",
-    "customer_first_last_order",
-    "customer_order_full_outer",
-    "doc_collapse_buckets",
-    "doc_dedup_survivors",
-    # Tail: everything else is r2(+)-fresh and stays parity-checked locally
+    # -- last green r2 ------------------------------------------------------
+    "embedding_cosine_pairs_exact",
+    "embedding_label_centroids",
+    "estimated_chunk_counts",
+    "mock_collapse_level",
+    "rouge1_histogram",
+    "rouge2_per_doc",
+    # -- last green r3 ------------------------------------------------------
+    "big_order_customers",
+    "brand_small_qty_revenue",
+    "corpus_pack_greedy_512",
+    "customer_balance_ranks",
+    "doc_stratified_sample",
+    "dormant_rich_customers",
+    "embedding_int8_roundtrip",
+    "embedding_ivf_fixed_top3",
+    "embedding_near_dups_lsh",
+    "events_click_purchase_pairs",
+    "forecast_revenue_q6",
+    "lineitem_grouping_sets",
+    "multimodal_decode_dims",
+    "nation_supplier_scalars",
+    "promo_revenue_q14",
+    "returnflag_except_all",
+    "segment_price_percentiles",
+    "source_name_sanitize",
+    # -- last green r4 (first 21 by name) -----------------------------------
+    "doc_char_entropy",
+    "doc_epoch_upsample",
+    "doc_feature_hash_embed",
+    "doc_source_quota",
+    "doc_tfidf_top3",
+    "doc_unigram_logprob",
+    "embedding_semantic_dedup",
+    "embedding_split_contamination",
+    "events_dedup_first_per_minute",
+    "events_resample_1h_ffill",
+    "events_trailing_24h_stats",
+    "q11_important_inventory",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q21_latest_shipper",
+    "q2_min_cost_supplier",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    # Tail: everything else is r4(+)-fresh and stays parity-checked locally
     # every session (tests/test_oracle_parity.py, 141 oracles); rows-only
-    # showcases (embedding_ivf_top3, bpe_token_counts, minhash/simhash raw
-    # twins, doc_winnow_fast, minhash_star_fast, minhash_incremental_fast)
-    # ride the tail by design. Next-stalest queue for round 7: the 6
-    # remaining r2-vintage rows, then the 18 r3-vintage rows.
+    # showcases ride the tail by design. Next-stalest queue for round 8:
+    # q9_product_profit, then the r5 vintage.
 ]
 
 
