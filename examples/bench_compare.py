@@ -1,17 +1,38 @@
 """Rep-aware bench diff: separate real regressions from session noise.
 
 Compares the current ``bench_last.json`` (which carries per-rep arrays as
-of round 6) against a prior round's ``BENCH_r{N}.json`` and classifies
-each common query:
+of round 6) against a prior round's ``BENCH_r{N}.json`` — or, with
+``--baseline``, against the per-query BEST across ALL recorded rounds —
+and classifies each common query:
 
   * ``ok``        — within ``--threshold`` (default 1.5x) of the old best.
-  * ``noisy``     — slower than threshold, BUT the rep array's spread
-                    (max/min) exceeds ``--spread`` (default 1.5): the
-                    session itself was unstable around this query, so the
-                    number indicts the box, not the code. r5's four
-                    phantom 3-6x "regressions" were exactly this class.
-  * ``regressed`` — slower than threshold with a TIGHT rep spread: three
-                    consistent reps all slow is real evidence. Probe it.
+  * ``noisy``     — slower than threshold, BUT the new rep array's spread
+                    (max/min) exceeds what this query's own history says
+                    is normal: the session was abnormally unstable around
+                    this query, so the number indicts the box, not the
+                    code. r5's four phantom 3-6x "regressions" were
+                    exactly this class. Noisy-and-slow rows SOFT-FAIL
+                    (exit 2) — they are unresolved, not passed.
+  * ``regressed`` — slower than threshold with a spread consistent with
+                    this query's history: N consistent reps all slow is
+                    real evidence. Probe it (exit 1).
+
+The noisy/regressed split is calibrated PER QUERY when the comparison
+target carries rep arrays: a query whose baseline spread is already 2.0x
+is inherently jittery, and a new run with spread 2.1x is normal for it —
+only a spread materially above its own baseline (>1.25x the baseline
+spread, and above ``--spread``) excuses a slow best-of-N. Without
+baseline reps the flat ``--spread`` threshold applies (the pre-r7
+behavior). This closes the blind spot where inherently jittery queries
+could never be flagged regressed.
+
+``--baseline`` mode guards against slow CREEP: a code path that loses
+<1.5x per round is invisible to the single-round diff but compounds
+across rounds. It scans every BENCH_r*.json (recovering query times from
+truncated stdout tails where the driver's capture clipped the JSON line,
+e.g. BENCH_r04), takes the per-query minimum as the all-rounds best, and
+classifies against that. A ``regressed`` row here means the current code
+is ≥threshold slower than the best this box has EVER run the query.
 
 This encodes the standing measurement discipline (SCALE.md "Driver
 policy"): best-of-N defends against noise WITHIN a rep set; only spread
@@ -20,49 +41,113 @@ probe settles a flagged query.
 
     python examples/bench_compare.py BENCH_r05.json [--threshold 1.5]
                                                     [--spread 1.5]
+    python examples/bench_compare.py --baseline
 
-Exits non-zero only on ``regressed`` rows.
+Exit codes: 1 = regressed rows, 2 = noisy-and-slow rows only, 0 = clean.
 """
 
 import argparse
+import glob
 import json
 import os
+import re
 import sys
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# A new spread only excuses a slow best when it exceeds the query's own
+# baseline spread by this factor (ADVICE r6: a fixed threshold left 22/69
+# inherently-jittery queries permanently unflaggable).
+SPREAD_EXCESS = 1.25
+
+
+def spread_of(reps) -> float:
+    if reps and min(reps) > 0:
+        return max(reps) / min(reps)
+    return 1.0
+
 
 def classify(old: float, best: float, reps, threshold: float, spread: float,
-             floor: float) -> str:
+             floor: float, base_spread: float | None = None) -> str:
     if best <= old * threshold or best <= floor:
         # sub-floor timings are session overhead; their ratios aren't
         # evidence (the scaling guard's MIN_BIG_SEC lesson)
         return "ok"
-    if reps and min(reps) > 0 and (max(reps) / min(reps)) > spread:
-        return "noisy"
-    return "regressed"
+    new_spread = spread_of(reps)
+    if base_spread is not None:
+        # per-query calibration: jitter is only an excuse when it exceeds
+        # the query's own demonstrated jitter
+        noisy = new_spread > max(spread, base_spread * SPREAD_EXCESS)
+    else:
+        noisy = new_spread > spread
+    return "noisy" if noisy else "regressed"
 
 
-def load_old(path: str) -> dict:
+def _recover_from_tail(tail: str) -> dict:
+    """Best-effort query times from a truncated bench stdout line (the
+    driver clipped BENCH_r04's JSON mid-object). Grabs every
+    '"name": <number>' pair after the queries key; the handful of
+    non-query scalar keys are filtered by name."""
+    m = re.search(r'"queries"\s*:\s*\{', tail)
+    frag = tail[m.end():] if m else tail
+    out = {}
+    for name, val in re.findall(r'"([A-Za-z0-9_]+)"\s*:\s*([0-9]+\.?[0-9]*)', frag):
+        if name in ("value", "sf", "metric"):
+            continue
+        out[name] = float(val)
+    return out
+
+
+def load_old(path: str) -> tuple[dict, dict]:
+    """(query->best, query->reps) from a BENCH_r{N}.json or bench_last.json."""
     with open(path) as f:
         d = json.load(f)
     # BENCH_r{N}.json wraps the parsed stdout line; bench_last.json is flat
     if "parsed" in d:
+        if d["parsed"] is None:
+            return _recover_from_tail(d.get("tail") or ""), {}
         d = d["parsed"]
-    return d["queries"]
+    return d["queries"], d.get("reps", {})
+
+
+def load_baseline() -> tuple[dict, dict]:
+    """Per-query best (and the max spread the box has shown for it) across
+    every recorded round's BENCH file."""
+    best: dict = {}
+    spreads: dict = {}
+    for path in sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json"))):
+        q, reps = load_old(path)
+        for name, t in q.items():
+            if name not in best or t < best[name]:
+                best[name] = t
+        for name, rep in reps.items():
+            spreads[name] = max(spreads.get(name, 1.0), spread_of(rep))
+    return best, spreads
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("old", help="prior BENCH_r{N}.json (or bench_last.json)")
+    ap.add_argument("old", nargs="?",
+                    help="prior BENCH_r{N}.json (or bench_last.json)")
+    ap.add_argument("--baseline", action="store_true",
+                    help="compare against the per-query best across ALL "
+                         "BENCH_r*.json (cumulative-creep guard)")
     ap.add_argument("--new", default=os.path.join(_REPO, "bench_last.json"))
     ap.add_argument("--threshold", type=float, default=1.5)
     ap.add_argument("--spread", type=float, default=1.5)
     ap.add_argument("--floor", type=float, default=0.75,
                     help="best times under this are overhead, never regressed")
     args = ap.parse_args()
+    if bool(args.old) == bool(args.baseline):
+        ap.error("pass exactly one of: a prior BENCH file, or --baseline")
 
-    old_q = load_old(args.old)
+    if args.baseline:
+        old_q, old_spreads = load_baseline()
+        label = "all-rounds best"
+    else:
+        old_q, old_reps = load_old(args.old)
+        old_spreads = {n: spread_of(r) for n, r in old_reps.items()}
+        label = args.old
     with open(args.new) as f:
         new = json.load(f)
     new_q, reps = new["queries"], new.get("reps", {})
@@ -70,7 +155,7 @@ def main() -> None:
     rows = []
     for name in sorted(set(old_q) & set(new_q)):
         cls = classify(old_q[name], new_q[name], reps.get(name), args.threshold,
-                       args.spread, args.floor)
+                       args.spread, args.floor, old_spreads.get(name))
         rows.append((cls, name, old_q[name], new_q[name], reps.get(name)))
 
     order = {"regressed": 0, "noisy": 1, "ok": 2}
@@ -80,16 +165,21 @@ def main() -> None:
         n[cls] += 1
         if cls != "ok":
             print(f"{cls.upper():9s} {name:35s} {old:6.2f}s -> {best:6.2f}s"
-                  f"  reps={rep}")
+                  f"  reps={rep}  base_spread={old_spreads.get(name)}")
     tot_old = sum(r[2] for r in rows)
     tot_new = sum(r[3] for r in rows)
-    print(f"# {len(rows)} common queries: {tot_old:.1f}s -> {tot_new:.1f}s "
+    print(f"# {len(rows)} common queries vs {label}: "
+          f"{tot_old:.1f}s -> {tot_new:.1f}s "
           f"(ratio {tot_new / tot_old:.2f}); "
           f"{n['ok']} ok, {n['noisy']} noisy, {n['regressed']} regressed")
     if n["regressed"]:
         print("# probe regressed queries interleaved before believing them "
               "(SCALE.md driver policy)", file=sys.stderr)
         raise SystemExit(1)
+    if n["noisy"]:
+        print("# noisy-and-slow rows are UNRESOLVED, not passed — re-run on "
+              "a quiet box or probe interleaved (soft fail)", file=sys.stderr)
+        raise SystemExit(2)
 
 
 if __name__ == "__main__":

@@ -113,8 +113,11 @@ def unmark_version(spark, corpus_dir: str, version: int) -> None:
     first puts the whole overwrite window back under the marker protocol."""
     fs, hpath = _corpus_fs(spark, corpus_dir)
     marker = hpath(f"{corpus_dir}/manifest/v{version}_COMMITTED")
-    if fs.exists(marker):
-        fs.delete(marker, False)
+    if fs.exists(marker) and not fs.delete(marker, False):
+        # Hadoop FileSystem.delete signals failure by returning False, not
+        # raising; proceeding would overwrite artifacts under a live marker
+        # — exactly the crash window this retraction exists to close.
+        raise IOError(f"failed to retract commit marker {marker}")
 
 
 def bootstrap_corpus(spark, docs: DataFrame, corpus_dir: str) -> int:

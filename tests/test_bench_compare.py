@@ -1,0 +1,104 @@
+"""Unit tests for the rep-aware bench comparator (examples/bench_compare.py).
+
+The comparator is the round-over-round perf gate; its noisy/regressed
+split is the difference between chasing phantoms and missing real
+slowdowns, so the classification rules are pinned here:
+
+* per-query spread calibration (ADVICE r6): a query whose baseline reps
+  already spread 2x is inherently jittery — new jitter at that level must
+  NOT excuse a slow best-of-N; only spread materially above the query's
+  own history does.
+* --baseline creep guard (VERDICT r6 item 2): per-query best across all
+  rounds, including recovery from a truncated BENCH stdout tail
+  (BENCH_r04's parsed=None shape).
+"""
+
+import importlib.util
+import os
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_spec = importlib.util.spec_from_file_location(
+    "bench_compare", os.path.join(_REPO, "examples", "bench_compare.py")
+)
+bc = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bc)
+
+
+def test_ok_within_threshold_and_under_floor():
+    assert bc.classify(1.0, 1.4, [1.4, 1.5], 1.5, 1.5, 0.75) == "ok"
+    # sub-floor timings are overhead, never evidence
+    assert bc.classify(0.1, 0.7, [0.7, 0.7], 1.5, 1.5, 0.75) == "ok"
+
+
+def test_flat_spread_fallback_without_baseline_reps():
+    # no baseline reps: the pre-r7 flat threshold applies
+    assert bc.classify(1.0, 2.0, [2.0, 3.5], 1.5, 1.5, 0.75) == "noisy"
+    assert bc.classify(1.0, 2.0, [2.0, 2.2], 1.5, 1.5, 0.75) == "regressed"
+
+
+def test_calibrated_jittery_query_can_still_regress():
+    # baseline spread 2.0 -> excuse line is 2.0*1.25=2.5; a new run with
+    # spread 2.2 (noisy by the flat rule!) is NORMAL for this query, so a
+    # slow best-of-N is a real regression. This is the ADVICE blind spot.
+    assert (
+        bc.classify(1.0, 2.0, [2.0, 4.4], 1.5, 1.5, 0.75, base_spread=2.0)
+        == "regressed"
+    )
+    # spread 3.0 exceeds even this query's history -> session noise
+    assert (
+        bc.classify(1.0, 2.0, [2.0, 6.0], 1.5, 1.5, 0.75, base_spread=2.0)
+        == "noisy"
+    )
+
+
+def test_calibrated_tight_query_keeps_flat_floor():
+    # baseline spread 1.0 (tight): the flat --spread still bounds below,
+    # so ordinary 1.5x jitter isn't reclassified as regression evidence
+    assert (
+        bc.classify(1.0, 2.0, [2.0, 3.5], 1.5, 1.5, 0.75, base_spread=1.0)
+        == "noisy"
+    )
+    assert (
+        bc.classify(1.0, 2.0, [2.0, 2.8], 1.5, 1.5, 0.75, base_spread=1.0)
+        == "regressed"
+    )
+
+
+def test_tail_recovery_parses_truncated_queries():
+    tail = (
+        '{"metric": "headline", "value": 93.2, "unit": "sec", '
+        '"queries": {"q_alpha": 1.25, "q_beta": 0.5, "q_gam'
+    )
+    got = bc._recover_from_tail(tail)
+    assert got == {"q_alpha": 1.25, "q_beta": 0.5}
+
+
+def test_load_baseline_takes_per_query_min(tmp_path, monkeypatch):
+    import json
+
+    monkeypatch.setattr(bc, "_REPO", str(tmp_path))
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"parsed": {"queries": {"a": 2.0, "b": 1.0}}})
+    )
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps(
+            {"parsed": {"queries": {"a": 1.5, "b": 3.0},
+                        "reps": {"a": [1.5, 4.5]}}}
+        )
+    )
+    # truncated round: recovered from tail
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"parsed": None, "tail": '"queries": {"a": 0.9, "c": 2.0'})
+    )
+    best, spreads = bc.load_baseline()
+    assert best == {"a": 0.9, "b": 1.0, "c": 2.0}
+    assert spreads["a"] == 3.0
+
+
+def test_real_artifacts_load():
+    """The committed BENCH files must stay loadable — including r4's
+    truncated shape — so --baseline never silently drops a round."""
+    best, _ = bc.load_baseline()
+    assert len(best) >= 60
+    q4, _ = bc.load_old(os.path.join(_REPO, "BENCH_r04.json"))
+    assert len(q4) >= 20  # recovered from the clipped stdout tail

@@ -475,5 +475,5 @@ def test_interval_join_stream_plan_is_symmetric_hash_join(spark, events_stream):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
-    if pyspark.__version__.startswith("4.1"):
+    if pyspark.__version__.split(".")[:2] == ["4", "1"]:
         assert "StreamingSymmetricHashJoin" in plan, plan
