@@ -1,0 +1,72 @@
+"""Interleaved same-session probe for flagged bench queries.
+
+The SCALE.md driver policy: best-of-N defends against noise within a rep
+set, the rep-spread flags session-wide noise, but only an INTERLEAVED
+same-session probe settles whether a flagged query is genuinely slower —
+round-robin reps spread each query's samples across the session's noise
+profile instead of letting one noisy minute own all of a query's reps.
+
+    python examples/probe_interleaved.py q1 q2 ... [--rounds 6]
+
+Prints per-query rep arrays (in interleave order), min, and the ratio vs
+any reference times passed as name=sec pairs via --ref.
+"""
+
+import argparse
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark import get_spark
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators._ckpt import (
+    persistent_rdd_ids,
+    release_rdds,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans import QUERIES
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="+")
+    ap.add_argument("--rounds", type=int, default=6)
+    ap.add_argument("--ref", nargs="*", default=[],
+                    help="name=sec reference bests to ratio against")
+    args = ap.parse_args()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    refs = {}
+    for kv in args.ref:
+        k, v = kv.split("=")
+        refs.setdefault(k, []).append(float(v))
+
+    spark = get_spark(app_name="vlds-probe")
+    # warmup outside the timed loop
+    QUERIES[args.names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    reps: dict = {n: [] for n in args.names}
+    for _ in range(args.rounds):
+        for name in args.names:  # interleave: one rep of each per round
+            spark.catalog.clearCache()
+            gc.collect()
+            release_rdds(spark.sparkContext, persistent_rdd_ids(spark.sparkContext))
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            reps[name].append(round(time.perf_counter() - t0, 3))
+
+    out = {}
+    for name, arr in reps.items():
+        row = {"reps": arr, "min": min(arr),
+               "spread": round(max(arr) / min(arr), 2)}
+        for i, r in enumerate(refs.get(name, [])):
+            row[f"ratio_vs_ref{i}"] = round(min(arr) / r, 2)
+        out[name] = row
+        print(f"# {name}: min={row['min']}s spread={row['spread']} reps={arr}",
+              file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
