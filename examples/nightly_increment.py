@@ -216,6 +216,15 @@ def nightly_increment(
             df.unpersist()
 
 
+# Test seam: invoked with the artifact name after each publish write (and
+# never in production paths — the default is a no-op). Crash-injection
+# tests monkeypatch this to kill the publisher after an arbitrary PREFIX
+# of the five artifact writes, proving every half-published state is
+# invisible (marker written last) and recoverable by a plain re-run.
+def _after_artifact_write(artifact: str) -> None:
+    return None
+
+
 def _near_dup_and_publish(
     spark, corpus_dir, version, threshold,
     landed, corrupt, fresh, snap, stored_sigs, stored_fps, persisted,
@@ -261,21 +270,26 @@ def _near_dup_and_publish(
     snap.unionByName(survivors.select(*snap.columns)).write.mode(
         "overwrite"
     ).parquet(f"{corpus_dir}/snapshot/v{nv}")
+    _after_artifact_write("snapshot")
     stored_sigs.unionByName(
         batch_sigs.join(survivors.select("doc_id"), "doc_id", "left_semi")
     ).write.mode("overwrite").parquet(f"{corpus_dir}/signatures/v{nv}")
+    _after_artifact_write("signatures")
     stored_fps.unionByName(
         survivors.select("doc_id", F.col("_fp").alias("fp"))
     ).write.mode("overwrite").parquet(f"{corpus_dir}/fingerprints/v{nv}")
+    _after_artifact_write("fingerprints")
     # diff from the fingerprint SIDECARS, not the snapshots: the audit is
     # then O(keys) — corpus text is never re-read by a nightly run, which
     # is the whole point of maintaining the sidecar
     new_fps = spark.read.parquet(f"{corpus_dir}/fingerprints/v{nv}")
     diff = corpus_diff(stored_fps, new_fps, fingerprint_col="fp")
     diff.write.mode("overwrite").parquet(f"{corpus_dir}/diff/v{nv}")
+    _after_artifact_write("diff")
     # pair audit: which near-dups tonight's batch hit (and lost to) — the
     # log a curation team reviews when a source suddenly collapses
     pairs.write.mode("overwrite").parquet(f"{corpus_dir}/pairs/v{nv}")
+    _after_artifact_write("pairs")
     # commit LAST: all five artifacts are on disk, v{nv} becomes visible
     mark_version_committed(spark, corpus_dir, nv)
 

@@ -280,6 +280,64 @@ def test_retry_of_committed_night_retracts_marker_first(nightly, spark, sf_dir):
     assert nightly_mod.is_version_committed(spark, corpus_dir, 1)
 
 
+@pytest.mark.parametrize("kill_after", ["snapshot", "pairs"])
+def test_mid_publish_kill_recovers_exactly(nightly, spark, sf_dir, kill_after):
+    """VERDICT r6 item 5: kill the publisher DURING a first-time publish —
+    between artifact writes and the marker — via the _after_artifact_write
+    seam, at the two boundary prefixes: right after the FIRST artifact
+    (snapshot only on disk) and right after the LAST artifact before the
+    marker (everything on disk but uncommitted). Both half-published
+    states must be invisible to readers, the re-run must republish v1
+    byte-for-byte (identical counts, snapshot, fingerprints), and night 2
+    must then run normally on top."""
+    nightly_mod, _, _, _, sink, work = nightly
+    corpus_dir = os.path.join(work, f"corpus_kill_{kill_after}")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    v0 = nightly_mod.bootstrap_corpus(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), corpus_dir
+    )
+
+    real_seam = nightly_mod._after_artifact_write
+
+    def _kill(artifact):
+        if artifact == kill_after:
+            raise RuntimeError(f"injected kill after {artifact} write")
+
+    nightly_mod._after_artifact_write = _kill
+    try:
+        with pytest.raises(RuntimeError, match="injected kill"):
+            nightly_mod.nightly_increment(spark, sink, corpus_dir, v0)
+    finally:
+        nightly_mod._after_artifact_write = real_seam
+
+    # the half-published v1 is invisible: no marker, and any reader
+    # consuming v1 (night 2's precondition check) refuses loudly
+    assert not nightly_mod.is_version_committed(spark, corpus_dir, 1)
+    with pytest.raises(ValueError, match="not committed"):
+        nightly_mod.nightly_increment(spark, sink, corpus_dir, 1)
+
+    # recovery = plain re-run of the same night; compare against a clean
+    # run in a pristine corpus (same bootstrap, same landing zone)
+    ref_dir = os.path.join(work, f"corpus_ref_{kill_after}")
+    nightly_mod.bootstrap_corpus(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), ref_dir
+    )
+    c_ref = nightly_mod.nightly_increment(spark, sink, ref_dir, v0)
+    c1 = nightly_mod.nightly_increment(spark, sink, corpus_dir, v0)
+    assert c1 == c_ref
+    assert nightly_mod.is_version_committed(spark, corpus_dir, 1)
+    for artifact in ("snapshot", "fingerprints"):
+        got = spark.read.parquet(f"{corpus_dir}/{artifact}/v1")
+        want = spark.read.parquet(f"{ref_dir}/{artifact}/v1")
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+    # night N+1 proceeds normally on the recovered version
+    c2 = nightly_mod.nightly_increment(spark, sink, corpus_dir, c1["version"])
+    assert c2["version"] == 2 and c2["published"] == 0
+
+
 def test_night2_is_a_noop_publish(nightly):
     """Replaying the same landing zone publishes nothing: the bloom skips
     every curated doc, the near-dup gate re-rejects last night's losers,
