@@ -185,6 +185,87 @@ def run_joins(spark, root: str, batches: int, rows: int) -> dict[str, list[int]]
     return series
 
 
+def run_summarize_churn(
+    spark, root: str, batches: int, docs_per_batch: int, idle_timeout_ms: int | None
+) -> list[int]:
+    """Doc-churn soak of ``incremental_summarize_stream``: every micro-batch
+    carries chunks for a FRESH set of doc ids (the one-pass ingestion shape —
+    each doc streams through once, then never again). Per-doc state under
+    NoTimeout therefore grows linearly with total docs seen; with
+    ``idle_timeout_ms`` the event-time idle eviction must hold it near the
+    in-flight set. Same ordered-mtime ``availableNow`` replay protocol as the
+    joins — eviction rides the data clock, so no wall-clock sleeps."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
+        incremental_summarize_stream,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize import (
+        MockSummarizer,
+    )
+
+    tag = "evict" if idle_timeout_ms is not None else "nolimit"
+    d = os.path.join(root, f"chunks_{tag}")
+    os.makedirs(d)
+    now = time.time()
+    for b in range(batches):
+        t0 = BASE + pd.Timedelta(minutes=STEP_MIN * b)
+        path = os.path.join(d, f"c{b:03d}.parquet")
+        pd.DataFrame(
+            {
+                "doc_id": [b * docs_per_batch + i for i in range(docs_per_batch)],
+                "chunk_idx": [0] * docs_per_batch,
+                "chunk": [f"doc {b}-{i} body text" for i in range(docs_per_batch)],
+                "ts": [t0] * docs_per_batch,
+            }
+        ).to_parquet(path, coerce_timestamps="us")
+        os.utime(path, (now - batches + b, now - batches + b))
+    stream = (
+        spark.readStream.schema("doc_id long, chunk_idx long, chunk string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    # 15-min idle window under 10-min batch steps and a 10-min watermark
+    # delay: a doc's state survives ~3 batches after its last chunk
+    out = incremental_summarize_stream(
+        stream,
+        MockSummarizer(8),
+        idle_timeout_ms=idle_timeout_ms,
+        watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", os.path.join(root, f"ckpt_sum_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state_series(q)
+
+
+def check_churn_eviction(evict: list[int], nolimit: list[int]) -> list[str]:
+    """The eviction leg must decouple state from total docs seen: its final
+    state stays a small fraction of the NoTimeout leg's (which tracks total
+    ingest by construction), and its late half must not keep growing."""
+    errs = []
+    if nolimit[-1] < nolimit[0] * 2:
+        errs.append("summarize churn: NoTimeout leg did not grow — soak is not exercising churn")
+    if evict[-1] > nolimit[-1] * 0.5:
+        errs.append(
+            f"summarize churn: evicted final state {evict[-1]} is not well below "
+            f"NoTimeout final {nolimit[-1]} — idle eviction is not keeping up"
+        )
+    steady = evict[len(evict) // 3:]
+    half = len(steady) // 2
+    e_mean = sum(steady[:half]) / max(half, 1)
+    l_mean = sum(steady[half:]) / max(len(steady) - half, 1)
+    if l_mean > e_mean * 1.5:
+        errs.append(
+            f"summarize churn: evicted-state late-half mean {l_mean:.0f} grows past "
+            f"1.5 x early-half mean {e_mean:.0f}"
+        )
+    return errs
+
+
 def check_plateau(name: str, s: list[int], batches: int) -> list[str]:
     errs = []
     steady = s[HORIZON:]
@@ -219,6 +300,12 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix=f"stream_soak_{uuid.uuid4().hex[:8]}_")
     try:
         series = run_joins(spark, root, args.batches, args.rows)
+        churn_evict = run_summarize_churn(
+            spark, root, args.batches, args.rows // 20, idle_timeout_ms=900_000
+        )
+        churn_nolimit = run_summarize_churn(
+            spark, root, args.batches, args.rows // 20, idle_timeout_ms=None
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -227,12 +314,18 @@ def main() -> None:
         print(f"{name} numRowsTotal per batch ({len(s)} batches):")
         print("  " + " ".join(str(v) for v in s))
         errs += check_plateau(name, s, args.batches)
+    print(f"incremental_summarize NoTimeout numRowsTotal ({len(churn_nolimit)} batches):")
+    print("  " + " ".join(str(v) for v in churn_nolimit))
+    print(f"incremental_summarize idle_timeout=15min numRowsTotal ({len(churn_evict)} batches):")
+    print("  " + " ".join(str(v) for v in churn_evict))
+    errs += check_churn_eviction(churn_evict, churn_nolimit)
     if errs:
         for e in errs:
             print(f"FAIL {e}", file=sys.stderr)
         raise SystemExit(1)
-    print("# plateau holds for both joins: state tracks the watermark "
-          "horizon, not total ingest")
+    print("# plateau holds for both joins (state tracks the watermark horizon, "
+          "not total ingest) and idle eviction decouples per-doc summarize "
+          "state from total docs seen")
 
 
 if __name__ == "__main__":

@@ -157,6 +157,9 @@ def incremental_summarize_stream(
     chunks: DataFrame,
     summarizer,
     id_col: str = "doc_id",
+    idle_timeout_ms: int | None = None,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
 ) -> DataFrame:
     """Stateful incremental summarization — the streaming analog of the
     iterative-refinement fold (SURVEY §2.10 / D11): as a document's chunks
@@ -165,6 +168,24 @@ def incremental_summarize_stream(
 
     Output (update mode): one row per doc per batch with the current summary
     and the number of chunks folded so far.
+
+    ``idle_timeout_ms`` is the production state bound: with per-doc state and
+    an unbounded corpus, NoTimeout state grows with the number of distinct
+    docs ever seen. When set, ``ts_col`` (the chunk's event time) must exist;
+    a doc whose newest chunk falls ``idle_timeout_ms`` behind the stream's
+    watermark gets one final row (its finished summary) and its state is
+    evicted, so the state store holds only in-flight docs. A doc whose chunks
+    resume after eviction restarts the fold from scratch — the same contract
+    as the nightly composition's fingerprint gate (re-process, don't corrupt).
+
+    Idleness is measured on the EVENT-TIME clock (``EventTimeTimeout``), not
+    wall clock: eviction is then a pure function of the data, so a checkpoint
+    replay reproduces the exact same flush rows, and — operationally — a
+    processing-time timeout makes ``FlatMapGroupsWithStateExec.
+    shouldRunAnotherBatch`` always true, so the stream schedules empty
+    micro-batches forever and ``processAllAvailable()`` never returns (the
+    same reason the late-drop tests drive event time forward instead of
+    sleeping).
     """
     id_type = chunks.schema[id_col].dataType  # honor string/long doc ids
     out_schema = T.StructType(
@@ -182,6 +203,14 @@ def incremental_summarize_stream(
     )
 
     def fold(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # idle eviction: flush the finished summary once, drop the state
+            summary, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {id_col: [key[0]], "summary": [summary], "n_chunks": [n]}
+            )
+            return
         summary, n = state.get if state.exists else ("", 0)
         # a micro-batch may arrive as several Arrow batches: concatenate and
         # sort ONCE so the fold respects chunk_idx across batch boundaries
@@ -194,18 +223,30 @@ def incremental_summarize_stream(
             )
             n += 1
         state.update((summary, n))
+        if idle_timeout_ms is not None:
+            # deadline = newest chunk's event time + idle window, clamped to
+            # the operative watermark (Spark rejects deadlines behind it —
+            # a doc fed entirely by late data is already idle and evicts at
+            # the next watermark advance)
+            newest_ms = int(all_pdf[ts_col].max().value // 1_000_000)
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(newest_ms + idle_timeout_ms, wm_ms + 1))
         yield pd.DataFrame({id_col: [key[0]], "summary": [summary], "n_chunks": [n]})
 
-    return (
-        chunks.select(id_col, "chunk_idx", "chunk")
-        .groupBy(id_col)
-        .applyInPandasWithState(
-            fold,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="update",
-            timeoutConf="NoTimeout",
+    if idle_timeout_ms is not None:
+        src = chunks.withWatermark(ts_col, watermark).select(
+            id_col, "chunk_idx", "chunk", ts_col
         )
+    else:
+        src = chunks.select(id_col, "chunk_idx", "chunk")
+    return src.groupBy(id_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            "EventTimeTimeout" if idle_timeout_ms is not None else "NoTimeout"
+        ),
     )
 
 
@@ -335,41 +376,78 @@ _OUT_SCHEMA = T.StructType(
 )
 
 
-def _running_stats_fn(
-    key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Custom stateful operator: running per-user count/sum/avg across
-    micro-batches — state survives between triggers (the incremental analog
-    of the reference's refine fold)."""
-    if state.exists:
-        n, total = state.get
-    else:
-        n, total = 0, 0.0
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n],
-            "total_value": [total],
-            "avg_value": [total / n if n else 0.0],
-        }
-    )
-
-
-def stateful_user_running_stats(events: DataFrame) -> DataFrame:
-    """applyInPandasWithState: per-user running statistics with explicit
-    state schema and no timeout (state lives for the stream's lifetime)."""
-    return (
-        events.select("user_id", "value")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _running_stats_fn,
-            outputStructType=_OUT_SCHEMA,
-            stateStructType=_STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf="NoTimeout",
+def _make_running_stats_fn(idle_timeout_ms: int | None):
+    def _running_stats_fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Custom stateful operator: running per-user count/sum/avg across
+        micro-batches — state survives between triggers (the incremental
+        analog of the reference's refine fold)."""
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "avg_value": [total / n if n else 0.0],
+                }
+            )
+            return
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        newest_ms = GroupState.NO_TIMESTAMP
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if idle_timeout_ms is not None:
+                newest_ms = max(newest_ms, int(pdf["ts"].max().value // 1_000_000))
+        state.update((n, total))
+        if idle_timeout_ms is not None:
+            # event-time idleness: evict when the watermark passes the user's
+            # newest event + idle window (clamped — see incremental_summarize)
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(newest_ms + idle_timeout_ms, wm_ms + 1))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "avg_value": [total / n if n else 0.0],
+            }
         )
+
+    return _running_stats_fn
+
+
+def stateful_user_running_stats(
+    events: DataFrame,
+    idle_timeout_ms: int | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """applyInPandasWithState: per-user running statistics with explicit
+    state schema. Default is no timeout (state lives for the stream's
+    lifetime — fine for a bounded user universe); ``idle_timeout_ms`` turns
+    on event-time idle eviction so at 100 TB (unbounded user ids) the state
+    store holds only recently-active users: a user whose newest event falls
+    ``idle_timeout_ms`` behind the watermark gets one final stats row and its
+    state dropped, and a later event for that user restarts its running stats
+    from zero. Event time, not wall clock, so eviction replays
+    deterministically from a checkpoint (rationale in
+    ``incremental_summarize_stream``)."""
+    if idle_timeout_ms is not None:
+        src = events.withWatermark("ts", watermark).select("user_id", "value", "ts")
+    else:
+        src = events.select("user_id", "value")
+    return src.groupBy("user_id").applyInPandasWithState(
+        _make_running_stats_fn(idle_timeout_ms),
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            "EventTimeTimeout" if idle_timeout_ms is not None else "NoTimeout"
+        ),
     )

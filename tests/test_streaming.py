@@ -285,6 +285,118 @@ def test_incremental_summarize_stream(spark, tmp_path):
     assert final[2] == ("solo chunk", 1)
 
 
+def test_incremental_summarize_idle_eviction(spark, tmp_path):
+    """idle_timeout_ms contract (event-time clock): a doc whose newest chunk
+    falls idle_timeout behind the watermark is flushed once and its state
+    dropped — a later chunk for the same doc restarts the fold from zero.
+    That restart (n_chunks back to 1) is the observable proof the state store
+    actually evicted, not merely went idle. Batches advance EVENT time, not
+    wall clock, so the test is deterministic (no sleeps)."""
+    import pandas as pd
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
+        incremental_summarize_stream,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize import (
+        MockSummarizer,
+    )
+
+    d = tmp_path / "chunks"
+    d.mkdir()
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "chunk", "ts"]).to_parquet(
+            str(d / name), coerce_timestamps="us"
+        )
+
+    write(
+        "c1.parquet",
+        [(1, 0, "alpha beta gamma delta", t0), (1, 1, "epsilon", t0)],
+    )
+    stream = spark.readStream.schema(
+        "doc_id long, chunk_idx long, chunk string, ts timestamp"
+    ).parquet(str(d))
+    # 10-min idle window, 5-min watermark delay
+    out = incremental_summarize_stream(
+        stream,
+        MockSummarizer(3),
+        idle_timeout_ms=600_000,
+        watermark="5 minutes",
+    )
+    name = "m" + uuid.uuid4().hex[:12]
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: doc 1 folds 2 chunks, deadline 10:10
+        # batch 2 pushes the watermark to 10:55 > 10:10 → doc 1 evicts
+        write("c2.parquet", [(2, 0, "solo chunk", t0 + pd.Timedelta(hours=1))])
+        q.processAllAvailable()
+        # batch 3: doc 1 returns post-eviction → fold restarts from scratch
+        write("c3.parquet", [(1, 5, "restart chunk", t0 + pd.Timedelta(hours=2))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    doc1 = sorted(
+        (r.n_chunks, r.summary)
+        for r in spark.sql(f"SELECT * FROM {name} WHERE doc_id = 1").collect()
+    )
+    # batch-1 update (n=2), timeout flush (n=2), post-eviction restart (n=1)
+    assert [n for n, _ in doc1] == [1, 2, 2]
+    # the restart row folded ONLY the new chunk — prior summary state is gone
+    assert doc1[0][1] == "restart chunk"
+
+
+def test_running_stats_idle_eviction(spark, tmp_path):
+    """Same event-time idle-eviction contract on the running-stats operator:
+    after the watermark-driven timeout flush, a returning user's stats
+    restart from zero."""
+    import pandas as pd
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["user_id", "value", "ts"]).to_parquet(
+            str(d / name), coerce_timestamps="us"
+        )
+
+    write("e1.parquet", [(7, 10.0, t0), (7, 20.0, t0)])
+    stream = spark.readStream.schema(
+        "user_id long, value double, ts timestamp"
+    ).parquet(str(d))
+    out = stateful_user_running_stats(
+        stream, idle_timeout_ms=600_000, watermark="5 minutes"
+    )
+    name = "m" + uuid.uuid4().hex[:12]
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write("e2.parquet", [(8, 1.0, t0 + pd.Timedelta(hours=1))])
+        q.processAllAvailable()  # watermark passes user 7's deadline → flush
+        write("e3.parquet", [(7, 5.0, t0 + pd.Timedelta(hours=2))])
+        q.processAllAvailable()  # user 7 restarts from zero
+    finally:
+        q.stop()
+
+    u7 = sorted(
+        (r.n_events, r.total_value)
+        for r in spark.sql(f"SELECT * FROM {name} WHERE user_id = 7").collect()
+    )
+    assert u7 == [(1, 5.0), (2, 30.0), (2, 30.0)]
+
+
 def test_stateful_running_stats(spark, sf_dir, events_stream):
     name = _run_to_memory(stateful_user_running_stats(events_stream), "update")
     got = {

@@ -37,3 +37,22 @@ def test_stream_join_state_plateaus(spark, tmp_path):
         # both grown past one batch's rows and stopped at the horizon
         assert max(s) > ROWS, (name, s)
         assert max(s) < ROWS * (soak.HORIZON + 3), (name, s)
+
+
+def test_summarize_churn_state_evicts(spark, tmp_path):
+    """Doc-churn leg of the soak: fresh doc ids every micro-batch (one-pass
+    ingestion). NoTimeout per-doc state tracks TOTAL docs seen by
+    construction; the event-time idle eviction must hold state near the
+    in-flight window instead."""
+    root = str(tmp_path / f"churn_{uuid.uuid4().hex[:8]}")
+    os.makedirs(root)
+    docs = 40
+    evict = soak.run_summarize_churn(spark, root, BATCHES, docs, idle_timeout_ms=900_000)
+    nolimit = soak.run_summarize_churn(spark, root, BATCHES, docs, idle_timeout_ms=None)
+    errs = soak.check_churn_eviction(evict, nolimit)
+    assert not errs, (errs, evict, nolimit)
+    # NoTimeout holds one state row per doc ever seen — exactly total ingest
+    assert nolimit[-1] == BATCHES * docs, nolimit
+    # evicted leg: 15-min idle / 10-min steps / 10-min watermark delay keeps
+    # a doc ~3 batches past its last chunk (+1 batch of eviction lag)
+    assert max(evict) <= 4 * docs, evict
