@@ -294,9 +294,22 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=20)
     ap.add_argument("--rows", type=int, default=2000)
+    ap.add_argument(
+        "--rocksdb",
+        action="store_true",
+        help="run every leg on RocksDBStateStoreProvider (the production "
+        "provider at 100 TB — state spills to local disk instead of "
+        "living in executor heap); bounds must hold identically",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="vlds-stream-soak", shuffle_partitions=8)
+    if args.rocksdb:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     root = tempfile.mkdtemp(prefix=f"stream_soak_{uuid.uuid4().hex[:8]}_")
     try:
         series = run_joins(spark, root, args.batches, args.rows)

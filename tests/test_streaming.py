@@ -397,6 +397,143 @@ def test_running_stats_idle_eviction(spark, tmp_path):
     assert u7 == [(1, 5.0), (2, 30.0), (2, 30.0)]
 
 
+def test_incremental_summarize_recovers_state_from_checkpoint(spark, tmp_path):
+    """Per-doc fold state must survive a query restart: run 1 folds two
+    chunks and stops; run 2 starts from the same checkpoint with a third
+    chunk and must produce n_chunks=3 with the summary continuing from the
+    recovered prefix — the exactly-once contract a 1000-executor deploy
+    leans on (any executor or driver can die mid-corpus)."""
+    import pandas as pd
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
+        incremental_summarize_stream,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize import (
+        MockSummarizer,
+    )
+
+    d = tmp_path / "chunks"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "chunk"]).to_parquet(
+            str(d / name)
+        )
+
+    def make_stream():
+        stream = spark.readStream.schema(
+            "doc_id long, chunk_idx long, chunk string"
+        ).parquet(str(d))
+        return incremental_summarize_stream(stream, MockSummarizer(3))
+
+    write("c1.parquet", [(1, 0, "alpha beta gamma delta"), (1, 1, "epsilon")])
+    q = (
+        make_stream()
+        .writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    write("c2.parquet", [(1, 2, "zeta eta")])
+    rows = []
+    q2 = (
+        make_stream()
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _bid: rows.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    assert [(r.doc_id, r.n_chunks, r.summary) for r in rows] == [
+        (1, 3, "alpha beta gamma")
+    ]
+
+
+def test_idle_eviction_under_rocksdb_provider(spark, tmp_path):
+    """The eviction contract must hold verbatim under the RocksDB state
+    store provider — the production choice at 100 TB, where per-partition
+    state outgrows the default HDFS-backed in-memory provider's executor
+    heap. Provider is picked up per-query at start, so a scoped conf set
+    is enough."""
+    import pandas as pd
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
+        incremental_summarize_stream,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize import (
+        MockSummarizer,
+    )
+
+    d = tmp_path / "chunks"
+    d.mkdir()
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "chunk", "ts"]).to_parquet(
+            str(d / name), coerce_timestamps="us"
+        )
+
+    write(
+        "c1.parquet",
+        [(1, 0, "alpha beta gamma delta", t0), (1, 1, "epsilon", t0)],
+    )
+    stream = spark.readStream.schema(
+        "doc_id long, chunk_idx long, chunk string, ts timestamp"
+    ).parquet(str(d))
+    out = incremental_summarize_stream(
+        stream, MockSummarizer(3), idle_timeout_ms=600_000, watermark="5 minutes"
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    name = "m" + uuid.uuid4().hex[:12]
+    try:
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write("c2.parquet", [(2, 0, "solo chunk", t0 + pd.Timedelta(hours=1))])
+            q.processAllAvailable()
+            write("c3.parquet", [(1, 5, "restart chunk", t0 + pd.Timedelta(hours=2))])
+            q.processAllAvailable()
+            prog = q.lastProgress
+            ops = prog["stateOperators"] if isinstance(prog, dict) else prog.stateOperators
+            metrics = ops[0]["customMetrics"] if isinstance(ops[0], dict) else {}
+        finally:
+            q.stop()
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+    # the query really ran on RocksDB, not a silent fallback
+    assert any(k.startswith("rocksdb") for k in metrics), metrics
+    doc1 = sorted(
+        (r.n_chunks, r.summary)
+        for r in spark.sql(f"SELECT * FROM {name} WHERE doc_id = 1").collect()
+    )
+    assert [n for n, _ in doc1] == [1, 2, 2]
+    assert doc1[0][1] == "restart chunk"
+
+
 def test_stateful_running_stats(spark, sf_dir, events_stream):
     name = _run_to_memory(stateful_user_running_stats(events_stream), "update")
     got = {
