@@ -22,9 +22,18 @@ PLATEAU_TOL (state tracking ingest would grow ~2x across the halves), and
 the final state must stay under the watermark-horizon bound
 (rows retained only for event time within watermark + one-batch lag).
 
-    python examples/soak_streaming_state.py [--batches 20] [--rows 2000]
+    python examples/soak_streaming_state.py [--batches 20] [--rows 2000] [--rocksdb]
 
-Exits non-zero if either join's state grows past the plateau bounds.
+Beyond the joins, a doc-churn leg drives the per-doc stateful operator
+(``incremental_summarize_stream``) with FRESH doc ids every batch — the
+one-pass ingestion shape — twice: NoTimeout (state = total docs seen, the
+100 TB failure mode, kept as the measured counterfactual) and with
+event-time idle eviction (state = in-flight window only). ``--rocksdb``
+reruns everything on RocksDBStateStoreProvider, the production provider
+once state outgrows executor heap; the series must reproduce exactly.
+
+Exits non-zero if either join's state grows past the plateau bounds or
+the churn leg's eviction fails to decouple state from ingest.
 Results recorded in SCALE.md ("Streaming-state soak").
 """
 
