@@ -696,6 +696,87 @@ def test_interval_join_stream_drops_late_points(spark, tmp_path):
     assert not any(c == 102 for c, _ in got), got
 
 
+def test_interval_join_stream_recovers_buffered_state(spark, tmp_path):
+    """Join-buffer durability: run 1 ingests ONLY an interval and stops; run
+    2 restarts from the same checkpoint and ingests a click inside that
+    interval. The pair can only be emitted if the interval's buffered join
+    state was recovered from the checkpoint — completing the durability
+    story alongside the per-doc fold recovery test."""
+    import pandas as pd
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
+        interval_join_stream,
+    )
+
+    pdir = tmp_path / "points"
+    idir = tmp_path / "intervals"
+    pdir.mkdir()
+    idir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    base = pd.Timestamp("2024-01-01 10:00:00")
+
+    def make_join():
+        points = spark.readStream.schema(
+            "click_id long, ts timestamp, user_id long"
+        ).parquet(str(pdir))
+        intervals = spark.readStream.schema(
+            "purchase_id long, start_ts timestamp, end_ts timestamp, user_id long"
+        ).parquet(str(idir))
+        return interval_join_stream(
+            points,
+            intervals,
+            bucket_seconds=600,
+            max_interval="30 minutes",
+            on="user_id",
+            point_watermark="30 minutes",
+            interval_watermark="30 minutes",
+        ).select("click_id", "purchase_id")
+
+    # run 1: interval A [10:00, 10:30) only — no points yet
+    pd.DataFrame(
+        {
+            "purchase_id": [200],
+            "start_ts": [base],
+            "end_ts": [base + pd.Timedelta(minutes=30)],
+            "user_id": [1],
+        }
+    ).to_parquet(str(idir / "i1.parquet"), coerce_timestamps="us")
+    q = (
+        make_join()
+        .writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # run 2: a click inside A arrives after the restart
+    pd.DataFrame(
+        {
+            "click_id": [100],
+            "ts": [base + pd.Timedelta(minutes=5)],
+            "user_id": [1],
+        }
+    ).to_parquet(str(pdir / "p1.parquet"), coerce_timestamps="us")
+    rows = []
+    q2 = (
+        make_join()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _bid: rows.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    assert [(r.click_id, r.purchase_id) for r in rows] == [(100, 200)]
+
+
 def test_interval_join_stream_plan_is_symmetric_hash_join(spark, events_stream):
     """The bucket column must hand the stream-stream join its equality key:
     the physical plan is StreamingSymmetricHashJoin fed by one exchange per
