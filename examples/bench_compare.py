@@ -91,7 +91,12 @@ def _recover_from_tail(tail: str) -> dict:
     m = re.search(r'"queries"\s*:\s*\{', tail)
     frag = tail[m.end():] if m else tail
     out = {}
-    for name, val in re.findall(r'"([A-Za-z0-9_]+)"\s*:\s*([0-9]+\.?[0-9]*)', frag):
+    # the value must be FOLLOWED by a pair terminator (',' or '}') — a clip
+    # mid-number ('"q": 1.9' cut to '"q": 1.') would otherwise record an
+    # artificially low time that poisons the all-rounds best forever
+    for name, val in re.findall(
+        r'"([A-Za-z0-9_]+)"\s*:\s*([0-9]+\.?[0-9]*)\s*[,}]', frag
+    ):
         if name in ("value", "sf", "metric"):
             continue
         out[name] = float(val)
@@ -157,6 +162,13 @@ def main() -> None:
         cls = classify(old_q[name], new_q[name], reps.get(name), args.threshold,
                        args.spread, args.floor, old_spreads.get(name))
         rows.append((cls, name, old_q[name], new_q[name], reps.get(name)))
+    if not rows:
+        print(
+            f"# no common queries between {label} ({len(old_q)} entries) and "
+            f"{args.new} ({len(new_q)} entries) — nothing to compare",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
 
     order = {"regressed": 0, "noisy": 1, "ok": 2}
     rows.sort(key=lambda r: (order[r[0]], -(r[3] / max(r[2], 1e-3))))

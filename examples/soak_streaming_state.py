@@ -123,14 +123,32 @@ def state_series(query) -> list[int]:
     return out
 
 
-def run_joins(spark, root: str, batches: int, rows: int) -> dict[str, list[int]]:
-    from pyspark.sql import functions as F
+def _ensure_progress_capacity(spark, batches: int) -> None:
+    """recentProgress keeps only the last numRecentProgressUpdates entries
+    (default 100) — a longer soak would silently drop the watermark-fill
+    head of the series and check_plateau would judge the wrong window."""
+    need = max(100, 2 * batches + 10)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", str(need))
 
+
+def _await_or_fail(q, name: str, timeout_s: int = 600) -> None:
+    """availableNow replays must COMPLETE before the series is read — a
+    partial read would measure a moving target and overlap the next leg."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            f"{name}: availableNow replay still running after {timeout_s}s — "
+            "series would be partial; rerun on a quieter box or raise the timeout"
+        )
+
+
+def run_joins(spark, root: str, batches: int, rows: int) -> dict[str, list[int]]:
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
         correlate_event_pairs,
         interval_join_stream,
     )
 
+    _ensure_progress_capacity(spark, batches)
     series: dict[str, list[int]] = {}
 
     edir = os.path.join(root, "events")
@@ -154,7 +172,7 @@ def run_joins(spark, root: str, batches: int, rows: int) -> dict[str, list[int]]
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_or_fail(q, "correlate_event_pairs")
     series["correlate_event_pairs"] = state_series(q)
 
     pdir, idir = os.path.join(root, "points"), os.path.join(root, "intervals")
@@ -189,7 +207,7 @@ def run_joins(spark, root: str, batches: int, rows: int) -> dict[str, list[int]]
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_or_fail(q, "interval_join_stream")
     series["interval_join_stream"] = state_series(q)
     return series
 
@@ -211,6 +229,7 @@ def run_summarize_churn(
         MockSummarizer,
     )
 
+    _ensure_progress_capacity(spark, batches)
     tag = "evict" if idle_timeout_ms is not None else "nolimit"
     d = os.path.join(root, f"chunks_{tag}")
     os.makedirs(d)
@@ -247,7 +266,7 @@ def run_summarize_churn(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    _await_or_fail(q, f"incremental_summarize[{tag}]")
     return state_series(q)
 
 
@@ -256,6 +275,12 @@ def check_churn_eviction(evict: list[int], nolimit: list[int]) -> list[str]:
     state stays a small fraction of the NoTimeout leg's (which tracks total
     ingest by construction), and its late half must not keep growing."""
     errs = []
+    if not evict or not nolimit:
+        return [
+            "summarize churn: empty state series "
+            f"(evict={len(evict)}, nolimit={len(nolimit)} entries) — the "
+            "leg produced no state-operator progress rows"
+        ]
     if nolimit[-1] < nolimit[0] * 2:
         errs.append("summarize churn: NoTimeout leg did not grow — soak is not exercising churn")
     if evict[-1] > nolimit[-1] * 0.5:
@@ -275,7 +300,7 @@ def check_churn_eviction(evict: list[int], nolimit: list[int]) -> list[str]:
     return errs
 
 
-def check_plateau(name: str, s: list[int], batches: int) -> list[str]:
+def check_plateau(name: str, s: list[int]) -> list[str]:
     errs = []
     steady = s[HORIZON:]
     if len(steady) < 6:
@@ -335,7 +360,7 @@ def main() -> None:
     for name, s in series.items():
         print(f"{name} numRowsTotal per batch ({len(s)} batches):")
         print("  " + " ".join(str(v) for v in s))
-        errs += check_plateau(name, s, args.batches)
+        errs += check_plateau(name, s)
     print(f"incremental_summarize NoTimeout numRowsTotal ({len(churn_nolimit)} batches):")
     print("  " + " ".join(str(v) for v in churn_nolimit))
     print(f"incremental_summarize idle_timeout=15min numRowsTotal ({len(churn_evict)} batches):")

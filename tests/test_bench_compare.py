@@ -86,12 +86,15 @@ def test_load_baseline_takes_per_query_min(tmp_path, monkeypatch):
                         "reps": {"a": [1.5, 4.5]}}}
         )
     )
-    # truncated round: recovered from tail
+    # truncated round: recovered from tail. "c"'s value has no pair
+    # terminator — the clip may have cut it mid-number ("c": 2.05 -> "c": 2.0
+    # would poison the all-rounds best with a fake low), so it is DROPPED;
+    # only terminator-confirmed pairs like "a": 0.9, survive
     (tmp_path / "BENCH_r03.json").write_text(
         json.dumps({"parsed": None, "tail": '"queries": {"a": 0.9, "c": 2.0'})
     )
     best, spreads = bc.load_baseline()
-    assert best == {"a": 0.9, "b": 1.0, "c": 2.0}
+    assert best == {"a": 0.9, "b": 1.0}
     assert spreads["a"] == 3.0
 
 

@@ -285,13 +285,21 @@ def test_incremental_summarize_stream(spark, tmp_path):
     assert final[2] == ("solo chunk", 1)
 
 
-def test_incremental_summarize_idle_eviction(spark, tmp_path):
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_incremental_summarize_idle_eviction(spark, tmp_path, provider):
     """idle_timeout_ms contract (event-time clock): a doc whose newest chunk
     falls idle_timeout behind the watermark is flushed once and its state
     dropped — a later chunk for the same doc restarts the fold from zero.
     That restart (n_chunks back to 1) is the observable proof the state store
     actually evicted, not merely went idle. Batches advance EVENT time, not
-    wall clock, so the test is deterministic (no sleeps)."""
+    wall clock, so the test is deterministic (no sleeps).
+
+    The contract must hold verbatim on BOTH state store providers — RocksDB
+    is the production choice at 100 TB, where per-partition state outgrows
+    the default HDFS-backed in-memory provider's executor heap. The provider
+    is picked up per-query at start, so a scoped conf set is enough; the
+    rocksdb leg asserts rocksdb custom metrics in the query progress so a
+    silent fallback to the default provider fails the test."""
     import pandas as pd
 
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
@@ -324,24 +332,47 @@ def test_incremental_summarize_idle_eviction(spark, tmp_path):
         idle_timeout_ms=600_000,
         watermark="5 minutes",
     )
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(conf_key, None)
+    if provider == "rocksdb":
+        spark.conf.set(
+            conf_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     name = "m" + uuid.uuid4().hex[:12]
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
     try:
-        q.processAllAvailable()  # batch 1: doc 1 folds 2 chunks, deadline 10:10
-        # batch 2 pushes the watermark to 10:55 > 10:10 → doc 1 evicts
-        write("c2.parquet", [(2, 0, "solo chunk", t0 + pd.Timedelta(hours=1))])
-        q.processAllAvailable()
-        # batch 3: doc 1 returns post-eviction → fold restarts from scratch
-        write("c3.parquet", [(1, 5, "restart chunk", t0 + pd.Timedelta(hours=2))])
-        q.processAllAvailable()
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 1: doc 1 folds 2 chunks, deadline 10:10
+            # batch 2 pushes the watermark to 10:55 > 10:10 → doc 1 evicts
+            write("c2.parquet", [(2, 0, "solo chunk", t0 + pd.Timedelta(hours=1))])
+            q.processAllAvailable()
+            # batch 3: doc 1 returns post-eviction → fold restarts from scratch
+            write("c3.parquet", [(1, 5, "restart chunk", t0 + pd.Timedelta(hours=2))])
+            q.processAllAvailable()
+            prog = q.lastProgress
+            ops = prog["stateOperators"] if isinstance(prog, dict) else prog.stateOperators
+            metrics = (
+                ops[0]["customMetrics"] if isinstance(ops[0], dict) else ops[0].customMetrics
+            )
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if provider == "rocksdb":
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
 
+    if provider == "rocksdb":
+        # the query really ran on RocksDB, not a silent fallback
+        assert any(k.startswith("rocksdb") for k in metrics), metrics
     doc1 = sorted(
         (r.n_chunks, r.summary)
         for r in spark.sql(f"SELECT * FROM {name} WHERE doc_id = 1").collect()
@@ -457,81 +488,6 @@ def test_incremental_summarize_recovers_state_from_checkpoint(spark, tmp_path):
     assert [(r.doc_id, r.n_chunks, r.summary) for r in rows] == [
         (1, 3, "alpha beta gamma")
     ]
-
-
-def test_idle_eviction_under_rocksdb_provider(spark, tmp_path):
-    """The eviction contract must hold verbatim under the RocksDB state
-    store provider — the production choice at 100 TB, where per-partition
-    state outgrows the default HDFS-backed in-memory provider's executor
-    heap. Provider is picked up per-query at start, so a scoped conf set
-    is enough."""
-    import pandas as pd
-
-    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
-        incremental_summarize_stream,
-    )
-    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize import (
-        MockSummarizer,
-    )
-
-    d = tmp_path / "chunks"
-    d.mkdir()
-    t0 = pd.Timestamp("2024-01-01 10:00:00")
-
-    def write(name, rows):
-        pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "chunk", "ts"]).to_parquet(
-            str(d / name), coerce_timestamps="us"
-        )
-
-    write(
-        "c1.parquet",
-        [(1, 0, "alpha beta gamma delta", t0), (1, 1, "epsilon", t0)],
-    )
-    stream = spark.readStream.schema(
-        "doc_id long, chunk_idx long, chunk string, ts timestamp"
-    ).parquet(str(d))
-    out = incremental_summarize_stream(
-        stream, MockSummarizer(3), idle_timeout_ms=600_000, watermark="5 minutes"
-    )
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prior = spark.conf.get(key, None)
-    spark.conf.set(
-        key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    name = "m" + uuid.uuid4().hex[:12]
-    try:
-        q = (
-            out.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-            write("c2.parquet", [(2, 0, "solo chunk", t0 + pd.Timedelta(hours=1))])
-            q.processAllAvailable()
-            write("c3.parquet", [(1, 5, "restart chunk", t0 + pd.Timedelta(hours=2))])
-            q.processAllAvailable()
-            prog = q.lastProgress
-            ops = prog["stateOperators"] if isinstance(prog, dict) else prog.stateOperators
-            metrics = ops[0]["customMetrics"] if isinstance(ops[0], dict) else {}
-        finally:
-            q.stop()
-    finally:
-        if prior is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prior)
-
-    # the query really ran on RocksDB, not a silent fallback
-    assert any(k.startswith("rocksdb") for k in metrics), metrics
-    doc1 = sorted(
-        (r.n_chunks, r.summary)
-        for r in spark.sql(f"SELECT * FROM {name} WHERE doc_id = 1").collect()
-    )
-    assert [n for n, _ in doc1] == [1, 2, 2]
-    assert doc1[0][1] == "restart chunk"
 
 
 def test_stateful_running_stats(spark, sf_dir, events_stream):

@@ -31,7 +31,7 @@ def test_stream_join_state_plateaus(spark, tmp_path):
     for name, s in series.items():
         # one progress row per micro-batch (plus at most one drain batch)
         assert BATCHES <= len(s) <= BATCHES + 1, (name, s)
-        errs = soak.check_plateau(name, s, BATCHES)
+        errs = soak.check_plateau(name, s)
         assert not errs, errs
         # the plateau is real eviction, not an empty join: state must have
         # both grown past one batch's rows and stopped at the horizon
