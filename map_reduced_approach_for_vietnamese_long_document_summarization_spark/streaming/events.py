@@ -175,8 +175,11 @@ def incremental_summarize_stream(
     a doc whose newest chunk falls ``idle_timeout_ms`` behind the stream's
     watermark gets one final row (its finished summary) and its state is
     evicted, so the state store holds only in-flight docs. A doc whose chunks
-    resume after eviction restarts the fold from scratch — the same contract
-    as the nightly composition's fingerprint gate (re-process, don't corrupt).
+    resume ON TIME after eviction restarts the fold from scratch — the same
+    contract as the nightly composition's fingerprint gate (re-process, don't
+    corrupt) — while LATE chunks (event time below the watermark) are
+    filtered before the fold ever sees them and can neither resurrect evicted
+    state nor emit a partial summary (pinned by the late-chunk drop test).
 
     Idleness is measured on the EVENT-TIME clock (``EventTimeTimeout``), not
     wall clock: eviction is then a pure function of the data, so a checkpoint

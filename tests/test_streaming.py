@@ -383,6 +383,72 @@ def test_incremental_summarize_idle_eviction(spark, tmp_path, provider):
     assert doc1[0][1] == "restart chunk"
 
 
+def test_incremental_summarize_late_chunk_after_eviction_drops(spark, tmp_path):
+    """Late-data corner of the eviction contract: once the watermark is set
+    (idle_timeout_ms mode), FlatMapGroupsWithStateExec filters input rows
+    below the watermark BEFORE the fold sees them — so a late chunk for an
+    already-evicted doc is dropped outright, never resurrecting state or
+    emitting a bogus 1-chunk summary. Only an ON-TIME chunk restarts the
+    fold (pinned by the restart test); late ones vanish, consistent with
+    every other watermarked operator's late-drop tests."""
+    import pandas as pd
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
+        incremental_summarize_stream,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize import (
+        MockSummarizer,
+    )
+
+    d = tmp_path / "chunks"
+    d.mkdir()
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "chunk", "ts"]).to_parquet(
+            str(d / name), coerce_timestamps="us"
+        )
+
+    write("c1.parquet", [(1, 0, "alpha beta gamma delta", t0)])
+    stream = spark.readStream.schema(
+        "doc_id long, chunk_idx long, chunk string, ts timestamp"
+    ).parquet(str(d))
+    out = incremental_summarize_stream(
+        stream, MockSummarizer(3), idle_timeout_ms=600_000, watermark="5 minutes"
+    )
+    name = "m" + uuid.uuid4().hex[:12]
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: doc 1 folds, deadline 10:10
+        # batch 2: watermark jumps to 11:55 → doc 1 evicts (flush)
+        write("c2.parquet", [(2, 0, "solo", t0 + pd.Timedelta(hours=2))])
+        q.processAllAvailable()
+        # batch 3: LATE chunk for doc 1 at 10:20, far below the watermark
+        write("c3.parquet", [(1, 9, "late chunk", t0 + pd.Timedelta(minutes=20))])
+        q.processAllAvailable()
+        # batch 4: fresh data advances the watermark again — if the late
+        # chunk had resurrected doc 1's state, it would flush here
+        write("c4.parquet", [(3, 0, "another", t0 + pd.Timedelta(hours=3))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    # doc 1: the batch-1 update and the eviction flush — nothing else
+    assert sorted(
+        (r.n_chunks, r.summary) for r in rows if r.doc_id == 1
+    ) == [(1, "alpha beta gamma"), (1, "alpha beta gamma")]
+    assert not any("late" in r.summary for r in rows), rows
+    # batch 4 really ran (doc 3 present), so the absence above is a drop,
+    # not an unprocessed batch
+    assert any(r.doc_id == 3 for r in rows)
+
+
 def test_running_stats_idle_eviction(spark, tmp_path):
     """Same event-time idle-eviction contract on the running-stats operator:
     after the watermark-driven timeout flush, a returning user's stats
