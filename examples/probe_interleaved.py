@@ -43,8 +43,12 @@ def main() -> None:
         refs.setdefault(k, []).append(float(v))
 
     spark = get_spark(app_name="vlds-probe")
-    # warmup outside the timed loop
-    QUERIES[args.names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warmup EVERY probed query outside the timed loop — warming only one
+    # would leave the others' first rep carrying plan compilation and scan
+    # cold-start, biasing exactly the drift verdict this tool exists to
+    # settle (a flagged query would read as confirmed-slow on warmup noise)
+    for name in args.names:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     reps: dict = {n: [] for n in args.names}
     for _ in range(args.rounds):

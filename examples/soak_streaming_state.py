@@ -55,8 +55,13 @@ BASE = pd.Timestamp("2024-01-01 00:00:00")
 STEP_MIN = 10        # event-time advance per micro-batch
 WATERMARK = "30 minutes"
 # rows stay in state while their event time is above the operative
-# watermark: 30 min horizon / 10 min step = 3 batches, +1 batch watermark
-# lag, +1 slack for the bucket-explode duplication on the interval side
+# watermark: 30 min horizon / 10 min step = 3 batches, +1 because a row
+# ages out only when the watermark passes it STRICTLY (batch-k rows need
+# max-event-time ≥ ts+40min at 10-min steps), +1 because the operative
+# watermark is computed from the PREVIOUS batch's data — so batch-1 rows
+# evict in batch 6, and state climbs for exactly 5 batches (both joins
+# show the same fill; the interval side's bucket-explode only scales the
+# plateau HEIGHT ~9%, not its length)
 HORIZON = 5
 PLATEAU_TOL = 1.25   # late-half mean vs early-half mean of steady state
 

@@ -202,19 +202,29 @@ def incremental_summarize_stream(
         [
             T.StructField("summary", T.StringType()),
             T.StructField("n_chunks", T.LongType()),
+            # newest chunk event time EVER folded (epoch ms; -1 in NoTimeout
+            # mode). Carried in state because the idle deadline must be
+            # MONOTONE: recomputing it from only the current batch's max
+            # would let an out-of-order but on-time chunk (older than one
+            # already folded) pull the deadline BACKWARD and evict the doc
+            # before its contractual "newest chunk + idle" window expires.
+            # (GroupState.oldTimeoutTimestamp cannot substitute: the
+            # applyInPandasWithState exec never ships the persisted timeout
+            # timestamp to Python — it reads NO_TIMESTAMP every batch.)
+            T.StructField("newest_ms", T.LongType()),
         ]
     )
 
     def fold(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             # idle eviction: flush the finished summary once, drop the state
-            summary, n = state.get
+            summary, n, _ = state.get
             state.remove()
             yield pd.DataFrame(
                 {id_col: [key[0]], "summary": [summary], "n_chunks": [n]}
             )
             return
-        summary, n = state.get if state.exists else ("", 0)
+        summary, n, newest_ms = state.get if state.exists else ("", 0, -1)
         # a micro-batch may arrive as several Arrow batches: concatenate and
         # sort ONCE so the fold respects chunk_idx across batch boundaries
         all_pdf = pd.concat(list(pdfs), ignore_index=True)
@@ -225,13 +235,14 @@ def incremental_summarize_stream(
                 else summarizer.summarize_text(summary + "\n\n" + chunk)
             )
             n += 1
-        state.update((summary, n))
         if idle_timeout_ms is not None:
-            # deadline = newest chunk's event time + idle window, clamped to
-            # the operative watermark (Spark rejects deadlines behind it —
-            # a doc fed entirely by late data is already idle and evicts at
-            # the next watermark advance)
-            newest_ms = int(all_pdf[ts_col].max().value // 1_000_000)
+            newest_ms = max(newest_ms, int(all_pdf[ts_col].max().value // 1_000_000))
+        state.update((summary, n, newest_ms))
+        if idle_timeout_ms is not None:
+            # deadline = newest-EVER chunk + idle window, clamped to the
+            # operative watermark (Spark rejects deadlines behind it — a doc
+            # fed entirely by data at the watermark boundary is already idle
+            # and evicts at the next watermark advance)
             wm_ms = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max(newest_ms + idle_timeout_ms, wm_ms + 1))
         yield pd.DataFrame({id_col: [key[0]], "summary": [summary], "n_chunks": [n]})
@@ -367,6 +378,10 @@ _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
         T.StructField("total", T.DoubleType()),
+        # newest event time EVER seen (epoch ms; -1 in NoTimeout mode) — in
+        # state so the idle deadline is monotone under out-of-order on-time
+        # events (rationale in incremental_summarize_stream's state schema)
+        T.StructField("newest_ms", T.LongType()),
     ]
 )
 _OUT_SCHEMA = T.StructType(
@@ -387,7 +402,7 @@ def _make_running_stats_fn(idle_timeout_ms: int | None):
         micro-batches — state survives between triggers (the incremental
         analog of the reference's refine fold)."""
         if state.hasTimedOut:
-            n, total = state.get
+            n, total, _ = state.get
             state.remove()
             yield pd.DataFrame(
                 {
@@ -399,19 +414,20 @@ def _make_running_stats_fn(idle_timeout_ms: int | None):
             )
             return
         if state.exists:
-            n, total = state.get
+            n, total, newest_ms = state.get
         else:
-            n, total = 0, 0.0
-        newest_ms = GroupState.NO_TIMESTAMP
+            n, total, newest_ms = 0, 0.0, -1
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
             if idle_timeout_ms is not None:
                 newest_ms = max(newest_ms, int(pdf["ts"].max().value // 1_000_000))
-        state.update((n, total))
+        state.update((n, total, newest_ms))
         if idle_timeout_ms is not None:
             # event-time idleness: evict when the watermark passes the user's
-            # newest event + idle window (clamped — see incremental_summarize)
+            # newest-EVER event + idle window — newest_ms rides in state so an
+            # out-of-order on-time event can't pull the deadline backward and
+            # evict early; watermark clamp — see incremental_summarize_stream
             wm_ms = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max(newest_ms + idle_timeout_ms, wm_ms + 1))
         yield pd.DataFrame(

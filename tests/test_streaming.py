@@ -449,6 +449,119 @@ def test_incremental_summarize_late_chunk_after_eviction_drops(spark, tmp_path):
     assert any(r.doc_id == 3 for r in rows)
 
 
+def test_incremental_summarize_out_of_order_chunk_keeps_deadline(spark, tmp_path):
+    """The idle deadline is 'newest chunk EVER + idle' and must be MONOTONE:
+    an out-of-order but on-time chunk (older than one already folded) must
+    not pull the deadline backward and evict the doc early. Regression for
+    the recompute-from-current-batch bug: state held only (summary, n), so
+    batch 2's older chunk reset the deadline from newest-ever+idle to
+    older+idle, and a watermark advance inside the contractual window
+    flushed the doc and restarted the fold from zero."""
+    import pandas as pd
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
+        incremental_summarize_stream,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize import (
+        MockSummarizer,
+    )
+
+    d = tmp_path / "chunks"
+    d.mkdir()
+    t = lambda s: pd.Timestamp(f"2024-01-01 {s}")  # noqa: E731
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "chunk", "ts"]).to_parquet(
+            str(d / name), coerce_timestamps="us"
+        )
+
+    # 10-min idle, 5-min watermark delay; doc 1's newest chunk is 10:30, so
+    # the contractual eviction deadline is 10:40 for the whole test
+    write("c1.parquet", [(1, 1, "beta", t("10:30:00"))])
+    stream = spark.readStream.schema(
+        "doc_id long, chunk_idx long, chunk string, ts timestamp"
+    ).parquet(str(d))
+    out = incremental_summarize_stream(
+        stream, MockSummarizer(3), idle_timeout_ms=600_000, watermark="5 minutes"
+    )
+    name = "m" + uuid.uuid4().hex[:12]
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()  # wm -> 10:25; deadline 10:40
+        # out-of-order but ON-TIME chunk (10:26 >= wm 10:25): must extend
+        # nothing, and must NOT shrink the 10:40 deadline to 10:36
+        write("c2.parquet", [(1, 0, "alpha", t("10:26:00"))])
+        q.processAllAvailable()
+        # advance the watermark to 10:38 — inside the contractual window
+        # (10:38 < 10:40) but past the buggy recomputed deadline (10:36)
+        write("c3.parquet", [(2, 0, "solo", t("10:43:00"))])
+        q.processAllAvailable()  # wm -> 10:38 for the next batch
+        write("c4.parquet", [(3, 0, "solo", t("10:44:00"))])
+        q.processAllAvailable()  # buggy code evicts doc 1 here; fixed keeps it
+        # a further on-time chunk inside the window must CONTINUE the fold
+        write("c5.parquet", [(1, 2, "gamma", t("10:39:30"))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    doc1 = sorted(
+        (r.n_chunks, r.summary)
+        for r in spark.sql(f"SELECT * FROM {name} WHERE doc_id = 1").collect()
+    )
+    # three update rows, no premature flush, no restart-from-zero:
+    # buggy behavior yields [(1,'beta'), (1,'gamma'), (2,...), (2,...)]
+    assert [n for n, _ in doc1] == [1, 2, 3]
+    assert doc1[-1][1] == "beta alpha gamma"
+
+
+def test_running_stats_out_of_order_event_keeps_deadline(spark, tmp_path):
+    """Same monotone-deadline regression on the running-stats operator: an
+    out-of-order on-time event must not shrink the user's idle-eviction
+    deadline below newest-ever-event + idle (which would flush and fragment
+    the running stats into two partial series)."""
+    import pandas as pd
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    t = lambda s: pd.Timestamp(f"2024-01-01 {s}")  # noqa: E731
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["user_id", "value", "ts"]).to_parquet(
+            str(d / name), coerce_timestamps="us"
+        )
+
+    # 10-min idle, 5-min watermark delay; user 1's newest event is 12:00 →
+    # contractual deadline 12:10
+    write("e1.parquet", [(1, 10.0, t("12:00:00"))])
+    stream = spark.readStream.schema(
+        "user_id long, value double, ts timestamp"
+    ).parquet(str(d))
+    out = stateful_user_running_stats(
+        stream, idle_timeout_ms=600_000, watermark="5 minutes"
+    )
+    name = "m" + uuid.uuid4().hex[:12]
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()  # wm -> 11:55
+        write("e2.parquet", [(1, 5.0, t("11:56:00"))])  # on-time, out-of-order
+        q.processAllAvailable()  # buggy deadline 12:06; contractual 12:10
+        write("e3.parquet", [(2, 1.0, t("12:13:00"))])
+        q.processAllAvailable()  # wm -> 12:08 for the next batch
+        write("e4.parquet", [(3, 1.0, t("12:14:00"))])
+        q.processAllAvailable()  # buggy code evicts user 1 at 12:08 < 12:10
+        write("e5.parquet", [(1, 1.0, t("12:09:30"))])  # on-time continuation
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    u1 = sorted(
+        (r.n_events, r.total_value)
+        for r in spark.sql(f"SELECT * FROM {name} WHERE user_id = 1").collect()
+    )
+    # one unbroken series — no flush row, no restart-from-zero
+    assert u1 == [(1, 10.0), (2, 15.0), (3, 16.0)]
+
+
 def test_running_stats_idle_eviction(spark, tmp_path):
     """Same event-time idle-eviction contract on the running-stats operator:
     after the watermark-driven timeout flush, a returning user's stats

@@ -63,12 +63,18 @@ def test_summarize_fold_on_transform_with_state(spark, tmp_path):
                 )
                 n += 1
             newest_ms = int(pdf["ts"].max().value // 1_000_000)
+            # max with the stored deadline: monotone under out-of-order
+            # on-time chunks, same contract as the applyInPandasWithState
+            # operator (which carries newest_ms in its state schema)
             deadline = max(
-                newest_ms + idle_ms, timerValues.getCurrentWatermarkInMs() + 1
+                newest_ms + idle_ms,
+                old_deadline if old_deadline is not None else -1,
+                timerValues.getCurrentWatermarkInMs() + 1,
             )
-            if old_deadline is not None:
+            if old_deadline is not None and old_deadline != deadline:
                 self.handle.deleteTimer(old_deadline)
-            self.handle.registerTimer(deadline)
+            if old_deadline != deadline:
+                self.handle.registerTimer(deadline)
             self.state.update((summary, n, deadline))
             yield pd.DataFrame(
                 {"doc_id": [key[0]], "summary": [summary], "n_chunks": [n]}
