@@ -153,6 +153,30 @@ def dedup_events_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def _monotone_deadline(
+    prev_newest_ms: int, batch_max_ms: int, idle_ms: int, wm_ms: int
+) -> tuple[int, int]:
+    """Shared idle-eviction deadline rule for the stateful operators: return
+    ``(newest_ms, deadline_ms)`` where ``newest_ms`` is the newest event time
+    EVER seen for the key and the deadline is ``newest_ms + idle_ms``.
+
+    The fold over ``prev_newest_ms`` (carried in the operator's state row)
+    is what makes the deadline MONOTONE: recomputing it from only the
+    current batch's max would let an out-of-order but on-time event (older
+    than one already processed) pull the deadline BACKWARD and evict the key
+    inside its contractual "newest + idle" window — flushing a partial
+    result and restarting the fold from zero. The newest-ever time must ride
+    in the state schema because ``GroupState.oldTimeoutTimestamp`` cannot
+    substitute: the applyInPandasWithState exec never ships the persisted
+    timeout timestamp to Python (it reads NO_TIMESTAMP every batch; probed
+    empirically on Spark 4.1). Clamped to the operative watermark because
+    Spark rejects deadlines at or behind it — a key fed only data at the
+    watermark boundary is already idle and evicts at the next advance.
+    Pinned by the two ``*_keeps_deadline`` regression tests."""
+    newest_ms = max(prev_newest_ms, batch_max_ms)
+    return newest_ms, max(newest_ms + idle_ms, wm_ms + 1)
+
+
 def incremental_summarize_stream(
     chunks: DataFrame,
     summarizer,
@@ -198,33 +222,36 @@ def incremental_summarize_stream(
             T.StructField("n_chunks", T.LongType()),
         ]
     )
-    state_schema = T.StructType(
-        [
-            T.StructField("summary", T.StringType()),
-            T.StructField("n_chunks", T.LongType()),
-            # newest chunk event time EVER folded (epoch ms; -1 in NoTimeout
-            # mode). Carried in state because the idle deadline must be
-            # MONOTONE: recomputing it from only the current batch's max
-            # would let an out-of-order but on-time chunk (older than one
-            # already folded) pull the deadline BACKWARD and evict the doc
-            # before its contractual "newest chunk + idle" window expires.
-            # (GroupState.oldTimeoutTimestamp cannot substitute: the
-            # applyInPandasWithState exec never ships the persisted timeout
-            # timestamp to Python — it reads NO_TIMESTAMP every batch.)
-            T.StructField("newest_ms", T.LongType()),
-        ]
-    )
+    # In idle mode the state additionally carries the newest chunk event
+    # time EVER folded (see _monotone_deadline). The field is added ONLY in
+    # idle mode so default-mode (NoTimeout) queries keep their existing
+    # 2-field checkpoints. MIGRATION: a query that turns idle_timeout_ms on
+    # (or a pre-newest_ms idle checkpoint upgrading to this version) widens
+    # its state schema, which Spark's state schema checker rejects on
+    # restart (STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE) — start such a
+    # stream from a fresh checkpoint.
+    state_fields = [
+        T.StructField("summary", T.StringType()),
+        T.StructField("n_chunks", T.LongType()),
+    ]
+    if idle_timeout_ms is not None:
+        state_fields.append(T.StructField("newest_ms", T.LongType()))
+    state_schema = T.StructType(state_fields)
 
     def fold(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             # idle eviction: flush the finished summary once, drop the state
-            summary, n, _ = state.get
+            summary, n = state.get[0], state.get[1]
             state.remove()
             yield pd.DataFrame(
                 {id_col: [key[0]], "summary": [summary], "n_chunks": [n]}
             )
             return
-        summary, n, newest_ms = state.get if state.exists else ("", 0, -1)
+        if state.exists:
+            summary, n = state.get[0], state.get[1]
+            newest_ms = state.get[2] if idle_timeout_ms is not None else -1
+        else:
+            summary, n, newest_ms = "", 0, -1
         # a micro-batch may arrive as several Arrow batches: concatenate and
         # sort ONCE so the fold respects chunk_idx across batch boundaries
         all_pdf = pd.concat(list(pdfs), ignore_index=True)
@@ -236,15 +263,16 @@ def incremental_summarize_stream(
             )
             n += 1
         if idle_timeout_ms is not None:
-            newest_ms = max(newest_ms, int(all_pdf[ts_col].max().value // 1_000_000))
-        state.update((summary, n, newest_ms))
-        if idle_timeout_ms is not None:
-            # deadline = newest-EVER chunk + idle window, clamped to the
-            # operative watermark (Spark rejects deadlines behind it — a doc
-            # fed entirely by data at the watermark boundary is already idle
-            # and evicts at the next watermark advance)
-            wm_ms = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(max(newest_ms + idle_timeout_ms, wm_ms + 1))
+            newest_ms, deadline = _monotone_deadline(
+                newest_ms,
+                int(all_pdf[ts_col].max().value // 1_000_000),
+                idle_timeout_ms,
+                state.getCurrentWatermarkMs(),
+            )
+            state.update((summary, n, newest_ms))
+            state.setTimeoutTimestamp(deadline)
+        else:
+            state.update((summary, n))
         yield pd.DataFrame({id_col: [key[0]], "summary": [summary], "n_chunks": [n]})
 
     if idle_timeout_ms is not None:
@@ -374,16 +402,18 @@ def interval_join_stream(
     return p.join(iv, cond).drop("_pb", "_ib", "_ikey")
 
 
-_STATE_SCHEMA = T.StructType(
-    [
+def _running_stats_state_schema(idle_timeout_ms: int | None) -> T.StructType:
+    fields = [
         T.StructField("n", T.LongType()),
         T.StructField("total", T.DoubleType()),
-        # newest event time EVER seen (epoch ms; -1 in NoTimeout mode) — in
-        # state so the idle deadline is monotone under out-of-order on-time
-        # events (rationale in incremental_summarize_stream's state schema)
-        T.StructField("newest_ms", T.LongType()),
     ]
-)
+    if idle_timeout_ms is not None:
+        # newest event time EVER seen (epoch ms) — state-carried so the idle
+        # deadline is monotone (see _monotone_deadline). Only added in idle
+        # mode so NoTimeout checkpoints keep the 2-field schema; turning the
+        # timeout on requires a fresh checkpoint.
+        fields.append(T.StructField("newest_ms", T.LongType()))
+    return T.StructType(fields)
 _OUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -402,7 +432,7 @@ def _make_running_stats_fn(idle_timeout_ms: int | None):
         micro-batches — state survives between triggers (the incremental
         analog of the reference's refine fold)."""
         if state.hasTimedOut:
-            n, total, _ = state.get
+            n, total = state.get[0], state.get[1]
             state.remove()
             yield pd.DataFrame(
                 {
@@ -414,22 +444,29 @@ def _make_running_stats_fn(idle_timeout_ms: int | None):
             )
             return
         if state.exists:
-            n, total, newest_ms = state.get
+            n, total = state.get[0], state.get[1]
+            newest_ms = state.get[2] if idle_timeout_ms is not None else -1
         else:
             n, total, newest_ms = 0, 0.0, -1
+        batch_max_ms = -1
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
             if idle_timeout_ms is not None:
-                newest_ms = max(newest_ms, int(pdf["ts"].max().value // 1_000_000))
-        state.update((n, total, newest_ms))
+                batch_max_ms = max(
+                    batch_max_ms, int(pdf["ts"].max().value // 1_000_000)
+                )
         if idle_timeout_ms is not None:
             # event-time idleness: evict when the watermark passes the user's
-            # newest-EVER event + idle window — newest_ms rides in state so an
-            # out-of-order on-time event can't pull the deadline backward and
-            # evict early; watermark clamp — see incremental_summarize_stream
-            wm_ms = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(max(newest_ms + idle_timeout_ms, wm_ms + 1))
+            # newest-EVER event + idle window (monotone — _monotone_deadline)
+            newest_ms, deadline = _monotone_deadline(
+                newest_ms, batch_max_ms, idle_timeout_ms,
+                state.getCurrentWatermarkMs(),
+            )
+            state.update((n, total, newest_ms))
+            state.setTimeoutTimestamp(deadline)
+        else:
+            state.update((n, total))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -464,7 +501,7 @@ def stateful_user_running_stats(
     return src.groupBy("user_id").applyInPandasWithState(
         _make_running_stats_fn(idle_timeout_ms),
         outputStructType=_OUT_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
+        stateStructType=_running_stats_state_schema(idle_timeout_ms),
         outputMode="update",
         timeoutConf=(
             "EventTimeTimeout" if idle_timeout_ms is not None else "NoTimeout"
