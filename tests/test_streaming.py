@@ -562,6 +562,24 @@ def test_running_stats_out_of_order_event_keeps_deadline(spark, tmp_path):
     assert u1 == [(1, 10.0), (2, 15.0), (3, 16.0)]
 
 
+def test_notimeout_state_schema_stays_two_fields():
+    """Checkpoint-compatibility guard: default-mode (NoTimeout) streams must
+    keep the pre-newest_ms 2-field state schema — Spark rejects a widened
+    schema on restart (STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE), so adding
+    the idle-mode field unconditionally would break every existing
+    default-mode checkpoint to carry a dead column."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
+        _running_stats_state_schema,
+    )
+
+    assert _running_stats_state_schema(None).fieldNames() == ["n", "total"]
+    assert _running_stats_state_schema(600_000).fieldNames() == [
+        "n",
+        "total",
+        "newest_ms",
+    ]
+
+
 def test_running_stats_idle_eviction(spark, tmp_path):
     """Same event-time idle-eviction contract on the running-stats operator:
     after the watermark-driven timeout flush, a returning user's stats
