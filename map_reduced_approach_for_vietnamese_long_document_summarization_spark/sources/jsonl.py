@@ -52,13 +52,21 @@ def _parse_jsonl_lines(lines: DataFrame, schema: T.StructType) -> DataFrame:
 
     Blank/whitespace-only lines (double newlines, CRLF endings, tab
     padding) are neither documents nor corruption: from_json would turn
-    them into all-NULL "clean" phantom rows, and DROPMALFORMED drops them
-    — skip them so both modes return the same corpus. NOT ``F.trim``: that
-    strips only ASCII spaces, so a CRLF file's blank lines ("\\r") would
-    slip through."""
+    them into all-NULL "clean" phantom rows — skip them so every mode
+    returns the same corpus. The anchored ``rlike`` bails at the first
+    non-whitespace character without materializing a stripped copy of each
+    (potentially multi-MB) document line. NOT ``F.trim``: that strips only
+    ASCII spaces, so a CRLF file's blank lines ("\\r") would slip
+    through."""
+    if _CORRUPT in schema.fieldNames():
+        raise ValueError(
+            f"schema already contains {_CORRUPT!r} (re-reading a frame "
+            "persisted with its ledger column?) — drop it before reading; "
+            "the reader adds its own"
+        )
     # copy the schema — StructType.add mutates in place
     full = T.StructType(list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())])
-    parsed = lines.filter(F.regexp_replace("value", r"\s", "") != "").select(
+    parsed = lines.filter(~F.col("value").rlike(r"^\s*$")).select(
         F.from_json(
             "value",
             full,
@@ -79,11 +87,17 @@ def read_jsonl_corpus(
     With ``keep_corrupt=True`` the frame carries a ``_corrupt_record``
     column holding the raw text of lines that failed to parse (NULL for
     clean rows) — feed it to ``split_corrupt``. ``False`` drops bad lines
-    at the source (DROPMALFORMED) for pipelines that have already ledgered
-    them."""
+    for pipelines that have already ledgered them — via the SAME shared
+    parse stage, not the native JSON relation's DROPMALFORMED: the native
+    source has its own line classification (e.g. it explodes a top-level
+    JSON array line into several rows where from_json ledgers it as one
+    corrupt record), and two definitions of "document vs corrupt" is how
+    the modes silently return different corpora from the same file."""
+    parsed = _parse_jsonl_lines(spark.read.text(path), schema)
     if keep_corrupt:
-        return _parse_jsonl_lines(spark.read.text(path), schema)
-    return spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
+        return parsed
+    clean, _corrupt = split_corrupt(parsed)
+    return clean
 
 
 def read_jsonl_corpus_stream(

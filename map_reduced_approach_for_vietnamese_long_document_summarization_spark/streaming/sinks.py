@@ -10,10 +10,15 @@ no-op and a replay of a half-written batch overwrites the partial output.
 ``IdempotentParquetBatchWriter`` implements that recipe for a parquet
 directory sink: each micro-batch lands in its own ``batch_id=N``
 subdirectory (which doubles as a readable partition column), and a
-zero-byte ``_COMMITTED`` marker is created only after the parquet write
-finishes. Filesystem operations go through the Hadoop ``FileSystem`` API of
-the batch's own session, so the same code addresses ``file:``, ``hdfs:``
-or ``s3a:`` paths unchanged; everything runs on the driver (``foreachBatch``
+``_COMMITTED`` marker is created only after the parquet write finishes.
+Batch ids are only unique PER CHECKPOINT, so the marker also records a
+``run_id`` (derived from the checkpoint path by the public helper): if the
+sink path is later reused with a different checkpoint — where batch ids
+restart at 0 — the stale marker is detected and the writer fails loudly
+instead of silently skipping (and so losing) the new run's micro-batches.
+Filesystem operations go through the Hadoop ``FileSystem`` API of the
+batch's own session, so the same code addresses ``file:``, ``hdfs:`` or
+``s3a:`` paths unchanged; everything runs on the driver (``foreachBatch``
 executes there), the data write itself is the cluster-parallel
 ``DataFrameWriter``.
 
@@ -26,6 +31,8 @@ data up.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
@@ -36,17 +43,25 @@ class IdempotentParquetBatchWriter:
     Exposed as a class (rather than a closure) so tests and recovery tools
     can invoke ``__call__(df, batch_id)`` directly to exercise or repair
     individual batches.
+
+    ``run_id`` names the (sink, checkpoint) pairing; committed-markers are
+    stamped with it and a marker from a DIFFERENT run raises instead of
+    being treated as this run's commit — the silent-data-loss hazard of
+    batch-id-keyed markers when a sink path outlives its checkpoint.
+    ``None`` skips the check (legacy sinks written before markers carried a
+    run id).
     """
 
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, run_id: str | None = None) -> None:
         self.path = path.rstrip("/")
+        self.run_id = run_id
 
     # -- Hadoop FS helpers (driver-side, scheme-agnostic) ------------------
     def _fs(self, spark):
-        jvm = spark._jvm
-        uri = jvm.java.net.URI.create(self.path)
-        return jvm.org.apache.hadoop.fs.FileSystem.get(
-            uri, spark._jsc.hadoopConfiguration()
+        # resolve via Path, not java.net.URI.create: Path accepts raw
+        # filesystem paths with URI-illegal characters (spaces, ...)
+        return self._hpath(spark, self.path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
         )
 
     def _hpath(self, spark, p: str):
@@ -55,9 +70,38 @@ class IdempotentParquetBatchWriter:
     def _batch_dir(self, batch_id: int) -> str:
         return f"{self.path}/batch_id={batch_id}"
 
+    def _marker(self, spark, batch_id: int):
+        return self._hpath(spark, f"{self._batch_dir(batch_id)}/_COMMITTED")
+
+    def _read_marker(self, spark, fs, marker) -> str:
+        jvm = spark._jvm
+        stream = fs.open(marker)
+        try:
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            return reader.readLine() or ""
+        finally:
+            stream.close()
+
     def committed(self, spark, batch_id: int) -> bool:
         fs = self._fs(spark)
-        return fs.exists(self._hpath(spark, f"{self._batch_dir(batch_id)}/_COMMITTED"))
+        marker = self._marker(spark, batch_id)
+        if not fs.exists(marker):
+            return False
+        if self.run_id is None:
+            return True
+        stamped = self._read_marker(spark, fs, marker)
+        if stamped == self.run_id:
+            return True
+        raise ValueError(
+            f"batch {batch_id} under {self.path!r} carries a commit marker "
+            f"from a different run ({stamped or 'no run id'!s} != "
+            f"{self.run_id}) — the sink path is being reused with a new "
+            "checkpoint, whose batch ids restart at 0; treating the stale "
+            "marker as committed would silently drop this run's data. Use "
+            "a fresh sink path, or pass run_id=None to adopt a legacy sink"
+        )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -67,7 +111,19 @@ class IdempotentParquetBatchWriter:
         # overwrite clears any partial output from a crashed earlier attempt
         batch_df.write.mode("overwrite").parquet(out)
         fs = self._fs(spark)
-        fs.create(self._hpath(spark, f"{out}/_COMMITTED"), True).close()
+        stream = fs.create(self._marker(spark, batch_id), True)
+        try:
+            if self.run_id is not None:
+                stream.write(bytearray(self.run_id.encode("utf-8")))
+        finally:
+            stream.close()
+
+
+def run_id_for_checkpoint(checkpoint_dir: str) -> str:
+    """Stable run identity for a (sink, checkpoint) pairing: restarts of
+    the same checkpoint keep it (their batch-id sequence continues, so
+    replays must be recognized), while a new checkpoint gets a new one."""
+    return hashlib.sha256(checkpoint_dir.rstrip("/").encode("utf-8")).hexdigest()[:16]
 
 
 def write_stream_idempotent_parquet(
@@ -80,12 +136,15 @@ def write_stream_idempotent_parquet(
 
     Output lays out as ``path/batch_id=N/part-*.parquet`` — readable as one
     partitioned table (``spark.read.parquet(path)`` exposes ``batch_id``).
+    Markers are stamped with ``run_id_for_checkpoint(checkpoint_dir)``, so
+    pointing a NEW checkpoint at an old sink path fails loudly instead of
+    silently dropping batches whose ids collide with the old run's.
     ``available_now=True`` drains the source and stops (the batch-style
     backfill trigger); pass ``False`` for a continuously running query.
     """
-    writer = df.writeStream.foreachBatch(IdempotentParquetBatchWriter(path)).option(
-        "checkpointLocation", checkpoint_dir
-    )
+    writer = df.writeStream.foreachBatch(
+        IdempotentParquetBatchWriter(path, run_id=run_id_for_checkpoint(checkpoint_dir))
+    ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
@@ -97,10 +156,11 @@ def read_committed_batches(spark, path: str) -> DataFrame:
     ``spark.read.parquet(path)`` would also surface a half-written batch
     left by a writer that crashed mid-write (its replay will overwrite it,
     but a reader racing that window shouldn't see it). This lists the
-    ``batch_id=N`` partitions, keeps those with a ``_COMMITTED`` marker,
-    and reads them with ``basePath`` so the ``batch_id`` partition column
-    survives. Listing cost is one driver-side directory scan — batch count,
-    not file count."""
+    ``batch_id=N`` partitions, keeps those with a ``_COMMITTED`` marker
+    (any run's — readers consume data, not run identity), and reads them
+    with ``basePath`` so the ``batch_id`` partition column survives.
+    Listing cost is one driver-side directory scan — batch count, not file
+    count."""
     w = IdempotentParquetBatchWriter(path)
     fs = w._fs(spark)
     root = w._hpath(spark, w.path)

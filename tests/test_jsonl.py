@@ -64,6 +64,49 @@ def test_round_trip(spark, jsonl_dir, tmp_path):
     assert c2.count() == 3 and bad2.count() == 0
 
 
+def test_modes_share_one_corrupt_definition(spark, tmp_path):
+    """keep_corrupt=False must go through the SAME parse stage as
+    keep_corrupt=True, not the native JSON relation: the native source
+    explodes a top-level JSON array line into several clean rows where
+    from_json ledgers it as ONE corrupt record — two definitions of
+    'document vs corrupt' means the two modes silently return different
+    corpora from the same file."""
+    p = tmp_path / "arrayline.jsonl"
+    p.write_text(
+        json.dumps({"doc_id": 1, "text": "a", "lang": "en", "source": "w"})
+        + "\n"
+        + json.dumps(
+            [
+                {"doc_id": 2, "text": "b", "lang": "en", "source": "w"},
+                {"doc_id": 3, "text": "c", "lang": "en", "source": "w"},
+            ]
+        )
+        + "\n"
+    )
+    clean, corrupt = split_corrupt(read_jsonl_corpus(spark, str(p)))
+    dropped = read_jsonl_corpus(spark, str(p), keep_corrupt=False)
+    assert [r.doc_id for r in clean.collect()] == [1]
+    assert corrupt.count() == 1  # the array line, ledgered whole
+    assert [r.doc_id for r in dropped.collect()] == [1]  # same corpus
+
+
+def test_schema_with_ledger_column_is_rejected(spark, jsonl_dir):
+    """Re-reading a frame persisted WITH its _corrupt_record column would
+    otherwise build a from_json schema with a duplicate field and fail with
+    an opaque AnalysisException — refuse it with a clear error instead."""
+    from pyspark.sql import types as T
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.sources.jsonl import (
+        DOC_SCHEMA,
+    )
+
+    bad = T.StructType(
+        list(DOC_SCHEMA.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_jsonl_corpus(spark, jsonl_dir, schema=bad)
+
+
 def test_blank_lines_are_skipped_in_both_modes(spark, tmp_path):
     p = tmp_path / "blanky.jsonl"
     p.write_text(

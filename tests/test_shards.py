@@ -35,7 +35,7 @@ def test_shard_rows_arrive_in_bin_order(spark, tmp_path):
     packed = _packed(spark)
     write_training_shards(packed, out, order_cols=("doc_id",))
     for shard in range(4):
-        rows = read_training_shard(spark, out, shard).collect()
+        rows = read_training_shard(spark, out, shard, order_cols=("doc_id",)).collect()
         keys = [(r.seq_id, r.doc_id) for r in rows]
         assert keys == sorted(keys), f"shard {shard} out of order: {keys[:6]}..."
         # shard membership preserved
@@ -52,6 +52,12 @@ def test_rewrite_is_stable(spark, tmp_path):
     write_training_shards(packed, a, order_cols=("doc_id",))
     write_training_shards(packed.repartition(13), b, order_cols=("doc_id",))
     for shard in range(4):
-        ra = [tuple(r) for r in read_training_shard(spark, a, shard).collect()]
-        rb = [tuple(r) for r in read_training_shard(spark, b, shard).collect()]
+        ra = [
+            tuple(r)
+            for r in read_training_shard(spark, a, shard, order_cols=("doc_id",)).collect()
+        ]
+        rb = [
+            tuple(r)
+            for r in read_training_shard(spark, b, shard, order_cols=("doc_id",)).collect()
+        ]
         assert ra == rb  # input partitioning must not change the output

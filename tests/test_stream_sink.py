@@ -90,6 +90,32 @@ def test_batch_id_partition_prunes(spark, sf_dir, out_dir):
     assert got.count() == 5
 
 
+def test_new_checkpoint_on_old_sink_path_fails_loudly(spark, sf_dir, out_dir):
+    """batch_ids are only unique per checkpoint: pointing a NEW checkpoint
+    (fresh run_id) at a sink that already holds another run's batch 0 must
+    raise, not treat the stale marker as this run's commit — the silent
+    path would drop every colliding micro-batch of the new run."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.sinks import (
+        run_id_for_checkpoint,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    old = IdempotentParquetBatchWriter(out_dir, run_id=run_id_for_checkpoint("/ckpt/a"))
+    old(ev.limit(5), 0)
+    new = IdempotentParquetBatchWriter(out_dir, run_id=run_id_for_checkpoint("/ckpt/b"))
+    with pytest.raises(ValueError, match="different run"):
+        new(ev.limit(3), 0)
+    # the old run's data is untouched by the refused write
+    assert read_committed_batches(spark, out_dir).count() == 5
+    # same checkpoint (same run_id) still recognizes its own commit: no-op
+    old(ev.limit(99), 0)
+    assert read_committed_batches(spark, out_dir).count() == 5
+    # a legacy adopter (run_id=None) accepts any marker, presence-only
+    legacy = IdempotentParquetBatchWriter(out_dir)
+    legacy(ev.limit(99), 0)
+    assert read_committed_batches(spark, out_dir).count() == 5
+
+
 def test_reader_on_missing_dir_raises_file_not_found(spark, tmp_path):
     """A missing ROOT is a misconfigured sink path (loud, distinct), not
     the quiet 'zero committed batches yet' ValueError an existing-but-empty
