@@ -88,3 +88,17 @@ class RollingCheckpoint:
     def rotate(self, new_ids: set[int]) -> None:
         release_rdds(self._sc, self._live)
         self._live = new_ids
+
+    def release(self) -> None:
+        """Release the live generation and any pending-lazy bookkeeping.
+
+        For the FAILURE path only: when a loop dies mid-iteration (an
+        LLM-backed summarizer erroring in round 3), the tracked checkpoint
+        would otherwise stay pinned for the session with nothing able to
+        free it — ``spark.catalog.clearCache()`` does not release
+        localCheckpoints (module docstring). Never call it on success: the
+        final generation backs the returned DataFrame's plan. Loops use
+        ``try: ... except BaseException: rc.release(); raise``."""
+        release_rdds(self._sc, self._live)
+        self._live = set()
+        self._pending_before = None

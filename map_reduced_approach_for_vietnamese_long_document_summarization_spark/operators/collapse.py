@@ -84,7 +84,15 @@ def bucket_by_token_budget(
     )
 
     def step(st, ch):
-        t = ch[tokens_col].cast("long")
+        # NULL token counts fold as 0: a single NULL would otherwise poison
+        # the accumulator (NULL acc makes `overflow` NULL forever, packing
+        # every later chunk into one unbounded group). Corner kept AS the
+        # reference-faithful oracle CTEs state it: `acc > 0` stands in for
+        # "group non-empty", so a group of only zero-token chunks absorbs
+        # the next chunk even when it overflows — the reference's len()
+        # check would split there, but reaching it needs a non-empty group
+        # with zero total tokens.
+        t = F.coalesce(ch[tokens_col].cast("long"), F.lit(0).cast("long"))
         overflow = (st["acc"] > 0) & ((st["acc"] + t) > token_max)
         new_gid = F.when(overflow, st["gid"] + 1).otherwise(st["gid"])
         new_acc = F.when(overflow, t).otherwise(st["acc"] + t)
@@ -172,29 +180,56 @@ def collapse_until_fits(
     w = Window.partitionBy(key_col)
 
     def _with_total(d: DataFrame) -> DataFrame:
+        # coalesce: SUM skips NULLs, but a doc whose EVERY row has a NULL
+        # token count would get a NULL total — failing both the `> budget`
+        # and `<= budget` filters and silently vanishing from the loop. As
+        # 0 it counts as fitting and passes through unchanged.
         return d.select(
             key_col, order_col, text_col, tokens_col,
-            F.sum(tokens_col).over(w).alias("_total"),
+            F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).alias("_total"),
         )
 
     from ._ckpt import RollingCheckpoint
 
     rc = RollingCheckpoint(df.sparkSession.sparkContext)
-    cur = rc.checkpoint(_with_total(df.select(key_col, order_col, text_col, tokens_col)))
-    rounds = 0
-    while rounds < max_rounds and not cur.filter(F.col("_total") > token_max).isEmpty():
-        todo = cur.filter(F.col("_total") > token_max).drop("_total")
-        done = cur.filter(F.col("_total") <= token_max).drop("_total")
-        bucketed = bucket(todo, token_max, (key_col,), order_col, tokens_col)
-        reduced = reduce_groups(
-            bucketed, summarizer, (key_col, "group_id"), order_col, text_col
-        ).withColumnRenamed("group_id", order_col)
-        nxt = done.unionByName(
-            reduced.select(key_col, order_col, text_col, tokens_col)
+
+    def _ckpt_and_count_todo(d: DataFrame):
+        # ONE action per round: the lazy checkpoint materializes under the
+        # convergence count (an eager checkpoint + a separate isEmpty probe
+        # would double the per-round job count)
+        out = rc.checkpoint(d, eager=False)
+        n_too_big = out.filter(F.col("_total") > token_max).count()
+        rc.mark_materialized()
+        return out, n_too_big
+
+    try:
+        cur, n_too_big = _ckpt_and_count_todo(
+            _with_total(df.select(key_col, order_col, text_col, tokens_col))
         )
-        # rolling checkpoint: materializes the new round, then frees the old
-        cur = rc.checkpoint(_with_total(nxt))
-        rounds += 1
+        rounds = 0
+        while rounds < max_rounds and n_too_big:
+            todo = cur.filter(F.col("_total") > token_max).drop("_total")
+            done = cur.filter(F.col("_total") <= token_max).drop("_total")
+            bucketed = bucket(todo, token_max, (key_col,), order_col, tokens_col)
+            reduced = reduce_groups(
+                bucketed, summarizer, (key_col, "group_id"), order_col, text_col
+            ).withColumnRenamed("group_id", order_col)
+            # reduce_groups stamps its token column as "n_tokens"; re-alias
+            # so a caller's non-default tokens_col survives the loop
+            nxt = done.unionByName(
+                reduced.select(
+                    key_col, order_col, text_col,
+                    F.col("n_tokens").alias(tokens_col),
+                )
+            )
+            # rolling checkpoint: materializes the new round, frees the old
+            cur, n_too_big = _ckpt_and_count_todo(_with_total(nxt))
+            rounds += 1
+    except BaseException:
+        # a failed round (LLM summarizer error mid-collapse) must not pin
+        # the superseded checkpoint for the session
+        rc.release()
+        raise
     if stats is not None:
         stats["rounds"] = rounds
     return cur.drop("_total")

@@ -49,6 +49,14 @@ def connected_components(
     graph — exposed so the two plans can be measured head-to-head (the
     contraction trades one up-front join+distinct for smaller per-round
     joins; see SCALE.md for the measured crossover).
+
+    Lifecycle note: the returned plan reads the seed and final-label
+    localCheckpoints, so each call pins TWO node-sized checkpoint RDDs for
+    the session (every superseded per-round checkpoint is released as the
+    loop runs — `test_checkpoint_release.py` asserts the ≤2 slope). A
+    long-lived session making many calls pays 2 small RDDs per call; a
+    caller that has fully materialized its derived result can reclaim them
+    with ``operators._ckpt.release_rdds`` over a before/after id snapshot.
     """
     sc = edges.sparkSession.sparkContext
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(F.col("a") != F.col("b"))
@@ -208,14 +216,18 @@ def dedup_keep_best(
     carries (id, label) only; scores join in AFTER clustering, and the
     per-cluster argmax is one map-side-combinable ``max_by`` aggregate
     keyed by the component label."""
+    from pyspark.sql import Window
+
     comp = connected_components(pairs, src=src, dst=dst, nodes=docs, id_col=id_col)
     scored = comp.join(docs.select(id_col, score_col), id_col)
-    # max_by with an explicit (score, -id) key: deterministic under ties
-    best = scored.groupBy("component").agg(
-        F.max_by(
-            F.col(id_col), F.struct(F.col(score_col), (-F.col(id_col)).alias("_nid"))
-        ).alias(id_col)
+    # row_number over (score desc, id asc): deterministic under ties for ANY
+    # id type — the max_by(struct(score, -id)) formulation only works for
+    # numeric ids (negating a string id yields NULL with ANSI off, quietly
+    # degrading the tie-break to arbitrary, or a cast error with ANSI on)
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
     )
+    best = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
     return docs.join(best.select(id_col), id_col, "left_semi")
 
 
@@ -229,8 +241,17 @@ def dedup_keep_canonical(
     """Deduplicate ``docs`` against a near-dup pair table: cluster the pairs,
     keep the minimum-id document of every component (singletons keep
     themselves). The survivors join is on the node-id label table — the
-    documents' payload columns never enter the component iteration."""
+    documents' payload columns never enter the component iteration.
+
+    The kept id is the minimum member PRESENT IN ``docs``: a pair table may
+    reference ids outside the corpus (computed on a superset, or a stale
+    snapshot whose endpoint was since removed by an earlier gate), and
+    keeping the raw component label there would select a ghost — silently
+    dropping the entire cluster from the output instead of one survivor."""
     comp = connected_components(pairs, src=src, dst=dst, nodes=docs, id_col=id_col)
-    # the component label IS the minimum member id by construction
-    keep = comp.select(F.col("component").alias(id_col)).distinct()
-    return docs.join(keep, id_col, "left_semi")
+    keep = (
+        comp.join(docs.select(id_col), id_col)  # members that exist in docs
+        .groupBy("component")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return docs.join(keep.select(id_col), id_col, "left_semi")

@@ -196,31 +196,37 @@ def mapreduce_critique_summarize(
     from ..operators._ckpt import RollingCheckpoint
 
     rc = RollingCheckpoint(docs.sparkSession.sparkContext)
-    cur = rc.checkpoint(_with_total(mapped))
-    iteration = 0
-    while iteration < max_rounds and not cur.filter(F.col("_total") > token_max).isEmpty():
-        todo = cur.filter(F.col("_total") > token_max).drop("_total")
-        done = cur.filter(F.col("_total") <= token_max).drop("_total")
-        reduced = _critique_collapse_level(
-            todo, summarizer, critic, token_max, iteration, max_critique_iterations, id_col
-        )
-        nxt = done.unionByName(reduced.select(*cols))
-        # rolling checkpoint: materializes the new round, then frees the old
-        cur = rc.checkpoint(_with_total(nxt))
-        iteration += 1
+    try:
+        cur = rc.checkpoint(_with_total(mapped))
+        iteration = 0
+        while iteration < max_rounds and not cur.filter(F.col("_total") > token_max).isEmpty():
+            todo = cur.filter(F.col("_total") > token_max).drop("_total")
+            done = cur.filter(F.col("_total") <= token_max).drop("_total")
+            reduced = _critique_collapse_level(
+                todo, summarizer, critic, token_max, iteration, max_critique_iterations, id_col
+            )
+            nxt = done.unionByName(reduced.select(*cols))
+            # rolling checkpoint: materializes the new round, then frees the old
+            cur = rc.checkpoint(_with_total(nxt))
+            iteration += 1
 
-    # pre-collapse intermediates that exceed token_max//2 (CR:315-346);
-    # _total is materialized, so the predicate and split are cheap filters
-    half = token_max // 2
-    if not cur.filter(F.col("_total") > half).isEmpty():
-        todo = cur.filter(F.col("_total") > half).drop("_total")
-        done = cur.filter(F.col("_total") <= half).drop("_total")
-        reduced = _critique_collapse_level(
-            todo, summarizer, critic, half, iteration, max_critique_iterations, id_col
-        )
-        cur = done.unionByName(reduced.select(*cols))
-    else:
-        cur = cur.drop("_total")
+        # pre-collapse intermediates that exceed token_max//2 (CR:315-346);
+        # _total is materialized, so the predicate and split are cheap filters
+        half = token_max // 2
+        if not cur.filter(F.col("_total") > half).isEmpty():
+            todo = cur.filter(F.col("_total") > half).drop("_total")
+            done = cur.filter(F.col("_total") <= half).drop("_total")
+            reduced = _critique_collapse_level(
+                todo, summarizer, critic, half, iteration, max_critique_iterations, id_col
+            )
+            cur = done.unionByName(reduced.select(*cols))
+        else:
+            cur = cur.drop("_total")
+    except BaseException:
+        # a failed round (LLM summarizer/critic error) must not pin the
+        # superseded checkpoint for the session
+        rc.release()
+        raise
 
     # final critique-reduce over each doc's remaining summaries
     final = _critique_collapse_level(

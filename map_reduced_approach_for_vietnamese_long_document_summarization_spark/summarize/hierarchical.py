@@ -294,14 +294,20 @@ def hierarchical_summarize(
     from ..operators._ckpt import RollingCheckpoint
 
     rc = RollingCheckpoint(trees.sparkSession.sparkContext)
-    nodes = rc.checkpoint(flatten_tree_json(trees, json_col, id_col))
-    actual = _max_depth(nodes)
-    for d in range(min(max_depth, actual), 0, -1):
-        out = _collapse_level(nodes, d, summarizer, chunk_size, chunk_overlap, token_max)
-        if out is nodes:  # empty level: nothing collapsed, keep the checkpoint
-            continue
-        # rolling checkpoint: materializes the new level, then frees the old
-        nodes = rc.checkpoint(out)
+    try:
+        nodes = rc.checkpoint(flatten_tree_json(trees, json_col, id_col))
+        actual = _max_depth(nodes)
+        for d in range(min(max_depth, actual), 0, -1):
+            out = _collapse_level(nodes, d, summarizer, chunk_size, chunk_overlap, token_max)
+            if out is nodes:  # empty level: nothing collapsed, keep the checkpoint
+                continue
+            # rolling checkpoint: materializes the new level, then frees the old
+            nodes = rc.checkpoint(out)
+    except BaseException:
+        # a failed level (LLM summarizer error) must not pin the superseded
+        # checkpoint for the session
+        rc.release()
+        raise
 
     final_in = (
         nodes.filter(F.col("node_type") == "Paragraph")

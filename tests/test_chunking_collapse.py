@@ -95,6 +95,70 @@ def test_bucket_by_token_budget_is_greedy(spark):
     assert [r.group_id for r in rows] == expected
 
 
+def test_bucket_by_token_budget_null_count_folds_as_zero(spark):
+    """One NULL token count must not poison the fold: NULL acc would make
+    `overflow` NULL on every later chunk, packing the rest of the doc into
+    one unbounded group."""
+    sizes = [400, None, 400, 300, 900]
+    df = spark.createDataFrame(
+        [(1, i, f"c{i}", s) for i, s in enumerate(sizes)],
+        "doc_id long, chunk_idx long, text string, n_tokens int",
+    )
+    rows = bucket_by_token_budget(df, 1000).orderBy("chunk_idx").collect()
+    # NULL folds as 0: [400,0,400]=800, +300 -> 1100 new group, [300,900] -> 900 new
+    assert [r.group_id for r in rows] == [0, 0, 0, 1, 2]
+
+
+def test_collapse_passes_through_doc_with_all_null_counts(spark):
+    """A doc whose every row has a NULL token count must survive the loop
+    (total coalesces to 0 = fits), not vanish by failing both the >budget
+    and <=budget filters."""
+    df = spark.createDataFrame(
+        [(1, 0, None, None), (2, 0, "w " * 40, 40)],
+        "doc_id long, chunk_idx long, text string, n_tokens int",
+    )
+    out = collapse_until_fits(df, MockSummarizer(max_tokens=50), token_max=500)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+
+
+def test_collapse_honors_custom_tokens_col(spark):
+    """tokens_col != 'n_tokens' must survive a reduce round (reduce_groups
+    stamps 'n_tokens'; the loop re-aliases it)."""
+    df = spark.createDataFrame(
+        [(1, i, ("w%d " % i) * 200, 200) for i in range(10)],
+        "doc_id long, chunk_idx long, text string, tok_count int",
+    )
+    out = collapse_until_fits(
+        df, MockSummarizer(max_tokens=50), token_max=500, tokens_col="tok_count"
+    )
+    assert out.columns == ["doc_id", "chunk_idx", "text", "tok_count"]
+    total = out.groupBy("doc_id").agg(F.sum("tok_count").alias("t")).first()["t"]
+    assert total <= 500
+
+
+def test_collapse_releases_checkpoints_when_summarizer_fails(spark):
+    """A summarizer that dies mid-loop must not pin the superseded round's
+    localCheckpoint for the session (clearCache cannot free those)."""
+    import pytest
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators._ckpt import (
+        persistent_rdd_ids,
+    )
+
+    class ExplodingSummarizer(MockSummarizer):
+        def summarize_df(self, df, in_col, out_col):
+            raise RuntimeError("model down")
+
+    df = spark.createDataFrame(
+        [(1, i, ("w%d " % i) * 200, 200) for i in range(10)],
+        "doc_id long, chunk_idx long, text string, n_tokens int",
+    )
+    before = persistent_rdd_ids(spark.sparkContext)
+    with pytest.raises(RuntimeError, match="model down"):
+        collapse_until_fits(df, ExplodingSummarizer(max_tokens=50), token_max=500)
+    assert persistent_rdd_ids(spark.sparkContext) - before == set()
+
+
 def test_bucket_running_sum_assigns_by_offset(spark):
     sizes = [400, 400, 300, 900]
     df = spark.createDataFrame(

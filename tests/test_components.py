@@ -51,6 +51,41 @@ def test_dedup_keep_canonical_keeps_min_per_cluster(spark):
     assert kept == [0, 1, 3]
 
 
+def test_dedup_keep_canonical_survives_foreign_pair_endpoint(spark):
+    """A pair table may reference ids outside docs (superset corpus, or a
+    stale pair snapshot after an earlier gate removed the endpoint). The
+    kept id must be the minimum member PRESENT in docs — selecting the raw
+    component label (a ghost) would silently drop the whole cluster."""
+    docs = spark.createDataFrame(
+        [(i, f"text-{i}") for i in (3, 4, 7)], "doc_id long, text string"
+    )
+    # id 1 links 3 and 4 but is not in docs; the cluster min-in-docs is 3
+    pairs = spark.createDataFrame([(1, 3), (1, 4)], "id1 long, id2 long")
+    kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
+    assert kept == [3, 7]
+
+
+def test_dedup_keep_best_string_ids_tie_break_is_min_id(spark):
+    """Tie-break must be deterministic for ANY id type: with string ids the
+    old max_by(struct(score, -id)) negation yielded NULL (ANSI off),
+    degrading the documented min-id tie-break to arbitrary."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.components import (
+        dedup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [("a.txt", 1.0), ("b.txt", 1.0), ("c.txt", 0.5)],
+        "doc_id string, score double",
+    )
+    pairs = spark.createDataFrame(
+        [("a.txt", "b.txt"), ("b.txt", "c.txt")], "id1 string, id2 string"
+    )
+    kept = [
+        r.doc_id for r in dedup_keep_best(docs, pairs, score_col="score").collect()
+    ]
+    assert kept == ["a.txt"]  # equal best scores -> min id wins, every run
+
+
 def test_non_convergence_warns(spark):
     import warnings
 
