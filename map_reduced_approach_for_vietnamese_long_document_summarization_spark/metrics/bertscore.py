@@ -48,7 +48,14 @@ def token_bucket_expr(tok: Column, n_buckets: int = _N_BUCKETS) -> Column:
     1000003`` then ``% n_buckets``. Pure Catalyst; the same arithmetic is
     expressible in DuckDB (list_reduce + unicode), which is what makes the
     hard-match metric oracle-checkable."""
-    codes = F.transform(F.split(tok, ""), lambda c: F.ascii(c).cast("long"))
+    # drop empty elements: Spark 3.x's split(tok, "") keeps a trailing ""
+    # (Java split semantics) whose ascii() is 0 — one extra fold step that
+    # would silently diverge from _py_token_bucket on the 3.5 support floor;
+    # Spark 4 emits no empties, so the filter is a no-op there
+    codes = F.transform(
+        F.filter(F.split(tok, ""), lambda c: c != ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
     h = F.aggregate(
         codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % _HASH_MOD
     )
@@ -77,6 +84,13 @@ def bertscore_hard_match(
     max under a one-hot encoder), recall symmetric, F1 harmonic. All
     per-row array expressions — the metric adds zero shuffles to whatever
     plan produced the pairs."""
+    clash = {"_cb", "_rb", "bert_precision", "bert_recall", "bert_f1"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"bertscore_hard_match reserves columns {sorted(clash)}; rename "
+            "them first (an existing one would be silently overwritten and "
+            "the scratch columns dropped)"
+        )
     cb = F.transform(tokenize_ws(cand_col), lambda t: token_bucket_expr(t, n_buckets))
     rb = F.transform(tokenize_ws(ref_col), lambda t: token_bucket_expr(t, n_buckets))
     out = df.withColumn("_cb", cb).withColumn("_rb", rb)
@@ -151,6 +165,12 @@ def bertscore_greedy_pairs(
     embedding model swapped for ``encoder``. Scale shape: embarrassingly
     parallel per row, zero shuffle; the encoder closure ships once per
     executor in the UDF, not per row."""
+    clash = {"_bs", "bert_precision", "bert_recall", "bert_f1"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"bertscore_greedy_pairs reserves columns {sorted(clash)}; "
+            "rename them first"
+        )
     enc = encoder or hashed_trigram_encoder()
 
     @F.pandas_udf("bert_precision double, bert_recall double, bert_f1 double")

@@ -28,20 +28,26 @@ def evaluate_summaries(
     """Per-pair metric rows (M5 evaluate_pair composite).
 
     inner join on doc_id (J2) -> optional sort+limit (F4/O2) -> clean (F5) ->
-    ROUGE struct (M1). Returns one row per evaluated pair with rouge1_f /
-    rouge2_f / rougeL_f columns.
+    ROUGE struct (M1). Returns one row per evaluated pair: EVERY column of
+    ``generated`` (so run metadata like (approach, model) survives into the
+    metric rows — the reference reports summary statistics per run, and a
+    multi-run table has several rows per doc_id that would otherwise be
+    indistinguishable) plus rouge1_f / rouge2_f / rougeL_f.
     """
+    pass_cols = list(generated.columns)
     paired = pair_docs_with_refs(
-        generated.select(id_col, gen_col),
+        generated,
         references.select(id_col, F.col(ref_col).alias("_ref")),
         key=id_col,
     )
     if max_samples is not None:
-        paired = paired.orderBy(id_col).limit(max_samples)
+        # total order over every generated column: deterministic sampling
+        # even when doc_id alone has ties (multiple runs per doc)
+        paired = paired.orderBy(*pass_cols).limit(max_samples)
     gen = clean_thinking_tokens(gen_col) if clean else F.col(gen_col)
     scored = paired.withColumn("_scores", rouge_scores_udf(gen, F.col("_ref")))
     return scored.select(
-        id_col,
+        *pass_cols,
         F.col("_scores.rouge1_f").alias("rouge1_f"),
         F.col("_scores.rouge2_f").alias("rouge2_f"),
         F.col("_scores.rougeL_f").alias("rougeL_f"),

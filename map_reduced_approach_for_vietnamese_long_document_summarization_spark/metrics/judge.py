@@ -99,10 +99,16 @@ class OpenAICompatibleJudge(Judge):
                 "Authorization": f"Bearer {self.api_key}",
             },
         )
-        resp = _json.loads(urllib.request.urlopen(req, timeout=self.timeout).read())
-        score = _json.loads(resp["choices"][0]["message"]["content"])["score"]
+        with urllib.request.urlopen(req, timeout=self.timeout) as raw:
+            resp = _json.loads(raw.read())
+        score = float(_json.loads(resp["choices"][0]["message"]["content"])["score"])
+        if not 1.0 <= score <= 5.0:
+            # out-of-range replies (score 0, 10, ...) are a judge failure,
+            # not a datum: raising routes the case to status='failed'
+            # instead of normalizing to a negative or >1 "valid" score
+            raise ValueError(f"judge returned out-of-range score {score!r}")
         # normalize 1-5 -> 0-1 like the reference's G-Eval output
-        return (float(score) - 1) / 4
+        return (score - 1) / 4
 
     def __call__(self, generated: str, reference: str) -> tuple[float, float]:
         correctness = self._score(
@@ -130,6 +136,13 @@ def llm_judge_scores(
 ) -> DataFrame:
     """Add (llm_correctness, llm_coherence, status) per row; failed cases get
     nulls + status='failed' (error-column pattern)."""
+    clash = {"_j", "llm_correctness", "llm_coherence", "status"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"llm_judge_scores reserves output columns {sorted(clash)}; "
+            "rename them first (a pre-existing one would come back "
+            "duplicated and break every downstream reference to it)"
+        )
 
     @F.pandas_udf(_JUDGE_SCHEMA)
     def judge_udf(gen: pd.Series, ref: pd.Series) -> pd.DataFrame:

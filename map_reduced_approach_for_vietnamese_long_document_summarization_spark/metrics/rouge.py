@@ -112,22 +112,40 @@ def rouge_n_f1_df(
     a join) but every operator is whole-stage-codegen'd — ~3x faster than
     the interpreted HOF expression on wide corpora. Prefer the expression
     when adding a column inline without shuffles; prefer this for the
-    dedicated metric pass."""
+    dedicated metric pass.
+
+    ``id_cols`` need NOT uniquely key the table (the pipeline shape carries
+    several (approach, model) rows per doc_id): every branch is re-keyed by
+    a per-row number within each id group, so duplicate-id rows each get
+    their own correct score — grouping gram counts by ids alone would merge
+    different rows' multisets and emit impossible F1 > 1 values. The
+    row_number runs over a total order on (gen, ref); rows identical in all
+    of (ids, gen, ref) are interchangeable, so ambiguous numbering among
+    them cannot change any row's score even though each branch recomputes
+    the window independently."""
+    from pyspark.sql import Window
+
     ids = list(id_cols)
     out_col = out_col or f"rouge{n}"
+    w = Window.partitionBy(*ids).orderBy(F.col(gen_col).asc_nulls_first(),
+                                         F.col(ref_col).asc_nulls_first())
+    keyed = pairs.select(*ids, gen_col, ref_col).withColumn(
+        "_row", F.row_number().over(w)
+    )
+    keys = ids + ["_row"]
     g = (
-        pairs.select(*ids, F.explode(_ngram_arr(gen_col, n)).alias("_tok"))
-        .groupBy(*ids, "_tok")
+        keyed.select(*keys, F.explode(_ngram_arr(gen_col, n)).alias("_tok"))
+        .groupBy(*keys, "_tok")
         .agg(F.count(F.lit(1)).alias("_cg"))
     )
     r = (
-        pairs.select(*ids, F.explode(_ngram_arr(ref_col, n)).alias("_tok"))
-        .groupBy(*ids, "_tok")
+        keyed.select(*keys, F.explode(_ngram_arr(ref_col, n)).alias("_tok"))
+        .groupBy(*keys, "_tok")
         .agg(F.count(F.lit(1)).alias("_cr"))
     )
     inter = (
-        g.join(r, ids + ["_tok"])
-        .groupBy(*ids)
+        g.join(r, keys + ["_tok"])
+        .groupBy(*keys)
         .agg(F.sum(F.least("_cg", "_cr")).alias("_inter"))
     )
     # gram count is arithmetic on the token count — no need to rebuild the
@@ -135,10 +153,10 @@ def rouge_n_f1_df(
     def _n_grams(col):
         return F.greatest(F.size(tokenize_ws(col)) - (n - 1), F.lit(0))
 
-    sizes = pairs.select(
-        *ids, _n_grams(gen_col).alias("_lg"), _n_grams(ref_col).alias("_lr")
+    sizes = keyed.select(
+        *keys, _n_grams(gen_col).alias("_lg"), _n_grams(ref_col).alias("_lr")
     )
-    out = sizes.join(inter, ids, "left")
+    out = sizes.join(inter, keys, "left")
     f1 = F.when(
         (F.col("_lg") > 0) & (F.col("_lr") > 0) & (F.coalesce("_inter", F.lit(0)) > 0),
         2.0 * F.col("_inter") / (F.col("_lg") + F.col("_lr")),

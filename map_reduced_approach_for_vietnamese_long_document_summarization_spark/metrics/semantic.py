@@ -26,7 +26,15 @@ def dot_expr(a: Column | str, b: Column | str) -> Column:
 
 
 def cosine_similarity_expr(a: Column | str, b: Column | str) -> Column:
-    """cos(a, b) = a.b / (|a|*|b|); 0.0 for zero-norm inputs."""
+    """cos(a, b) = a.b / (|a|*|b|); 0.0 for zero-norm inputs.
+
+    NULL (not 0.0, not an error) when either vector is NULL, contains a
+    NULL element, or the lengths differ (``zip_with`` pads the shorter side
+    with NULLs, which propagate through the dot product). Deliberate: a
+    corrupt or truncated embedding is UNKNOWN similarity, and SQL's
+    NULL-skipping aggregates then exclude it from means — but callers
+    averaging downstream should count NULLs separately if silent sample
+    shrinkage matters (``F.count`` vs ``F.count(col)``)."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     num = dot_expr(a, b)

@@ -65,6 +65,66 @@ def test_rouge1_df_matches_expr(spark):
     assert all(math.isclose(via_df[k], via_expr[k]) for k in via_expr)
 
 
+def test_rouge1_df_duplicate_ids_score_per_row(spark):
+    """id_cols need not uniquely key the pair table (several (approach,
+    model) rows per doc_id is the pipeline shape): each duplicate-id row
+    must get its OWN score. Regression: grouping gram counts by ids alone
+    merged both rows' multisets, emitting impossible F1 values (1.6)."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.metrics.rouge import (
+        rouge1_f1_df,
+        rouge_pair,
+    )
+
+    df = spark.createDataFrame(
+        [("d1", "a b c", "a b"), ("d1", "x y", "x y z")], ["doc_id", "g", "r"]
+    )
+    got = sorted(x.rouge1 for x in rouge1_f1_df(df).collect())
+    expect = sorted(rouge_pair(g, r)[0] for g, r in [("a b c", "a b"), ("x y", "x y z")])
+    assert all(math.isclose(a, b) for a, b in zip(got, expect)), (got, expect)
+    assert all(v <= 1.0 for v in got)
+
+
+def test_evaluate_summaries_carries_run_metadata(spark):
+    """Multi-run tables (several (approach, model) rows per doc_id) must
+    keep their metadata columns so per-run summary_statistics is possible
+    and rows stay attributable."""
+    gen = spark.createDataFrame(
+        [(1, "mapreduce", "the cat sat"), (1, "iterative", "a dog ran")],
+        ["doc_id", "approach", "summary"],
+    )
+    ref = spark.createDataFrame([(1, "the cat sat")], ["doc_id", "reference"])
+    out = evaluate_summaries(gen, ref)
+    assert set(["doc_id", "approach", "summary"]).issubset(out.columns)
+    by_run = {r.approach: r.rouge1_f for r in out.collect()}
+    assert math.isclose(by_run["mapreduce"], 1.0)
+    assert by_run["iterative"] < 1.0
+    stats = summary_statistics(out, group_cols=["approach"])
+    assert stats.count() == 2
+
+
+def test_judge_and_bertscore_guard_reserved_columns(spark):
+    import pytest
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.metrics.bertscore import (
+        bertscore_hard_match,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.metrics.judge import (
+        MockJudge,
+        llm_judge_scores,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "a", "x")], ["summary", "reference", "status"]
+    )
+    with pytest.raises(ValueError, match="status"):
+        llm_judge_scores(df, MockJudge())
+    df2 = spark.createDataFrame(
+        [("a", "a", 1.0)], ["candidate", "reference", "bert_f1"]
+    )
+    with pytest.raises(ValueError, match="bert_f1"):
+        bertscore_hard_match(df2)
+
+
 def test_cosine_similarity_expr(spark):
     df = spark.createDataFrame(
         [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([0.0, 0.0], [1.0, 1.0])],
