@@ -131,8 +131,38 @@ def lsh_band_table(
     """Exploded LSH band table: exactly (id, band_idx, band_hash) — the
     signature column is deliberately NOT carried, so the band self-join
     shuffles 3 narrow columns per (doc x band) row instead of n_bands copies
-    of the 64-long signature (a ~16x band-shuffle-width cut at n_bands=16)."""
-    sig = F.col(sig_col)
+    of the 64-long signature (a ~16x band-shuffle-width cut at n_bands=16).
+
+    Parameters are validated the same way as ``hamming_near_dup_pairs``: a
+    zero-width band (n_bands > n_hashes, or rows-per-band truncating to 0)
+    or a signature array SHORTER than ``n_hashes`` (e.g. 16-hash md5-twin
+    signatures banded with the 64-hash default) would make ``slice`` return
+    [] for the tail bands — a constant band hash putting EVERY doc in one
+    bucket, i.e. a silent O(n^2) self-join. The length check runs in the
+    expression (``raise_error``) because the array width is data, not a
+    parameter."""
+    if not (1 <= n_bands <= n_hashes) or n_hashes % n_bands != 0:
+        raise ValueError(
+            f"n_bands must divide n_hashes with 1 <= n_bands <= n_hashes, "
+            f"got n_bands={n_bands}, n_hashes={n_hashes}"
+        )
+    raw_sig = F.col(sig_col)
+    sig = F.when(F.size(raw_sig) >= n_hashes, raw_sig).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"lsh_band_table: signature array in {sig_col!r} has "
+                ),
+                F.size(raw_sig).cast("string"),
+                F.lit(
+                    f" hashes but n_hashes={n_hashes} — banding a short "
+                    "signature yields empty tail bands (constant band hash "
+                    "= one giant bucket = silent O(n^2) join); pass the "
+                    "n_hashes the signatures were built with"
+                ),
+            )
+        )
+    )
     rpb = n_hashes // n_bands
     bands = F.array(
         *[
@@ -374,6 +404,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 64,
     shingle_n: int = 3,
+    include_missing: bool = True,
 ) -> DataFrame:
     """MinHash signatures via explode + hash-aggregate (the scale path).
 
@@ -382,7 +413,10 @@ def minhash_signatures(
     means only (doc_id, 64 longs) ever shuffles; the wide-but-flat agg list
     vectorizes cleanly where the per-row nested-HOF formulation
     (``minhash_signature_expr``) blows up the expression tree at high
-    n_hashes. Docs with no shingles get sentinel signatures."""
+    n_hashes. With ``include_missing`` (the default, the one-row-per-doc
+    contract) shingle-less docs get sentinel signatures via a corpus-id
+    left join; callers that immediately DISCARD sentinel rows (the dedup
+    pair path) pass ``False`` and skip that full-corpus join entirely."""
     sh = df.select(id_col, F.explode(shingles_expr(text_col, shingle_n)).alias("_sh"))
     base = F.xxhash64("_sh")
     aggs = []
@@ -393,6 +427,8 @@ def minhash_signatures(
     sigs = sh.groupBy(id_col).agg(*aggs).select(
         id_col, F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("minhash")
     )
+    if not include_missing:
+        return sigs
     sentinel = F.array(*([F.lit(2**63 - 1)] * n_hashes))
     return (
         df.select(id_col)
@@ -423,9 +459,12 @@ def minhash_dedup_pairs(
     posting list onto one band key (the same skew guard as
     ``simhash_near_dup_pairs`` and the md5 twin; content-free docs belong
     to exact dedup)."""
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
-    sentinel = F.array(*([F.lit(2**63 - 1)] * n_hashes))
-    sigs = sigs.filter(F.col("minhash") != sentinel)
+    # include_missing=False: the agg output already contains exactly the
+    # shingled docs — the sentinel left-join would add only rows this
+    # function immediately discards, at one full-corpus-id shuffle join
+    sigs = minhash_signatures(
+        df, text_col, id_col, n_hashes, shingle_n, include_missing=False
+    )
     # the band self-join references the signature subtree twice — cache so
     # signatures aren't computed per join side. persist() is LAZY: building
     # this DataFrame stays side-effect-free (no jobs run until an action).
@@ -570,14 +609,20 @@ def hamming_near_dup_pairs(
             f"zero-width band key: every row in ONE bucket, a silent n^2 join)"
         )
     band_width = bits // n_bands
-    band_mask = (1 << band_width) - 1
+
+    def _band_key(b: int):
+        shifted = F.shiftright(F.col(sig_col), b * band_width)
+        if band_width >= 64:
+            # n_bands=1, bits=64: the full signature IS the band key; the
+            # mask (2^64 - 1) would overflow a signed long literal anyway
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << band_width) - 1))
+
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.shiftright(F.col(sig_col), b * band_width)
-                .bitwiseAND(F.lit(band_mask))
-                .alias("band_key"),
+                _band_key(b).alias("band_key"),
             )
             for b in range(n_bands)
         ]
@@ -649,6 +694,11 @@ def ngram_jaccard_pairs(
     # cache the exploded index so it computes once, not 4x. persist() is
     # lazy — constructing the query runs no jobs (see minhash_dedup_pairs).
     sh = sh.persist()
+    # keep the PERSISTED frame for the unpersist hook: under max_doc_freq
+    # `sh` is rebound to the left_semi join below, and unpersisting that
+    # derived plan is a no-op (uncacheQuery matches sameResult plans only)
+    # — the cache entry would leak for the session
+    persisted_sh = sh
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if max_doc_freq is not None:
         rare = (
@@ -679,7 +729,7 @@ def ngram_jaccard_pairs(
         jac = jac.filter(F.col("jaccard") >= threshold)
     if top_k is not None:
         jac = jac.orderBy(F.desc("jaccard"), "id1", "id2").limit(top_k)
-    jac._persisted_inputs = [sh]  # unpersist hook for long-lived sessions
+    jac._persisted_inputs = [persisted_sh]  # unpersist hook (see above)
     return jac
 
 

@@ -25,10 +25,20 @@ _HASH_SPACE = float(1 << 60)
 
 def hash_uniform(id_col: Column | str, salt: str) -> Column:
     """Uniform r in [0,1) from md5 of the salted id — deterministic and
-    partitioning-independent, unlike ``F.rand``."""
+    partitioning-independent, unlike ``F.rand``.
+
+    NULL ids hash as a distinct sentinel key instead of propagating NULL:
+    a NULL r would silently DROP the row from every threshold-filter
+    sampler (``NULL < frac`` is NULL) and deterministically dump it into
+    the last split of ``assign_split`` — missing metadata deserves an
+    unbiased coin like every other row. The hash itself is
+    ``dedup.md5_hash60`` (the cross-engine oracle hash), not a private
+    copy, so sampling and dedup cannot drift apart."""
+    from .dedup import md5_hash60
+
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))), 1, 15), 16, 10)
-    return h.cast("bigint") / F.lit(_HASH_SPACE)
+    key = F.coalesce(c.cast("string"), F.lit("\x00null"))
+    return md5_hash60(F.concat(F.lit(salt + ":"), key)) / F.lit(_HASH_SPACE)
 
 
 def assign_split(
@@ -50,6 +60,16 @@ def assign_split(
         weights = {"train": 0.8, "val": 0.1, "test": 0.1}
     if not weights:
         raise ValueError("weights must name at least one split")
+    if any(v <= 0 for v in weights.values()):
+        raise ValueError(f"split weights must be > 0, got {weights}")
+    if abs(sum(weights.values()) - 1.0) > 1e-6:
+        # weights over 1 silently STARVE later splits (a cumulative
+        # threshold past 1.0 is unreachable — the split gets zero rows
+        # forever, no error); under 1 silently inflates the last split
+        raise ValueError(
+            f"split weights must sum to 1, got {sum(weights.values())!r} "
+            f"from {weights}"
+        )
     r = hash_uniform(id_col, salt)
     names = list(weights)
     expr: Column | None = None
@@ -243,10 +263,19 @@ def mixture_rates(
     joined = shares.join(F.broadcast(mass), source_col, "left").withColumn(
         "mass", F.coalesce("mass", F.lit(0).cast("long"))
     )
-    t = joined.select(
-        F.min(F.col("mass") / F.col("target_share")).alias("_t")
+    # the scalar min as a whole-frame window over the (n_sources-row)
+    # joined table — NOT a separate aggregate crossJoined back, whose
+    # second plan branch would re-run the corpus mass aggregation when
+    # exchange reuse doesn't kick in
+    from pyspark.sql import Window
+
+    joined = joined.withColumn(
+        "_t",
+        F.min(F.col("mass") / F.col("target_share")).over(
+            Window.partitionBy(F.lit(1))
+        ),
     )
-    return joined.crossJoin(F.broadcast(t)).select(
+    return joined.select(
         source_col,
         "mass",
         F.round("target_share", 9).alias("target_share"),

@@ -267,3 +267,78 @@ def test_winnowing_xxhash_twin_same_guarantees(spark):
 
     with _pytest.raises(ValueError, match="gram_hash"):
         winnowing_fingerprints(df, gram_hash="sha1")
+
+
+def test_lsh_band_table_rejects_bad_band_params(spark):
+    import pytest
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        lsh_band_table,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(
+        spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"]),
+        n_hashes=16,
+    )
+    with pytest.raises(ValueError, match="n_bands"):
+        lsh_band_table(sigs, "doc_id", "minhash", n_bands=32, n_hashes=16)
+    with pytest.raises(ValueError, match="n_bands"):
+        lsh_band_table(sigs, "doc_id", "minhash", n_bands=3, n_hashes=16)
+
+
+def test_lsh_band_table_rejects_short_signatures_at_runtime(spark):
+    """16-hash signatures banded with the 64-hash default would slice []
+    for the tail bands — a constant band hash = one giant bucket = silent
+    O(n^2) self-join. Must raise, not degrade."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        lsh_band_table,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(
+        spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"]),
+        n_hashes=16,
+    )
+    bad = lsh_band_table(sigs, "doc_id", "minhash", n_bands=16, n_hashes=64)
+    with pytest.raises(Exception, match="n_hashes=64"):
+        bad.collect()
+
+
+def test_hamming_pairs_single_full_width_band(spark):
+    """n_bands=1, bits=64 passes validation and must WORK: the full
+    signature is the band key (the 2^64-1 mask literal would overflow a
+    signed long)."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    sigs = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, -12345)], ["doc_id", "simhash"]
+    )
+    got = hamming_near_dup_pairs(sigs, n_bands=1, bits=64, max_hamming=0).collect()
+    assert [(r.id1, r.id2) for r in got] == [(1, 2)]
+
+
+def test_ngram_jaccard_unpersist_hook_releases_the_cached_index(spark):
+    """Under max_doc_freq the shingle frame is rebound after persist(); the
+    hook must hold the PERSISTED frame, or unpersist_inputs no-ops and the
+    cache entry leaks for the session."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        unpersist_inputs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w%d common text body here" % i) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    pairs = ngram_jaccard_pairs(docs, shingle_n=2, max_doc_freq=10)
+    pairs.count()  # materialize (and populate the cache)
+    cached = pairs._persisted_inputs[0]
+    assert cached.storageLevel.useMemory  # the hook holds the cached frame
+    unpersist_inputs(pairs)
+    assert not cached.storageLevel.useMemory

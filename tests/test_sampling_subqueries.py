@@ -165,3 +165,36 @@ def test_source_quota_keeps_null_sources(spark):
         [(i, None) for i in range(20)], "doc_id long, source string"
     )
     assert source_quota_sample(many_null, cap=3).count() == 3
+
+
+def test_null_ids_get_an_unbiased_coin_not_dropped(spark):
+    """NULL ids must hash like any other key: the old NULL-propagating hash
+    silently dropped NULL-id rows from every threshold sampler and dumped
+    them all into the LAST split."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.sampling import (
+        epoch_upsample,
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "s"), (1, "s"), (2, "s")], "doc_id long, source string"
+    )
+    # fraction 1.0 keeps EVERY row, NULL id included
+    kept = stratified_hash_sample(df, "doc_id", "source", {"s": 1.0})
+    assert kept.count() == 3
+    # integer epochs emit exactly that many copies, NULL id included
+    up = epoch_upsample(df, "source", {"s": 3.0})
+    assert up.filter(F.col("doc_id").isNull()).count() == 3
+    # split assignment is a plain coin for NULL too (deterministic value,
+    # not hardwired to the last split by NULL comparison semantics)
+    s = assign_split(df, "doc_id").filter(F.col("doc_id").isNull()).first()
+    assert s["split"] in {"train", "val", "test"}
+
+
+def test_assign_split_rejects_bad_weights(spark, ids):
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_split(ids, "doc_id", weights={"a": 0.8, "b": 0.3})
+    with pytest.raises(ValueError, match="> 0"):
+        assign_split(ids, "doc_id", weights={"a": 1.5, "b": -0.5})
