@@ -69,7 +69,27 @@ class TinyBPETokenizer:
             self._rank_cache[merged] = r
         return r
 
+    # the merge loop is O(len^2) rank lookups hashing strings of growing
+    # length (~O(len^3) bytes hashed): fine for natural pre-tokens (a few
+    # chars), pathological for a megabyte base64/minified-JS run that the
+    # GPT-2 classes capture as ONE pre-token. Slice such runs into bounded
+    # windows first — lossless (slices concatenate back), deterministic,
+    # and only affects single-class runs longer than any natural word.
+    _MAX_PRETOKEN = 256
+    # the rank cache is keyed by every intermediate merged substring; on
+    # the long-lived per-executor UDF singleton it must not grow without
+    # bound across a corpus — recomputing a rank is two dozen splitmix
+    # rounds, so a flush is cheap
+    _MAX_RANK_CACHE = 1_000_000
+
     def _encode_pretoken(self, pre: str) -> list[str]:
+        if len(pre) > self._MAX_PRETOKEN:
+            out: list[str] = []
+            for a in range(0, len(pre), self._MAX_PRETOKEN):
+                out.extend(self._encode_pretoken(pre[a : a + self._MAX_PRETOKEN]))
+            return out
+        if len(self._rank_cache) > self._MAX_RANK_CACHE:
+            self._rank_cache.clear()
         symbols = list(pre)
         while len(symbols) > 1:
             best_i, best_rank = -1, self._cutoff

@@ -39,11 +39,22 @@ def _c(col: Column | str) -> Column:
 
 def pii_counts(col: Column | str) -> Column:
     """Struct of per-kind match counts (email, phone, ipv4) — the audit
-    metric a redaction job reports. NULL text counts as zero matches."""
+    metric a redaction job reports. NULL text counts as zero matches.
+
+    Counted SEQUENTIALLY, each kind on the text with all earlier kinds
+    already redacted — exactly the tags ``redact_pii`` emits. Counting
+    every kind on the raw text would double-count nested matches (an IPv4
+    inside an email local-part: '1.2.3.4@x.com' is ONE [EMAIL] tag, but
+    raw counting reports email=1 AND ipv4=1, so an audit reconciling
+    counts against emitted tags flags a phantom redaction failure). The
+    placeholder tags contain no digits or '@', so redacting one kind
+    cannot manufacture matches for a later kind."""
     s = F.coalesce(_c(col), F.lit(""))
-    return F.struct(
-        *[F.regexp_count(s, F.lit(p)).alias(k) for k, p in PII_PATTERNS.items()]
-    )
+    counts = []
+    for k, p in PII_PATTERNS.items():
+        counts.append(F.regexp_count(s, F.lit(p)).alias(k))
+        s = F.regexp_replace(s, p, PII_TAGS[k])
+    return F.struct(*counts)
 
 
 def redact_pii(col: Column | str, kinds: tuple[str, ...] | None = None) -> Column:

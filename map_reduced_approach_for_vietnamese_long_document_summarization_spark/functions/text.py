@@ -85,9 +85,15 @@ def normalize_text(col: Column | str) -> Column:
 def tokenize_ws(col: Column | str) -> Column:
     """Whitespace tokenization -> array<string>; empty text -> empty array.
 
-    Matches Python ``str.split()`` semantics (no empty tokens) used as the
-    reference's length function (run_summarization_ollama_mapreduce.py:58-60).
-    """
+    Matches Python ``str.split()``'s no-empty-tokens semantics (the
+    reference's length function, run_summarization_ollama_mapreduce.py:
+    58-60) over ASCII whitespace. Deliberate contract note: Java/RE2
+    ``\\s`` is ASCII-only, so Unicode spaces (NBSP U+00A0, thin space)
+    do NOT split here — unlike Python ``str.split()``, which splits all
+    Unicode whitespace. ASCII-\\s is kept as the system-wide definition
+    because the DuckDB oracle's regexes share it (cross-engine
+    replayability is the contract); corpora with NBSP-glued words should
+    run ``normalize_text`` first, which maps them to plain spaces."""
     stripped = strip_ws(col)
     return F.when(F.length(stripped) == 0, F.array().cast("array<string>")).otherwise(
         F.split(stripped, r"\s+")
@@ -194,6 +200,12 @@ def sanitize_model_name(col: Column | str) -> Column:
 
 
 def filename_stem(col: Column | str) -> Column:
-    """Extract ``name`` from ``.../name.txt`` (run_full_evaluation_pipeline.py:518-519)."""
+    """Extract ``name`` from ``.../name.txt`` (run_full_evaluation_pipeline.py:518-519).
+
+    Python ``Path.stem`` parity for the no-extension cases too: an
+    extensionless path (``.../readme``) and a dotfile (``.../.gitignore``)
+    return the basename itself — the regex alone returned '' there, which
+    collapsed every extensionless file onto one join/group key."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract(c, r"([^/]+)\.[^./]+$", 1)
+    stem = F.regexp_extract(c, r"([^/]+)\.[^./]+$", 1)
+    return F.when(stem == "", F.element_at(F.split(c, "/"), -1)).otherwise(stem)

@@ -56,6 +56,11 @@ def language_id(col: Column | str, languages: tuple[str, ...] = ("en", "de", "fr
         for i, lang in enumerate(languages)
     ]
     best = F.array_max(F.array(*scores))
+    # NULL text maps to 'und' DELIBERATELY (unlike script_ratios, which
+    # keeps NULL): language_id feeds reporting rollups where 'no text' and
+    # 'no stopword hit' belong in the same undetermined bucket, and the
+    # DuckDB oracle pins this choice — callers needing the distinction
+    # filter on text IS NULL first
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
@@ -63,7 +68,9 @@ def quality_score(col: Column | str) -> Column:
     """Heuristic doc-quality score in [0,1] from cheap surface statistics.
 
     Components (equal weight):
-      * length score   — 1 if 50..100k chars, linear ramp below 50
+      * length score   — linear ramp up to 1.0 at >= 50 chars; deliberately
+        NO upper cap (over-length boilerplate is ``repetition_stats``' job,
+        and the oracle pins this exact formula)
       * token score    — 1 if mean token length in [3, 12]
       * alpha ratio    — fraction of non-space chars that are alphanumeric
     """

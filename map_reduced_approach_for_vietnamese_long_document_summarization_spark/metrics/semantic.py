@@ -39,7 +39,11 @@ def cosine_similarity_expr(a: Column | str, b: Column | str) -> Column:
     b = F.col(b) if isinstance(b, str) else b
     num = dot_expr(a, b)
     denom = F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b))
-    return F.when(denom > 0, num / denom).otherwise(F.lit(0.0))
+    # chained when WITHOUT otherwise: a NULL denominator (NULL/corrupt
+    # vector) yields NULL, not a fabricated 0.0 — an otherwise(0.0) would
+    # rank garbage embeddings ABOVE genuinely dissimilar (negative-cosine)
+    # neighbors in every top-k path; desc ordering puts NULLs last
+    return F.when(denom > 0, num / denom).when(denom == 0, F.lit(0.0))
 
 
 def bert_score_encoder():  # pragma: no cover - optional heavy dependency

@@ -337,12 +337,24 @@ def semantic_dedup(
 
     if threshold <= 0:
         raise ValueError(f"threshold must be > 0, got {threshold}")
+    # Precondition: corpus_id uniquely keys the corpus — domination is
+    # recorded and anti-joined BY ID, so duplicate-id rows would all be
+    # dropped together (the same contract repetition_stats_batch documents).
+    # NULL-vector / NULL-id rows cannot be compared at all: np.stack would
+    # crash the whole cell on a None, and NULL centroid distances would
+    # pile every such row into cell 0 — pass them through as survivors
+    # instead (consistent with the top-k family, which ranks NULL vectors
+    # last rather than crashing).
+    comparable = F.col(corpus_vec).isNotNull() & F.col(corpus_id).isNotNull()
+    excluded = corpus.filter(~comparable)
     # persist the assignment: it feeds the pair stage AND the final
     # anti-join, and the interpreted centroid-distance folds are the single
     # most expensive per-row expression here — evaluate them once. persist()
     # is lazy (no job at construction); callers release via
     # operators.unpersist_inputs(out) after their action.
-    assigned = ivf_assign(corpus, centroids, corpus_vec=corpus_vec).persist()
+    assigned = ivf_assign(
+        corpus.filter(comparable), centroids, corpus_vec=corpus_vec
+    ).persist()
     slim = assigned.select(F.col(corpus_id).alias("_id"), F.col(corpus_vec).alias("_v"), "cell")
 
     def _dominated_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -374,5 +386,10 @@ def semantic_dedup(
     # would collect it through the driver; let the optimizer pick (AQE still
     # broadcasts when the set is actually small)
     out = assigned.join(dominated, corpus_id, "left_anti")
+    # non-comparable rows survive with a NULL cell (they were never binned)
+    cell_type = dict(assigned.dtypes)["cell"]
+    out = out.unionByName(
+        excluded.withColumn("cell", F.lit(None).cast(cell_type))
+    )
     out._persisted_inputs = [assigned]  # unpersist hook for long-lived sessions
     return out

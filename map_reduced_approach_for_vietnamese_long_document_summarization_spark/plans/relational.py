@@ -2072,17 +2072,23 @@ def _pii_oracle_sql() -> str:
         " || (doc_id % 250)::VARCHAR || ' call +84-555-'"
         " || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
     )
+    # counts replay pii_counts' SEQUENTIAL semantics: each kind is counted
+    # on the text with all earlier kinds already redacted, so counts match
+    # the tags the redaction emits (no double-counting nested matches)
     return """
-WITH d AS (SELECT doc_id, {dec} AS s FROM documents)
+WITH d AS (SELECT doc_id, {dec} AS s FROM documents),
+     seq AS (SELECT doc_id, s,
+                    regexp_replace(s, '{email}', '[EMAIL]', 'g') AS s1,
+                    regexp_replace(regexp_replace(s,
+                      '{email}', '[EMAIL]', 'g'),
+                      '{phone}', '[PHONE]', 'g') AS s2
+             FROM d)
 SELECT doc_id,
        CAST(len(regexp_extract_all(s, '{email}')) AS INT) AS n_email,
-       CAST(len(regexp_extract_all(s, '{phone}')) AS INT) AS n_phone,
-       CAST(len(regexp_extract_all(s, '{ipv4}')) AS INT) AS n_ipv4,
-       regexp_replace(regexp_replace(regexp_replace(s,
-         '{email}', '[EMAIL]', 'g'),
-         '{phone}', '[PHONE]', 'g'),
-         '{ipv4}', '[IP]', 'g') AS redacted
-FROM d
+       CAST(len(regexp_extract_all(s1, '{phone}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(s2, '{ipv4}')) AS INT) AS n_ipv4,
+       regexp_replace(s2, '{ipv4}', '[IP]', 'g') AS redacted
+FROM seq
 """.format(
         dec=dec,
         email=PII_PATTERNS["email"],

@@ -57,3 +57,45 @@ def test_embedding_near_dup_pairs(spark):
     pairs = embedding_near_dup_pairs(df, dim=16, threshold=0.95).collect()
     assert [(p.id1, p.id2) for p in pairs] == [(0, 1)]
     assert pairs[0].cosine > 0.99
+
+
+def test_semantic_dedup_passes_null_embeddings_through(spark):
+    """A NULL embedding cannot be compared: it must survive as-is (NULL
+    cell), not crash the whole cell's np.stack or silently vanish."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.001]),  # near-dup of 1 -> dominated
+            (3, None),          # corrupt row
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(corpus, [[1.0, 0.0]], threshold=0.99)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert set(rows) == {1, 3}  # 2 dominated; 3 survives
+    assert rows[3].cell is None
+
+
+def test_cosine_null_vector_ranks_last_not_zero(spark):
+    """A NULL/corrupt embedding yields NULL similarity (ranked last under
+    desc), never a fabricated 0.0 that outranks negative-cosine rows."""
+    import pyspark.sql.functions as F
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.metrics.semantic import (
+        cosine_similarity_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [-1.0, 0.0]), (3, None)],
+        "id long, v array<double>",
+    )
+    q = F.array(F.lit(1.0), F.lit(0.0))
+    got = df.select("id", cosine_similarity_expr("v", q).alias("s")).orderBy(
+        F.desc("s")
+    ).collect()
+    assert [r.id for r in got] == [1, 2, 3]  # NULL last, not mid-ranked at 0.0
+    assert got[2].s is None

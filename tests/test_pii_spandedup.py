@@ -104,3 +104,13 @@ def test_span_dedup_empty_null_whitespace(spark):
     assert got[1]["n_removed"] == 0
     assert got[2]["n_removed"] == 0
     assert got[3]["n_removed"] == 1
+
+
+def test_pii_counts_match_emitted_tags_on_nested_matches(spark):
+    """An IPv4 inside an email local-part is ONE [EMAIL] redaction; the
+    audit counts must agree (sequential counting), not report a phantom
+    un-redacted IP."""
+    df = spark.createDataFrame([("reach 1.2.3.4@example.com now",)], ["t"])
+    r = df.select(redact_pii("t").alias("red"), pii_counts("t").alias("c")).first()
+    assert r.red == "reach [EMAIL] now"
+    assert (r.c.email, r.c.phone, r.c.ipv4) == (1, 0, 0)

@@ -113,3 +113,35 @@ def test_bpe_udfs_on_spark(spark):
     for doc_id, text in data:
         assert rows[doc_id].n == t.count(text or "")
         assert rows[doc_id].tr == t.truncate(text or "", 2)
+
+
+def test_filename_stem_extensionless_and_dotfiles(spark):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions.text import (
+        filename_stem,
+    )
+
+    df = spark.createDataFrame(
+        [("/data/docs/readme",), ("/data/.gitignore",), ("/a/b/name.txt",), ("name.",)],
+        ["p"],
+    )
+    got = [r.s for r in df.select(filename_stem("p").alias("s")).collect()]
+    # Path.stem parity: basename when there is no real extension
+    assert got == ["readme", ".gitignore", "name", "name."]
+
+
+def test_bpe_pathological_run_is_bounded_and_lossless():
+    """A single-class megatoken (base64/minified-JS shape) must not take
+    O(len^3) work: long pre-tokens are sliced into bounded windows, still
+    losslessly round-tripping."""
+    import time
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.functions.bpe import (
+        TinyBPETokenizer,
+    )
+
+    tok = TinyBPETokenizer()
+    run = "9" * 100_000  # one digit-class pre-token
+    t0 = time.perf_counter()
+    syms = tok.tokenize(run)
+    assert time.perf_counter() - t0 < 10.0  # unbounded loop took minutes
+    assert "".join(syms) == run
