@@ -21,7 +21,7 @@ oracle in plans/training.py replays natively).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -83,7 +83,16 @@ def asof_join(
         )
     payload = F.struct(*[F.col(c).alias(c) for c in (right_time, *right_cols)])
 
-    r = right.select(
+    # drop right rows whose key or time is NULL BEFORE the union: a NULL
+    # time sorts FIRST in the ascending window (its payload struct is
+    # non-NULL), so last(_p, ignorenulls=True) would carry it into every
+    # left row with no real preceding match — a spurious match with a NULL
+    # matched timestamp; and NULL join keys must never match (SQL join
+    # semantics), but partitionBy groups them together. Ties on
+    # (key, right_time) are broken by whichever tied row the sort places
+    # last — give the right side a unique tiebreaker upstream if tied
+    # payloads differ.
+    r = right.filter(F.col(on).isNotNull() & F.col(right_time).isNotNull()).select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),

@@ -49,7 +49,11 @@ def bucket_running_sum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    start_offset = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    # NULL token counts bucket as 0 — same rule as the greedy fold: a raw
+    # NULL would give the row a NULL group_id (a phantom bin downstream)
+    # and make the two bucketing modes disagree on the same input
+    t = F.coalesce(F.col(tokens_col), F.lit(0))
+    start_offset = F.sum(t).over(w) - t
     return df.withColumn(group_col, F.floor(start_offset / token_max).cast("int"))
 
 

@@ -57,19 +57,30 @@ def interval_join(
     if reserved:
         raise ValueError("interval_join reserves column name '_b'; rename it first")
 
-    def secs(c):
-        # TIMESTAMP -> epoch seconds; numeric columns round-trip unchanged
-        # (numeric -> timestamp interprets the value as epoch seconds)
-        return F.col(c).cast("timestamp").cast("double")
+    def secs(df, c):
+        # dtype-aware, same rule as asof_join: TIMESTAMP goes through the
+        # epoch-seconds cast; numeric axes are used in their own units
+        # WITHOUT a timestamp round-trip — CAST(bigint AS TIMESTAMP)
+        # multiplies by 1e6 internally, so an epoch-microseconds axis
+        # (~1.7e15) would overflow long and wrap (non-ANSI), silently
+        # corrupting bucket ids on both sides of the join
+        if dict(df.dtypes)[c].startswith("timestamp"):
+            return F.col(c).cast("timestamp").cast("double")
+        return F.col(c).cast("double")
 
     w = F.lit(float(bucket_seconds))
-    p = points.withColumn("_b", F.floor(secs(point_time) / w))
+    p = points.withColumn("_b", F.floor(secs(points, point_time) / w))
     # half-open interval: the end bucket is floor((end - epsilon)/w); using
     # floor(end/w) costs at most one extra (filtered) bucket copy and keeps
     # the expression exact for all types
     iv = intervals.withColumn(
         "_b",
-        F.explode(F.sequence(F.floor(secs(start) / w), F.floor(secs(end) / w))),
+        F.explode(
+            F.sequence(
+                F.floor(secs(intervals, start) / w),
+                F.floor(secs(intervals, end) / w),
+            )
+        ),
     )
     keys = ["_b"] if on is None else [on, "_b"]
     joined = p.join(iv, keys).filter(

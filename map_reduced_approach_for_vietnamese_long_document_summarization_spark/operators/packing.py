@@ -18,7 +18,7 @@ pure function of (id, tokens of lower-id docs in its shard).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .collapse import bucket_by_token_budget, bucket_running_sum
@@ -57,7 +57,17 @@ def pack_sequences(
     Neither mode splits documents (chunk oversized docs upstream). Output
     keeps the input columns plus the two bin columns (``mode="greedy"``
     reorders columns: key, id, payload, bin)."""
-    sharded = docs.withColumn(shard_col, (F.col(id_col) % n_shards).cast("int"))
+    id_type = dict(docs.dtypes)[id_col]
+    if id_type in ("tinyint", "smallint", "int", "bigint"):
+        shard = (F.col(id_col) % n_shards).cast("int")
+    else:
+        # non-integral ids (strings, decimals): `%` would coerce through
+        # double and yield NULL for every row — the whole corpus funneled
+        # into ONE null-shard window partition, the exact single-task
+        # hazard sharding exists to prevent. Hash to a shard instead
+        # (deterministic in the id, same contract).
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    sharded = docs.withColumn(shard_col, shard)
     if mode == "offset":
         return bucket_running_sum(
             sharded,

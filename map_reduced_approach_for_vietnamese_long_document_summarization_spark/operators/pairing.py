@@ -47,7 +47,12 @@ def positional_zip_join(
     """Replace the reference's fragile ``zip(list_a, list_b)`` (J3,
     runners/run_summarization_ollama_mapreduce.py:284-288) with an explicit
     ``row_number``-over-sort equi-join — deterministic under partitioning.
-    """
+
+    SMALL INPUTS ONLY: the unpartitioned ``row_number`` windows move each
+    side through a single task (the global-sort trap) — right for J3's
+    per-document chunk/summary lists, wrong for corpus-sized frames. At
+    scale, join on an explicit key instead (the engine's other pairings
+    all do)."""
     from pyspark.sql import Window
 
     right_order = right_order or left_order
@@ -102,14 +107,20 @@ def skip_existing_bloom(
         num_bits = max(64, 16 * expected_items)
     m = (num_bits + 63) // 64 * 64  # whole 64-bit words
 
+    docs_key_type = docs.schema[key].dataType
+
     def positions(df: DataFrame) -> list:
-        # hash the key's STRING form: xxhash64 is type-sensitive (int 5 and
-        # bigint 5 hash differently), so hashing the raw column would break
-        # the no-false-negative guarantee whenever docs and existing_keys
-        # carry different integer widths for the same logical key — existing
-        # docs would test "definitely new" and leak through even in exact
-        # mode (the anti-join coerces; the bloom must too)
-        k = F.col(key).cast("string")
+        # hash the key's STRING form AFTER casting to the docs column's
+        # dtype: xxhash64 is type-sensitive (int 5 and bigint 5 hash
+        # differently), and string forms diverge across numeric families
+        # too (bigint 5 -> '5', double 5.0 -> '5.0'). The exact anti-join
+        # coerces both sides to a common type before comparing, so the
+        # bloom must hash under the SAME coercion or joinable keys hash
+        # apart — existing docs would test "definitely new" and leak
+        # through even in exact mode. Casting existing to docs' dtype makes
+        # hashes agree exactly when the join would match (a lossy cast can
+        # only create false POSITIVES, which the exact rescue resolves).
+        k = F.col(key).cast(docs_key_type).cast("string")
         return [
             F.pmod(F.xxhash64(F.lit(i), k), F.lit(m)).alias(f"_p{i}")
             for i in range(n_hashes)
@@ -123,6 +134,12 @@ def skip_existing_bloom(
         # Python-int shift amount, not a Column
         F.bit_or(F.expr("shiftleft(1L, cast(_p % 64 as int))")).alias("_bits")
     )
+    # each of the n_hashes membership joins broadcasts `words` under a
+    # DIFFERENT alias, and ReuseExchange does not dedupe across them — the
+    # full key-set scan+aggregate would run n_hashes times. persist() is
+    # lazy (no job here); callers in long-lived sessions release via
+    # dedup.unpersist_inputs(result).
+    words = words.persist()
 
     flagged = docs.select(*docs.columns, *positions(docs))
     maybe = F.lit(True)
@@ -145,13 +162,16 @@ def skip_existing_bloom(
     )
     definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     if not exact:
+        definitely_new._persisted_inputs = [words]  # unpersist hook
         return definitely_new
     rescued = (
         flagged.filter(F.col("_maybe"))
         .drop("_maybe")
         .join(existing_keys.select(key), key, "left_anti")
     )
-    return definitely_new.unionByName(rescued)
+    out = definitely_new.unionByName(rescued)
+    out._persisted_inputs = [words]  # unpersist hook for long-lived sessions
+    return out
 
 
 def corpus_diff(

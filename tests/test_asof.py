@@ -170,3 +170,21 @@ def test_asof_tolerance_matches_reference_semantics_on_events(spark, sf_dir):
             naive[key] = None
     got = {(r.user_id, r.ts): r.click_id_right for r in tol}
     assert got == naive
+
+
+def test_null_right_time_and_null_key_never_match(spark):
+    """A right row with a NULL timestamp sorted FIRST in the window and was
+    carried by last(ignorenulls=True) into every left row with no real
+    preceding match; NULL join keys must never match (SQL semantics) even
+    though partitionBy groups them."""
+    left = spark.createDataFrame(
+        [(1, 7, _ts(0)), (2, None, _ts(5))], "lid long, user long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(7, None, 99), (7, _ts(10), 5), (None, _ts(1), 42)],
+        "user long, ts timestamp, rid long",
+    )
+    out = {r["lid"]: r["rid_right"] for r in asof_join(left, right, on="user").collect()}
+    # lid=1 at t=0 precedes the only real right row (t=10) -> NULL, never 99
+    # lid=2 has a NULL key -> never matches the NULL-key right row (42)
+    assert out == {1: None, 2: None}

@@ -760,3 +760,30 @@ def test_score_quality_tokenless_doc_scores_prior(spark):
     docs = spark.createDataFrame([(1, "has words"), (2, "")], "doc_id long, text string")
     got = {r.doc_id: r.quality_prob for r in score_quality(docs, [0.5] * 64, 0.3).collect()}
     assert got[2] == pytest.approx(1 / (1 + math.exp(-0.3)))
+
+
+def test_bloom_no_false_negatives_across_numeric_families(spark):
+    """docs double 5.0 vs existing bigint 5: the exact anti-join coerces
+    and matches, so the bloom must too — hashing each side's OWN string
+    form ('5.0' vs '5') made the existing doc test 'definitely new' and
+    leak through even in exact mode."""
+    docs = spark.createDataFrame([(5.0, "x"), (6.5, "y")], "doc_id double, text string")
+    existing = spark.createDataFrame([(5,)], "doc_id long")
+    out = skip_existing_bloom(docs, existing, expected_items=16)
+    assert [r.doc_id for r in out.collect()] == [6.5]
+
+
+def test_pack_sequences_string_ids_shard_by_hash(spark):
+    """String ids must shard by hash: `id % n` coerces through double and
+    yields NULL for every row — the whole corpus in one null-shard window
+    partition."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [("doc_%05d" % i, 30) for i in range(40)], "doc_id string, n_tokens int"
+    )
+    out = pack_sequences(docs, max_tokens=128, n_shards=4, mode="greedy")
+    shards = {r.shard for r in out.select("shard").distinct().collect()}
+    assert None not in shards and shards <= {0, 1, 2, 3} and len(shards) > 1

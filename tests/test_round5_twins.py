@@ -137,3 +137,21 @@ def test_learned_gate_generalizes_heuristic_labels(spark, sf_dir):
     # the fit saw ~30% of docs; the held-out frame is the rest
     n = docs.count()
     assert held.count() == n - sample.count()
+
+
+def test_interval_join_numeric_epoch_micros_axis(spark):
+    """Numeric time axes are used in their own units: the old
+    CAST(x AS TIMESTAMP) round-trip multiplies by 1e6 internally, so an
+    epoch-MICROseconds axis (~1.7e15) wrapped the long range and corrupted
+    bucket ids — qualifying pairs silently vanished."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.interval import (
+        interval_join,
+    )
+
+    base = 1_700_000_000_000_000  # epoch micros
+    pts = spark.createDataFrame([(1, base + 5)], "pid long, ts long")
+    ivs = spark.createDataFrame(
+        [(10, base, base + 10)], "iid long, start_ts long, end_ts long"
+    )
+    got = interval_join(pts, ivs, bucket_seconds=60).collect()
+    assert [(r.pid, r.iid) for r in got] == [(1, 10)]
