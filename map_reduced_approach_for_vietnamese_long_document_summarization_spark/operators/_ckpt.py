@@ -89,6 +89,14 @@ class RollingCheckpoint:
         release_rdds(self._sc, self._live)
         self._live = new_ids
 
+    @property
+    def live_ids(self) -> set[int]:
+        """RDD ids of the current live generation — lets a caller that
+        materializes NESTED checkpoints (e.g. a per-level collapse loop
+        inside a tree walk) release everything a round pinned EXCEPT this
+        tracker's own checkpoint."""
+        return set(self._live)
+
     def release(self) -> None:
         """Release the live generation and any pending-lazy bookkeeping.
 

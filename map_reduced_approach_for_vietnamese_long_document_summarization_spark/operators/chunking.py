@@ -106,6 +106,13 @@ def recursive_split_text(
                         break
                     keep.insert(0, prev)
                     klen += pl
+                # langchain _merge_splits parity: shed retained overlap
+                # until the INCOMING piece fits the budget too — without
+                # this, overlap + piece could exceed chunk_size by up to
+                # chunk_overlap tokens (the flush only fires on the piece
+                # AFTER), overflowing the context window the budget guards
+                while keep and klen + plen > chunk_size:
+                    klen -= length_fn(keep.pop(0))
                 cur, cur_len = keep, klen
             else:
                 cur, cur_len = [], 0
@@ -144,8 +151,14 @@ def chunk_documents(
     exploded = docs.select(
         *id_cols, F.posexplode(split_udf(F.col(text_col))).alias("chunk_idx", "chunk")
     )
-    # chunks are already stripped by the splitter; plain split is safe
-    return exploded.withColumn("n_tokens", F.size(F.split(F.col("chunk"), r"\s+")))
+    # chunks are already stripped by the splitter and never empty; count
+    # with (?U)\s+ so the STAMPED count uses the same Unicode-whitespace
+    # unit the Python splitter's budget (str.split) just enforced — a bare
+    # ASCII \s would under-count NBSP-glued words relative to the budget
+    # that formed the chunk, over-packing downstream token-bounded groups
+    return exploded.withColumn(
+        "n_tokens", F.size(F.split(F.col("chunk"), r"(?U)\s+"))
+    )
 
 
 def chunk_fixed_tokens(
@@ -173,7 +186,12 @@ def chunk_fixed_tokens(
     """
     from ..functions.text import tokenize_ws
 
-    with_toks = docs.select(*id_cols, tokenize_ws(text_col).alias("_toks"))
+    # NULL text behaves like empty text (one row, chunk '', n_tokens 0):
+    # raw tokenize_ws(NULL) is NULL, whose size() is -1 under the engine's
+    # ANSI-off confs — a (chunk NULL, n_tokens -1) row that poisons every
+    # downstream token aggregate
+    toks = F.coalesce(tokenize_ws(text_col), F.array().cast("array<string>"))
+    with_toks = docs.select(*id_cols, toks.alias("_toks"))
     n = F.size(F.col("_toks"))
     n_chunks = F.greatest(F.lit(1), F.ceil(n / F.lit(chunk_size))).cast("int")
     chunks_arr = F.transform(

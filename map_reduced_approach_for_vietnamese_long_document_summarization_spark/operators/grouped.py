@@ -67,7 +67,13 @@ def grouped_apply_sorted(
         done: list[tuple] = []
         for pdf in batches:
             for row in zip(*(pdf[c] for c in in_cols)):
-                key = tuple(row[i] for i in key_idx)
+                # normalize missing key values to None: pandas renders a
+                # NULL numeric key as NaN, and NaN != NaN would fragment
+                # the group into one fn() call per row
+                key = tuple(
+                    None if (v is None or (isinstance(v, float) and v != v)) else v
+                    for v in (row[i] for i in key_idx)
+                )
                 if key != cur_key:
                     if cur_key is not None:
                         done.extend(fn(cur_key, rows))

@@ -196,10 +196,20 @@ def mapreduce_critique_summarize(
     from ..operators._ckpt import RollingCheckpoint
 
     rc = RollingCheckpoint(docs.sparkSession.sparkContext)
+
+    def _ckpt_and_count_todo(d):
+        # ONE action per round (same shape as collapse_until_fits): the lazy
+        # checkpoint materializes under the convergence count, instead of an
+        # eager-materialize job PLUS a separate isEmpty probe
+        out = rc.checkpoint(d, eager=False)
+        n_too_big = out.filter(F.col("_total") > token_max).count()
+        rc.mark_materialized()
+        return out, n_too_big
+
     try:
-        cur = rc.checkpoint(_with_total(mapped))
+        cur, n_too_big = _ckpt_and_count_todo(_with_total(mapped))
         iteration = 0
-        while iteration < max_rounds and not cur.filter(F.col("_total") > token_max).isEmpty():
+        while iteration < max_rounds and n_too_big:
             todo = cur.filter(F.col("_total") > token_max).drop("_total")
             done = cur.filter(F.col("_total") <= token_max).drop("_total")
             reduced = _critique_collapse_level(
@@ -207,7 +217,7 @@ def mapreduce_critique_summarize(
             )
             nxt = done.unionByName(reduced.select(*cols))
             # rolling checkpoint: materializes the new round, then frees the old
-            cur = rc.checkpoint(_with_total(nxt))
+            cur, n_too_big = _ckpt_and_count_todo(_with_total(nxt))
             iteration += 1
 
         # pre-collapse intermediates that exceed token_max//2 (CR:315-346);

@@ -42,8 +42,13 @@ def summarize_document(
     for name in approaches:
         if name == "mapreduce_hierarchical":
             if tree_json is None:
-                # same observable behavior as the demo's missing-tree branch
-                out[name] = {"summary": "(No tree file found)"}
+                # same observable behavior as the demo's missing-tree branch;
+                # carry None metric cells so a reference-bearing comparison
+                # table renders 'n/a' instead of crashing on a missing key
+                cell = {"summary": "(No tree file found)"}
+                if reference is not None:
+                    cell.update({"rouge1_f": None, "rouge2_f": None, "rougeL_f": None})
+                out[name] = cell
                 continue
             from .hierarchical import hierarchical_summarize
 

@@ -121,11 +121,22 @@ def flatten_tree_json(trees: DataFrame, json_col: str = "tree_json", id_col: str
             rows = []
             for doc_id, tree in zip(pdf[id_col], pdf[json_col]):
                 node = json.loads(tree) if isinstance(tree, str) else tree
-                counter = [0]
-
-                def walk(n, parent_id, depth, path):
-                    nid = counter[0]
-                    counter[0] += 1
+                nid = 0
+                # explicit stack (preorder: children pushed reversed so
+                # they pop in document order) — recursion would hit
+                # Python's ~1000-frame limit on deep trees; node_id
+                # assignment order is identical to the recursive walk
+                stack = [(node, None, 0, [])]
+                while stack:
+                    n, parent_id, depth, path = stack.pop()
+                    if not isinstance(n, dict):
+                        # a stray string/null child would otherwise die
+                        # deep in the task as AttributeError — name the doc
+                        raise ValueError(
+                            f"malformed tree for doc {doc_id!r}: node at "
+                            f"depth {depth} is {type(n).__name__}, "
+                            "expected a JSON object"
+                        )
                     rows.append(
                         {
                             "doc_id": str(doc_id),
@@ -137,10 +148,10 @@ def flatten_tree_json(trees: DataFrame, json_col: str = "tree_json", id_col: str
                             "path": list(path),
                         }
                     )
-                    for ch in n.get("children", []):
-                        walk(ch, nid, depth + 1, path + [nid])
-
-                walk(node, None, 0, [])
+                    child_path = path + [nid]
+                    for ch in reversed(n.get("children", [])):
+                        stack.append((ch, nid, depth + 1, child_path))
+                    nid += 1
             yield pd.DataFrame(rows, columns=[f.name for f in NODE_SCHEMA.fields])
 
     return trees.mapInPandas(parse, NODE_SCHEMA)
@@ -293,16 +304,25 @@ def hierarchical_summarize(
     and an optional editor polish pass (D17). Returns (doc_id, summary)."""
     from ..operators._ckpt import RollingCheckpoint
 
-    rc = RollingCheckpoint(trees.sparkSession.sparkContext)
+    from ..operators._ckpt import persistent_rdd_ids, release_rdds
+
+    sc = trees.sparkSession.sparkContext
+    rc = RollingCheckpoint(sc)
     try:
         nodes = rc.checkpoint(flatten_tree_json(trees, json_col, id_col))
         actual = _max_depth(nodes)
         for d in range(min(max_depth, actual), 0, -1):
+            before = persistent_rdd_ids(sc)
             out = _collapse_level(nodes, d, summarizer, chunk_size, chunk_overlap, token_max)
             if out is nodes:  # empty level: nothing collapsed, keep the checkpoint
                 continue
             # rolling checkpoint: materializes the new level, then frees the old
             nodes = rc.checkpoint(out)
+            # the level's INNER collapse loop (mapreduce per node group) left
+            # its own final checkpoint pinned; once this level's checkpoint
+            # materialized, those nested RDDs can never be read again —
+            # release everything the level pinned except rc's own generation
+            release_rdds(sc, (persistent_rdd_ids(sc) - before) - rc.live_ids)
     except BaseException:
         # a failed level (LLM summarizer error) must not pin the superseded
         # checkpoint for the session
@@ -335,6 +355,12 @@ def hierarchical_summarize(
     )
     if polish:
         final = summarizer.summarize_df(final, "summary", "summary")
-    return final.select(
+    # one row per INPUT doc, like every other approach: a tree with no
+    # Paragraph node (empty root, headers only) produced zero final_in rows
+    # and the doc silently vanished from the output — left-join back to the
+    # input ids (stringified, as flatten_tree_json keys them) with the same
+    # empty-summary coalesce the other approaches use
+    all_ids = trees.select(F.col(id_col).cast("string").alias("doc_id")).distinct()
+    return all_ids.join(final, "doc_id", "left").select(
         "doc_id", F.coalesce(clean_thinking_tokens("summary"), F.lit("")).alias("summary")
     )

@@ -10,9 +10,11 @@ an interface with two execution paths:
   codegen: zero Python cost, which is what makes the engine benchmarkable at
   sf0.1 and viable at 100 TB.
 * ``__call__`` — an Arrow-batched pandas function. The HTTP-LLM summarizer
-  uses this path with a per-executor pooled session (module-level lazy init,
-  the standard pandas-UDF resource pattern) so 1000 executors each keep one
-  connection pool, not one per row.
+  uses this path with a per-executor lazy client (module-level init, the
+  standard pandas-UDF resource pattern). The stdlib client carries no
+  connection pool — one TCP connection per call, closed promptly; the
+  ``_http_session`` seam is where a deployment swaps in a pooled client so
+  1000 executors each keep one pool, not one connection per row.
 """
 
 from __future__ import annotations
@@ -70,10 +72,17 @@ class MockSummarizer(Summarizer):
         return texts.map(lambda t: " ".join((t or "").split()[:k]))
 
 
-_SESSION = None  # per-executor pooled HTTP session (lazy)
+_SESSION = None  # per-executor lazy HTTP client (module import cached once)
 
 
 def _http_session():
+    """Per-executor HTTP client. stdlib ``urllib.request`` — honest caveat:
+    it opens one TCP connection PER CALL (no keep-alive pooling); the lazy
+    global only caches the module import. Good enough for the mock/demo
+    paths exercised here; a production deployment pointing thousands of
+    executors at one LLM endpoint should swap in a pooled client
+    (``requests.Session`` / httpx) at this seam — it is the only place the
+    client is resolved."""
     global _SESSION
     if _SESSION is None:
         import urllib.request
@@ -119,15 +128,15 @@ class OllamaSummarizer(Summarizer):
                         "options": {"num_predict": self.max_new_tokens},
                     }
                 ).encode()
-                r = req.urlopen(
+                with req.urlopen(
                     req.Request(
                         f"{self.base_url}/api/generate",
                         data=body,
                         headers={"Content-Type": "application/json"},
                     ),
                     timeout=self.timeout,
-                )
-                out.append(_json.loads(r.read())["response"])
+                ) as r:  # close the socket promptly, not at GC
+                    out.append(_json.loads(r.read())["response"])
             except Exception as e:  # error column, not task failure
                 out.append(f"__ERROR__: {e}")
         return pd.Series(out, dtype=object)

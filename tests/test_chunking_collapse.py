@@ -180,3 +180,27 @@ def test_collapse_until_fits_converges(spark):
     totals = out.groupBy("doc_id").agg(F.sum("n_tokens").alias("t")).first()
     assert totals["t"] <= 500
     assert out.count() >= 1
+
+
+def test_recursive_split_overlap_never_overflows_budget():
+    """Retained overlap + incoming piece must respect chunk_size (langchain
+    _merge_splits parity): before the shed loop, 70-token sentences with an
+    80-token overlap produced 140-token chunks — a 40% context-window
+    overflow at production sizes."""
+    text = ". ".join(" ".join(f"w{i}_{j}" for j in range(70)) for i in range(4))
+    chunks = recursive_split_text(text, chunk_size=100, chunk_overlap=80)
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.chunking import (
+        ws_len,
+    )
+
+    assert all(ws_len(c) <= 100 for c in chunks), [ws_len(c) for c in chunks]
+
+
+def test_chunk_fixed_tokens_null_text_like_empty(spark):
+    """NULL text emits one ('', 0) row like empty text — not a
+    (chunk NULL, n_tokens -1) row whose -1 (size(NULL) under ANSI-off)
+    poisons every downstream token aggregate."""
+    docs = spark.createDataFrame([(1, None), (2, "a b c")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in chunk_fixed_tokens(docs, 10).collect()}
+    assert (rows[1].chunk, rows[1].n_tokens) == ("", 0)
+    assert rows[2].n_tokens == 3

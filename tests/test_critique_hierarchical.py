@@ -162,3 +162,71 @@ def test_hierarchical_summarize_end_to_end(spark):
     # empty section keeps its bare title
     assert "Empty Section" in rows["d1"]
     assert "loose paragraph text" in rows["d1"]
+
+
+def test_hierarchical_emits_row_for_paragraphless_tree(spark):
+    """A tree with no Paragraph node must still yield one (doc_id, summary)
+    row (empty summary), like every other approach — it previously vanished
+    from the output entirely."""
+    import json
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize import (
+        MockSummarizer,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize.hierarchical import (
+        hierarchical_summarize,
+    )
+
+    trees = spark.createDataFrame(
+        [
+            ("empty", json.dumps({"type": "Root", "children": []})),
+            (
+                "real",
+                json.dumps(
+                    {
+                        "type": "Root",
+                        "children": [{"type": "Paragraph", "text": "alpha beta"}],
+                    }
+                ),
+            ),
+        ],
+        ["doc_id", "tree_json"],
+    )
+    rows = {r.doc_id: r.summary for r in hierarchical_summarize(trees, MockSummarizer(8)).collect()}
+    assert set(rows) == {"empty", "real"}
+    assert rows["empty"] == ""
+    assert "alpha" in rows["real"]
+
+
+def test_flatten_tree_deep_and_malformed(spark):
+    """The walk is stack-based, so tree depth is bounded only by
+    json.loads' own recursive parser (~490 at the default limit) — a
+    400-deep tree flattens with correct preorder ids; a non-dict child
+    raises a clear error naming the doc instead of an opaque
+    AttributeError mid-task."""
+    import json
+
+    import pytest
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize.hierarchical import (
+        flatten_tree_json,
+    )
+
+    d = 400
+    deep_json = (
+        '{"type":"Header","text":"","children":[' * d
+        + '{"type":"Paragraph","text":"leaf"}'
+        + "]}" * d
+    )
+    deep = spark.createDataFrame([("d", deep_json)], ["doc_id", "tree_json"])
+    nodes = flatten_tree_json(deep).collect()
+    assert len(nodes) == d + 1
+    # preorder: node_id == depth on a pure chain
+    assert {(r.node_id, r.depth) for r in nodes} == {(i, i) for i in range(d + 1)}
+
+    bad = spark.createDataFrame(
+        [("b", json.dumps({"type": "Root", "children": ["stray"]}))],
+        ["doc_id", "tree_json"],
+    )
+    with pytest.raises(Exception, match="malformed tree"):
+        flatten_tree_json(bad).count()

@@ -143,3 +143,29 @@ def test_property_random_groups_match_apply_in_pandas(spark):
     df = spark.createDataFrame(data, "k long, o int, t string")
     out = grouped_apply_sorted(df, ("k",), "o", _concat_fn(df.columns), SCHEMA)
     assert {(r.k, r.joined, r.n) for r in out.collect()} == _expected(df)
+
+
+def test_null_numeric_key_is_one_group(spark):
+    """pandas renders NULL numeric keys as NaN, and NaN != NaN fragmented
+    the group into one fn() call per row; keys are normalized to None."""
+    from pyspark.sql import types as T
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.grouped import (
+        grouped_apply_sorted,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1, "x"), (None, 2, "y"), (7, 1, "z")],
+        "k long, o int, v string",
+    )
+    calls = []
+
+    def fn(key, rows):
+        calls.append(key)
+        yield (key[0], "|".join(r[2] for r in rows))
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("joined", T.StringType())]
+    )
+    out = {r.k: r.joined for r in grouped_apply_sorted(df, ("k",), "o", fn, schema).collect()}
+    assert out == {None: "x|y", 7: "z"}
