@@ -72,9 +72,18 @@ def attach_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     utf-8 bytes of the text (deterministic), metadata filled from lengths."""
     content = F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
     # non-numeric ids (string doc_ids) hash to a stable long instead of
-    # silently casting to NULL (media_id is non-nullable in MEDIA_SCHEMA)
+    # silently casting to NULL (media_id is non-nullable in MEDIA_SCHEMA).
+    # A NULL id falls through to hashing the TEXT: xxhash64 of an all-NULL
+    # input returns the bare seed (a constant), which would collapse every
+    # NULL-id row onto one media_id
     media_id = F.coalesce(
-        F.col(id_col).cast("long"), F.xxhash64(F.col(id_col).cast("string"))
+        F.col(id_col).cast("long"),
+        F.xxhash64(
+            F.coalesce(
+                F.col(id_col).cast("string"),
+                F.concat(F.lit("\x00text:"), F.coalesce(F.col(text_col), F.lit(""))),
+            )
+        ),
     )
     return df.select(
         media_id.alias("media_id"),
@@ -144,6 +153,12 @@ def sample_frames(
     """Frame sampling plumbing: treat content as fixed-size frames, emit
     every ``every_n``-th frame as its own row (posexplode of byte slices —
     all JVM-side; a real video pipeline swaps the slicer for a demuxer)."""
+    if every_n < 1:
+        # i % 0 is NULL under the engine's ANSI-off confs, so the filter
+        # would silently emit ZERO frames instead of erroring
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    if frame_size < 1:
+        raise ValueError(f"frame_size must be >= 1, got {frame_size}")
     n_frames = F.ceil(F.length("content") / F.lit(frame_size)).cast("int")
     idx = F.filter(
         F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),

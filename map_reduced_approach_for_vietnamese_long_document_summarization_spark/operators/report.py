@@ -49,6 +49,12 @@ def corpus_quality_report(
     Token-less docs keep their row with zeroed aggregate signals (the same
     per-operator contracts). Pass a persisted ``term_postings`` frame to
     share the explode with other lexical consumers.
+
+    Precondition: ``id_col`` is non-NULL and unique. The signal frames are
+    merged on id equi-joins, so a NULL-id doc would silently drop from the
+    report (NULL never equi-matches), and duplicate ids would fan out —
+    assign surrogate ids upstream for corpora that lack them (the same
+    contract as ``unigram_logprob`` / ``feature_hash_embed``).
     """
     c = F.col(text_col)
     base = docs.select(

@@ -46,6 +46,12 @@ def top_ngrams(
     combine collapses the exploded stream to at most
     |distinct grams per doc| rows before the shuffle and gives doc
     frequency for free — then the per-gram rollup.
+
+    Precondition (shared by every id-keyed lexical operator here —
+    ``unigram_logprob``, ``feature_hash_embed``, ``score_quality``,
+    ``corpus_quality_report``): ``id_col`` is non-NULL and unique. NULL
+    ids merge into ONE groupBy pseudo-document (understating ``n_docs``)
+    and never equi-join back — assign surrogate ids upstream.
     """
     grams = docs.select(
         F.col(id_col),

@@ -38,12 +38,21 @@ def write_per_doc_text(df: DataFrame, out_dir: str, id_col: str = "doc_id", text
 
     The reference writes ``<dir>/<fname>`` per summary (run_full_evaluation_
     pipeline.py:569-570). Distributed equivalent: partition the write by
-    doc_id so each doc lands in its own directory; overwrite mode keeps it
-    idempotent for incremental reruns (F3 pairs with ``skip_existing``).
+    doc_id so each doc lands in its own directory. DYNAMIC partition
+    overwrite (a per-write option, no session conf) replaces only the
+    partitions present in THIS frame — under Spark's default static mode,
+    mode('overwrite') truncates the whole output directory first, so an
+    incremental rerun whose frame holds only the NEW docs (the
+    ``skip_existing`` pairing, F3) would silently delete every previously
+    written document.
     """
-    df.select(id_col, F.col(text_col).alias("value")).write.mode("overwrite").partitionBy(
-        id_col
-    ).text(out_dir)
+    (
+        df.select(id_col, F.col(text_col).alias("value"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(id_col)
+        .text(out_dir)
+    )
 
 
 def collect_to_files(
@@ -54,15 +63,25 @@ def collect_to_files(
     demo/small outputs only; the distributed path is ``write_per_doc_text``.
     doc_ids are sanitized to safe filenames (path separators replaced);
     returns the number of distinct files written (last row wins on
-    duplicate ids)."""
+    duplicate ids). DISTINCT ids that sanitize to the SAME filename
+    ('a/b' vs 'a_b') raise instead of silently overwriting one document
+    with another."""
     import os
     import re
 
     os.makedirs(out_dir, exist_ok=True)
     written = set()
+    owner: dict[str, str] = {}  # sanitized path -> raw id that claimed it
     for r in df.select(id_col, text_col).collect():
-        safe = re.sub(r"[^\w.-]", "_", str(r[id_col]))
+        raw = str(r[id_col])
+        safe = re.sub(r"[^\w.-]", "_", raw)
         path = os.path.join(out_dir, f"{safe}{ext}")
+        if owner.setdefault(path, raw) != raw:
+            raise ValueError(
+                f"doc ids {owner[path]!r} and {raw!r} both sanitize to "
+                f"{safe + ext!r} — one summary would silently overwrite "
+                "the other; disambiguate the ids upstream"
+            )
         with open(path, "w", encoding="utf-8") as f:
             f.write(r[text_col] or "")
         written.add(path)

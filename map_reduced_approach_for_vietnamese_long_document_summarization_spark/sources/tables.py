@@ -22,6 +22,14 @@ from pyspark.sql import functions as F
 _SEMANTIC_CONFS = {
     "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
+    # nanosecond parquet timestamps read as int64 nanos instead of being
+    # rejected by the vectorized reader. Pinned here (not just around the
+    # events load) so behavior is ORDER-INDEPENDENT: previously the first
+    # events load flipped it session-globally anyway, silently changing how
+    # any other ns-timestamp parquet read AFTER it — same code, different
+    # schema depending on call order. Under this engine's sessions, ns
+    # columns are always bigint; only the events loader converts (ts).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
@@ -48,7 +56,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name != "events":
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -137,3 +137,32 @@ def test_media_average_hash_strict_and_pixel_fn(spark):
     # a custom pixel_fn (the PIL seam) drives the same grid/threshold/pack
     flat = media_average_hash(media, pixel_fn=lambda b: [7] * 128).first()
     assert flat.ahash == -1  # every cell mean == global mean -> all bits set
+
+
+def test_sample_frames_rejects_nonpositive_every_n(spark):
+    import pytest
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.multimodal import (
+        attach_fake_media,
+        sample_frames,
+    )
+
+    media = attach_fake_media(
+        spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    )
+    with pytest.raises(ValueError, match="every_n"):
+        sample_frames(media, every_n=0)
+
+
+def test_attach_fake_media_null_ids_stay_distinct(spark):
+    """xxhash64 of an all-NULL input is the bare seed (a constant): two
+    NULL-id docs must not collapse onto one media_id."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.multimodal import (
+        attach_fake_media,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "first text"), (None, "second text")], "doc_id long, text string"
+    )
+    ids = [r.media_id for r in attach_fake_media(df).collect()]
+    assert len(set(ids)) == 2 and None not in ids

@@ -72,3 +72,47 @@ def test_parquet_scan_pushdown_and_pruning(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)]" in plan, plan
     read = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "o_totalprice" in read and "o_comment" not in read, read
+
+
+def test_write_per_doc_text_incremental_rerun_keeps_old_docs(spark, tmp_path):
+    """The skip_existing pairing hands the sink a frame holding ONLY the new
+    docs; dynamic partition overwrite must replace just those partitions —
+    static mode truncated the whole directory, silently deleting every
+    previously written summary."""
+    import glob
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.sources.corpus import (
+        write_per_doc_text,
+    )
+
+    out = str(tmp_path / "perdoc")
+    run1 = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "summary"])
+    write_per_doc_text(run1, out)
+    run2 = spark.createDataFrame([(3, "gamma")], ["doc_id", "summary"])  # new only
+    write_per_doc_text(run2, out)
+    dirs = sorted(d.rsplit("=", 1)[1] for d in glob.glob(f"{out}/doc_id=*"))
+    assert dirs == ["1", "2", "3"]  # runs 1 AND 2 both present
+
+
+def test_collect_to_files_raises_on_sanitize_collision(spark, tmp_path):
+    import pytest
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.sources.corpus import (
+        collect_to_files,
+    )
+
+    df = spark.createDataFrame([("a/b", "one"), ("a_b", "two")], ["doc_id", "summary"])
+    with pytest.raises(ValueError, match="sanitize"):
+        collect_to_files(df, str(tmp_path / "files"))
+
+
+def test_nanos_conf_is_pinned_session_wide(spark, sf_dir):
+    """nanosAsLong rides in the semantic confs, so reads are order-
+    independent (previously the first events load flipped it mid-session,
+    changing other ns-parquet reads' schemas by call order)."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.sources.tables import (
+        ensure_semantic_confs,
+    )
+
+    ensure_semantic_confs(spark)
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
