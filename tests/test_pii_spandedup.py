@@ -98,11 +98,12 @@ def test_span_dedup_empty_null_whitespace(spark):
     got = _spans(spark, [(1, None), (2, ""), (3, "   ")], 2)
     assert set(got) == {1, 2, 3}
     assert all(got[i]["text"] == "" for i in (1, 2, 3))
-    # doc 1's NULL text yields a NULL span — xxhash64(NULL) is its own
-    # bucket, distinct from xxhash64('') — so doc 2 is the FIRST ''
-    # occurrence (kept) and doc 3's '' span dedupes against doc 2's
+    # NULL text chunks like EMPTY text (chunk_fixed_tokens' unified NULL
+    # contract), so all three docs carry the same '' span: doc 1 is the
+    # first occurrence (kept), docs 2 and 3 dedupe against it — no more
+    # special xxhash64(NULL) bucket treating missing text as unique content
     assert got[1]["n_removed"] == 0
-    assert got[2]["n_removed"] == 0
+    assert got[2]["n_removed"] == 1
     assert got[3]["n_removed"] == 1
 
 
