@@ -17,7 +17,7 @@ import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+
 
 # make the sibling package importable regardless of the driver's cwd
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

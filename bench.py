@@ -133,7 +133,7 @@ def main() -> None:
             # Safe here: no DataFrame from a previous rep is ever reused.
             spark.catalog.clearCache()
             gc.collect()
-            _release_rdds(spark.sparkContext, _persistent_rdd_ids(spark.sparkContext))
+            _release_rdds(spark.sparkContext, _persistent_rdd_ids(spark.sparkContext), blocking=True)
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             rep_times[name].append(round(time.perf_counter() - start, 3))

@@ -101,7 +101,7 @@ def main() -> None:
     def _run(name, d):
         spark.catalog.clearCache()
         gc.collect()
-        release_rdds(spark.sparkContext, persistent_rdd_ids(spark.sparkContext))
+        release_rdds(spark.sparkContext, persistent_rdd_ids(spark.sparkContext), blocking=True)
         start = time.perf_counter()
         QUERIES[name](spark, d).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - start

@@ -55,7 +55,7 @@ def main() -> None:
         for name in args.names:  # interleave: one rep of each per round
             spark.catalog.clearCache()
             gc.collect()
-            release_rdds(spark.sparkContext, persistent_rdd_ids(spark.sparkContext))
+            release_rdds(spark.sparkContext, persistent_rdd_ids(spark.sparkContext), blocking=True)
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             reps[name].append(round(time.perf_counter() - t0, 3))

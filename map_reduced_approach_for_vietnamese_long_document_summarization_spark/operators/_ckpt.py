@@ -18,7 +18,7 @@ def persistent_rdd_ids(sc) -> set[int]:
     return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
 
 
-def release_rdds(sc, ids: set[int]) -> None:
+def release_rdds(sc, ids: set[int], blocking: bool = False) -> None:
     """Unpersist checkpoint RDDs by id. localCheckpoint truncates lineage,
     so this is only safe once every plan that read them has materialized —
     which is exactly when a round's new checkpoint supersedes the old.
@@ -26,12 +26,17 @@ def release_rdds(sc, ids: set[int]) -> None:
     persisting RDDs on the same SparkContext during the snapshot window;
     the worst case (a foreign cached RDD unpersisted early) costs a
     recompute, never correctness — except for foreign localCheckpoints,
-    which share this function's one-materialization caveat."""
+    which share this function's one-materialization caveat.
+
+    ``blocking=False`` (default) dispatches eviction asynchronously — right
+    for operator loops, where cleanup overlaps the next round's compute.
+    Measurement tools (bench/probe/scaling) pass ``True`` so eviction work
+    from the previous query cannot bleed into the next timed region."""
     jmap = sc._jsc.getPersistentRDDs()
     for k in ids:
         rdd = jmap.get(k)
         if rdd is not None:
-            rdd.unpersist(False)
+            rdd.unpersist(blocking)
 
 
 class RollingCheckpoint:
