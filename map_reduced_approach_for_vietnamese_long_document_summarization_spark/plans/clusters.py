@@ -233,6 +233,11 @@ WHERE NOT EXISTS (
   JOIN base b2 ON b2.vec_id = a2.vec_id
   JOIN base b1 ON b1.vec_id = a.vec_id
   WHERE a2.cell = a.cell AND a2.vec_id < a.vec_id
+    -- zero-norm guard, like the operator (zero vectors become the zero
+    -- unit vector: sims 0, never dominating/dominated); without it the
+    -- raw cosine is 0/0 = NaN and DuckDB's NaN-sorts-greater comparison
+    -- makes 'NaN >= 0.35' TRUE
+    AND sqrt(list_dot_product(b1.v, b1.v)) * sqrt(list_dot_product(b2.v, b2.v)) > 0
     AND list_dot_product(b1.v, b2.v)
           / (sqrt(list_dot_product(b1.v, b1.v)) * sqrt(list_dot_product(b2.v, b2.v)))
         >= 0.35)
@@ -446,7 +451,11 @@ sims AS (SELECT e.vec_id AS doc_id,
                   AS sim
          FROM q, embeddings e WHERE e.vec_id <> 0),
 dr AS (SELECT doc_id, rnk FROM (
-         SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rnk
+         -- rank ROUNDED cosines (file convention: round before any
+         -- cross-engine compare) — raw float folds need not agree at the
+         -- ulp level between engines, and an ulp flip at the rank-20
+         -- cutoff would change which doc enters the fusion
+         SELECT doc_id, row_number() OVER (ORDER BY round(sim, 9) DESC, doc_id) AS rnk
          FROM sims) s WHERE rnk <= 20),
 u AS (SELECT doc_id, 1.0 / (60 + rnk) AS c FROM bmr
       UNION ALL
@@ -467,9 +476,8 @@ def hybrid_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-replayable oracle (only integer ranks cross the fusion). Both
     retriever legs are already driver-verified on their own
     (bm25_search_top10, embedding_knn_top3)."""
-    from ..metrics.semantic import cosine_similarity_expr  # noqa: F401 (doc pointer)
+    from ..metrics.semantic import cosine_similarity_expr
     from ..operators.retrieval import bm25_topk, rrf_fuse
-    from ..operators.similarity import cosine_topk
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -481,11 +489,24 @@ def hybrid_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     vec = F.transform("embedding", lambda x: x.cast("double"))
     corpus = emb.select("vec_id", vec.alias("embedding"))
-    queries = corpus.filter(F.col("vec_id") == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    qv = corpus.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # dense leg ranks ROUNDED cosines (file convention) — cosine_topk ranks
+    # raw floats, whose cross-engine ulp divergence could flip the rank-20
+    # cutoff; same broadcast-query shape, explicit rounded rank
+    sims = (
+        corpus.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_similarity_expr("embedding", "qv"), 9).alias("sim"),
+        )
     )
-    dense = cosine_topk(queries, corpus, k=20).select(
-        F.col("neighbor_id").alias("doc_id"), "rnk"
+    dense = (
+        sims.withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.desc("sim"), F.asc("doc_id")))
+        )
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", "rnk")
     )
     return rrf_fuse([bmr, dense], top_k=10)
 

@@ -14,18 +14,29 @@ from pyspark.sql import functions as F
 
 from .relational import _DUCK_TOKS, _DUCK_TOKS_LOWER, _t, query
 
-# md5-hash uniform r in [0,1) for the 'split' salt — must match
-# operators/sampling.py:hash_uniform (same constant in doc_split_assign)
-_DUCK_SPLIT_R = (
-    "('0x' || substring(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT"
-    " / 1152921504606846976.0"
-)
+def _duck_uniform_r(id_expr: str, salt: str) -> str:
+    """md5-hash uniform r in [0,1) — MUST replay operators/sampling.py:
+    hash_uniform exactly, including the NULL-id sentinel (chr(0)||'null' is
+    byte-identical to Python's '\\x00null' under UTF-8 md5, verified): a
+    plain ``id::VARCHAR`` would give NULL rows r = NULL and deterministically
+    dump them into CASE else-branches — the split bias the sentinel exists
+    to prevent. One definition for every salted-hash oracle below, so the
+    fragments cannot drift from each other or from the operator."""
+    key = f"coalesce({id_expr}::VARCHAR, chr(0) || 'null')"
+    return (
+        f"('0x' || substring(md5('{salt}:' || {key}), 1, 15))::BIGINT"
+        " / 1152921504606846976.0"
+    )
+
+
+_DUCK_SPLIT_R = _duck_uniform_r("doc_id", "split")
 
 
 @query(
     "corpus_pack_512",
     oracle=f"""
-WITH t AS (SELECT doc_id, doc_id % 8 AS shard, len({_DUCK_TOKS}) AS n FROM documents),
+WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                  coalesce(len({_DUCK_TOKS}), 0) AS n FROM documents),
 r AS (SELECT shard, doc_id, n,
              sum(n) OVER (PARTITION BY shard ORDER BY doc_id
                           ROWS UNBOUNDED PRECEDING) - n AS off
@@ -62,7 +73,7 @@ def corpus_pack_512(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH RECURSIVE t AS (
   SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
-         len({_DUCK_TOKS}) AS n
+         coalesce(len({_DUCK_TOKS}), 0) AS n
   FROM documents),
 seq AS (SELECT shard, doc_id, n,
                row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1 AS rn
@@ -175,10 +186,9 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_epoch_upsample",
     # round-4 window candidate (tests/test_registry_window.py R4_PROMOTIONS)
-    oracle="""
+    oracle=f"""
 WITH u AS (SELECT doc_id, lang,
-                  ('0x' || substring(md5('epoch:' || doc_id::VARCHAR), 1, 15))::BIGINT
-                    / 1152921504606846976.0 AS r,
+                  {_duck_uniform_r("doc_id", "epoch")} AS r,
                   CASE lang WHEN 'vi' THEN 2.5 WHEN 'en' THEN 0.75 ELSE 1.0 END AS w
            FROM documents),
 c AS (SELECT doc_id, lang,
@@ -323,10 +333,7 @@ def doc_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_hash_embed(_t(spark, sf_dir, "documents"), dims=64)
 
 
-_DUCK_VEC_SPLIT_R = (
-    "('0x' || substring(md5('split:' || vec_id::VARCHAR), 1, 15))::BIGINT"
-    " / 1152921504606846976.0"
-)
+_DUCK_VEC_SPLIT_R = _duck_uniform_r("vec_id", "split")
 
 
 @query(
@@ -398,10 +405,7 @@ def embedding_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-_DUCK_QUOTA_R = (
-    "('0x' || substring(md5('quota:' || doc_id::VARCHAR), 1, 15))::BIGINT"
-    " / 1152921504606846976.0"
-)
+_DUCK_QUOTA_R = _duck_uniform_r("doc_id", "quota")
 
 
 @query(
@@ -525,7 +529,15 @@ def doc_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     see through punctuation-codepoint mirrors. The harness corpus is plain
     ASCII, so the query wraps each doc in a messy Unicode frame first; the
     oracle replays every normalization step in RE2 and compares length +
-    md5 of the result. Pure scan-side expressions — zero shuffle."""
+    md5 of the result. Pure scan-side expressions — zero shuffle.
+
+    Known cross-engine length contract: Spark F.length counts UTF-16 code
+    units, DuckDB length() counts codepoints — identical for BMP text (the
+    fixture contract; md5 over UTF-8 bytes is representation-independent
+    regardless) but an astral codepoint (emoji, CJK-B) would diverge n_len
+    by one per such char. If fixtures ever gain astral chars, switch the
+    oracle to Spark's unit (length(t) + number of astral chars) or count
+    codepoints on both sides."""
     from ..functions.text import normalize_text
 
     docs = _t(spark, sf_dir, "documents")
@@ -682,7 +694,9 @@ SELECT d.doc_id, d.lang, d.n_chars,
        round(f.q1, 6) AS q1, round(f.q3, 6) AS q3,
        CAST(d.n_chars < f.q1 - 1.5 * (f.q3 - f.q1)
             OR d.n_chars > f.q3 + 1.5 * (f.q3 - f.q1) AS INT) AS is_outlier
-FROM documents d JOIN f USING (lang)
+-- null-safe, like the operator's eqNullSafe join: NULL-lang rows keep
+-- their own stratum instead of being dropped by a USING equi-join
+FROM documents d JOIN f ON d.lang IS NOT DISTINCT FROM f.lang
 """,
 )
 def doc_length_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,7 +736,9 @@ new AS (SELECT doc_id,
 SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
        CASE WHEN o.doc_id IS NULL THEN 'added'
             WHEN n.doc_id IS NULL THEN 'removed'
-            WHEN o.fp = n.fp THEN 'unchanged'
+            -- null-safe, like the operator's eqNullSafe: two NULL
+            -- fingerprints (NULL-text doc in both snapshots) are unchanged
+            WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM old o FULL OUTER JOIN new n USING (doc_id)
 """,
@@ -757,6 +773,11 @@ def _quality_model_sql() -> tuple[str, str]:
     return ", ".join(f"({i}, {c!r})" for i, c in enumerate(coefs)), repr(intercept)
 
 
+# ONE call: the two placeholders must come from the SAME model generation —
+# two independent calls were only in lockstep by accident of determinism
+_QM_COEFS, _QM_INTERCEPT = _quality_model_sql()
+
+
 @query(
     "doc_quality_classifier_fixed",
     # round-5 window candidate (tests/test_registry_window.py R5_PROMOTIONS)
@@ -776,9 +797,7 @@ dots AS (SELECT doc_id, sum(weight * coef) AS dot
 SELECT d.doc_id,
        round(1.0 / (1.0 + exp(-(coalesce(dots.dot, 0.0) + {{INTERCEPT}}))), 6) AS quality_prob
 FROM documents d LEFT JOIN dots USING (doc_id)
-""".replace("{COEFS}", _quality_model_sql()[0]).replace(
-        "{INTERCEPT}", _quality_model_sql()[1]
-    ),
+""".replace("{COEFS}", _QM_COEFS).replace("{INTERCEPT}", _QM_INTERCEPT),
 )
 def doc_quality_classifier_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-quality-gate scoring path (operators/classifier.py
