@@ -848,8 +848,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # documents: the reference's text operators on the harness corpus
 # ---------------------------------------------------------------------------
 
-_WS = r"\s+"
-# DuckDB twin of functions.text.tokenize_ws (python str.split() parity)
+# DuckDB twin of functions.text.tokenize_ws (ASCII-\s contract, see tokenize_ws)
 _DUCK_TOKS = (
     "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN []::VARCHAR[] "
     "ELSE regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END"
@@ -1960,7 +1959,12 @@ def simhash_md5_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     out = simhash_near_dup_pairs(d, max_hamming=6, bits=32, hash_col_fn=md5_hash32)
-    return out.select("id1", "id2", F.col("hamming").cast("int").alias("hamming"))
+    sel = out.select("id1", "id2", F.col("hamming").cast("int").alias("hamming"))
+    # carry the unpersist hook across the select (the minhash twins'
+    # pattern): losing it makes operators.unpersist_inputs a silent no-op
+    # and leaks the cached signatures in long-lived sessions
+    sel._persisted_inputs = getattr(out, "_persisted_inputs", [])
+    return sel
 
 
 @query(
@@ -2858,7 +2862,6 @@ def pipeline_hierarchical_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     title splicing, the empty-body guard, and the level-collapse loop in
     one expression. Deeper trees / multi-round collapses stay covered by
     tests/test_critique_hierarchical.py golden tests."""
-    from ..functions.text import tokenize_ws as _tok
     from ..summarize import MockSummarizer, hierarchical_summarize
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2939,6 +2942,14 @@ def build_tree_fixture(spark: SparkSession, sf_dir: str) -> str:
     )
     target = os.path.join(fixture_dir, "document_tree.json")
     if os.path.exists(target):
+        # refresh the dir mtime on reuse: the GC sweep below (run by OTHER
+        # sessions' builds) keys idleness on mtime, which reads never
+        # touch — without this, a >1h-old fixture still in active use
+        # could be rmtree'd mid-read by a concurrent session's sweep
+        try:
+            os.utime(fixture_dir, None)
+        except OSError:
+            pass
         return fixture_dir
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     docs = (

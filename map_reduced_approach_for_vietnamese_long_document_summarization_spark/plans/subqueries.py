@@ -25,20 +25,45 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .relational import ORACLES, QUERIES, _t, query
 
-_SQ_TABLES = ("orders", "lineitem", "customer", "supplier", "nation", "part", "documents")
+_SQ_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
 
 
 def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
-    """Register the harness tables as temp views and run ``text`` through
-    spark.sql. View registration is idempotent and metadata-only."""
+    """Run ``text`` through spark.sql with the harness tables available.
+
+    The Spark side registers ``vlds_sq_``-prefixed temp views and rewrites
+    the table identifiers in ITS copy of the SQL — registering the bare
+    names would silently clobber a user's own ``orders``/``lineitem`` temp
+    view as a plan-construction side effect (the hazard relational.py's
+    inline-SQL query documents). The ORACLE copy keeps the bare names:
+    the driver's DuckDB views are registered under them. View registration
+    is idempotent and metadata-only."""
+    import re
+
+    spark_text = text
     for name in _SQ_TABLES:
-        if name in text:
-            _t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(text)
+        # rewrite only TABLE positions (after FROM/JOIN or a FROM-list
+        # comma) — a bare \b replace would also hit column aliases like
+        # `n_name AS nation` and GROUP BY references to them
+        pat = re.compile(rf"((?:\bFROM|\bJOIN)\s+|,\s*)({name})\b", re.IGNORECASE)
+        if pat.search(text):
+            _t(spark, sf_dir, name).createOrReplaceTempView(f"vlds_sq_{name}")
+            spark_text = pat.sub(rf"\g<1>vlds_sq_{name}", spark_text)
+            # correlated subqueries can qualify columns by the TABLE name
+            # (`part.p_partkey`); once the table is renamed, the qualifier
+            # must follow
+            spark_text = re.sub(
+                rf"\b{name}\.", f"vlds_sq_{name}.", spark_text
+            )
+    return spark.sql(spark_text)
 
 
 def _shared_sql_query(name: str, text: str, doc: str):
-    """Register a query whose Spark plan and DuckDB oracle are the SAME SQL."""
+    """Register a query whose Spark plan and DuckDB oracle are the SAME SQL
+    (modulo the Spark-side view prefixing in ``_sql``)."""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _sql(spark, sf_dir, text)

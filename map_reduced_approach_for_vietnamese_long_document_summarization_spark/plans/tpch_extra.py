@@ -27,27 +27,10 @@ never leaks into the comparison.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-
-from .relational import _t, query
-
-_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
-
-
-def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
-    for name in _TABLES:
-        if name in text:
-            _t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(text)
-
-
-def _shared_sql_query(name: str, text: str, doc: str):
-    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _sql(spark, sf_dir, text)
-
-    fn.__name__ = name
-    fn.__doc__ = doc
-    return query(name, oracle=text)(fn)
+# one shared-SQL mechanism (view prefixing, registration, oracle pairing)
+# — a second hand copy here had already drifted on the table tuple and
+# would need every fix twice
+from .subqueries import _shared_sql_query
 
 
 q7_nation_trade_volume = _shared_sql_query(
@@ -329,4 +312,4 @@ LIMIT 50
 )
 
 
-__all__ = ["QUERIES", "ORACLES"]
+__all__: list[str] = []  # queries register into plans.relational's maps

@@ -198,3 +198,23 @@ def test_assign_split_rejects_bad_weights(spark, ids):
         assign_split(ids, "doc_id", weights={"a": 0.8, "b": 0.3})
     with pytest.raises(ValueError, match="> 0"):
         assign_split(ids, "doc_id", weights={"a": 1.5, "b": -0.5})
+
+
+def test_shared_sql_queries_do_not_clobber_user_views(spark, sf_dir):
+    """Running a registered shared-SQL query must not replace a user's own
+    temp view named after a harness table — the Spark side registers
+    vlds_sq_-prefixed views and rewrites ITS copy of the SQL."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans import (
+        QUERIES,
+    )
+
+    mine = spark.createDataFrame([(1,)], "my_col long")
+    mine.createOrReplaceTempView("lineitem")
+    try:
+        out = QUERIES["order_priority_exists_late"](spark, sf_dir)
+        assert out.count() > 0  # ran on harness data, not the user view
+        # the user's view survived untouched
+        assert spark.table("lineitem").columns == ["my_col"]
+        assert spark.table("lineitem").count() == 1
+    finally:
+        spark.catalog.dropTempView("lineitem")
