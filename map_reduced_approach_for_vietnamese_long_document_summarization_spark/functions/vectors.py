@@ -28,11 +28,23 @@ def l2_norm(col: Column | str) -> Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _broadcast_scalar(s: Column, n: Column) -> Column:
+    """Evaluate a per-row scalar ONCE and repeat it: referencing an
+    aggregate expression inside a HOF lambda re-evaluates the full O(d)
+    aggregate per ELEMENT (Catalyst neither codegens nor CSEs across the
+    lambda boundary) — O(d^2) per vector, ~1000x the arithmetic at
+    1024-dim. array_repeat materializes the value once."""
+    return F.array_repeat(s, n)
+
+
 def l2_normalize(col: Column | str) -> Column:
     """Unit-norm copy of the vector; zero vectors stay zero (no NaNs)."""
     v = _c(col)
     n = l2_norm(v)
-    return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+    unit = F.zip_with(
+        v, _broadcast_scalar(n, F.size(v)), lambda x, nn: x / nn
+    )
+    return F.when(n > 0, unit).otherwise(v)
 
 
 def int8_scale(col: Column | str) -> Column:
@@ -44,13 +56,25 @@ def int8_scale(col: Column | str) -> Column:
 
 
 def int8_quantize(col: Column | str, scale: Column) -> Column:
-    """int8 codes via floor(x*scale + 0.5) — engine-portable rounding."""
+    """int8 codes via floor(x*scale + 0.5) — engine-portable rounding.
+    Codes are bounded to [-127, 127] by the symmetric scale, so they cast
+    to tinyint — the 1-byte element the module's 4x-over-fp32 storage
+    claim is about (a 4-byte 'int' would deliver none of it). ``scale``
+    may be an expression (e.g. ``int8_scale(v)``): it is evaluated once
+    per row, not once per element."""
     v = _c(col)
-    return F.transform(v, lambda x: F.floor(x * scale + 0.5).cast("int"))
+    return F.zip_with(
+        v,
+        _broadcast_scalar(scale, F.size(v)),
+        lambda x, s: F.floor(x * s + 0.5).cast("tinyint"),
+    )
 
 
 def int8_dequantize(codes: Column, scale: Column) -> Column:
-    return F.transform(codes, lambda q: q.cast("double") / scale)
+    c = _c(codes)
+    return F.zip_with(
+        c, _broadcast_scalar(scale, F.size(c)), lambda q, s: q.cast("double") / s
+    )
 
 
 def quantization_error(col: Column | str, scale: Column) -> Column:

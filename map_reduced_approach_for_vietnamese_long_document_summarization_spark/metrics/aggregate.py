@@ -37,7 +37,13 @@ def similarity_histogram(
     lo: float = 0.4,
 ) -> DataFrame:
     """The >=0.7 / 0.4-0.7 / <0.4 bucket counting (A4, evaluate_summaries_
-    semantic.py:661-671) as one conditional aggregation."""
+    semantic.py:661-671) as one conditional aggregation.
+
+    Invariant note: NULL scores fall in NO bucket (conditional counts skip
+    them), so ``n_high + n_mid + n_low`` can be LESS than
+    ``metric_moments``' row count ``n`` when unscored pairs exist —
+    consumers computing corpus percentages should divide by the bucket sum
+    (or count NULLs separately), not by ``n``."""
     s = F.col(score_col)
     aggs = [
         F.count(F.when(s >= hi, 1)).alias("n_high"),
@@ -53,10 +59,15 @@ def best_by_metric(
     df: DataFrame, metric_col: str, candidate_col: str = "model", group_cols: list[str] = []
 ) -> DataFrame:
     """Arg-max comparison (A5): which candidate wins each metric. Rank window
-    with an explicit candidate tiebreak — deterministic where max_by isn't."""
+    with an explicit candidate tiebreak — deterministic where max_by isn't.
+    NaN/NULL scores are excluded before ranking: Spark sorts NaN ABOVE every
+    real number, so a candidate whose metric degenerated to NaN would
+    otherwise be silently crowned the winner."""
+    c = F.col(metric_col)
+    scored = df.filter(c.isNotNull() & ~F.isnan(c.cast("double")))
     w = Window.partitionBy(*group_cols).orderBy(F.desc(metric_col), candidate_col)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )

@@ -27,7 +27,13 @@ DEFAULT_CONF: dict[str, str] = {
     # broadcast; 64 MiB threshold keeps star-schema joins shuffle-free.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
-    "spark.driver.memory": "48g",
+    # driver heap for the local[N] single-JVM harness box (128 GiB host).
+    # Env-overridable because the default is wrong off that box in BOTH
+    # directions: on a small laptop -Xmx48g invites the OS OOM-killer, and
+    # under spark-submit / an existing session the setting is silently
+    # ignored anyway (JVM already started) — set it on the submit command
+    # there.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     # managed tables (bucketed layouts) land outside the source tree;
     # per-process suffix avoids cross-session collisions on shared hosts
     "spark.sql.warehouse.dir": f"/tmp/vlds-spark-warehouse-{os.getpid()}",

@@ -82,8 +82,20 @@ def run_evaluation_pipeline(
     comparison, and a run manifest (S6).
 
     ``out_dir`` enables both the parquet summary sink and incremental skip:
-    existing (approach, model) partitions contribute their rows and are not
-    regenerated."""
+    existing (approach, model) partitions contribute their rows (restricted
+    to the docs in THIS run's scope, so ``max_samples`` reruns over a
+    populated out_dir stay sample-sized) and are not regenerated. Paths go
+    through the Hadoop FileSystem API, so ``hdfs://``/``s3a://`` out_dirs
+    work like local ones (driver-local ``os.path`` checks would silently
+    disable the skip — duplicate summaries appended on every rerun — and
+    write the manifest to a bogus local path).
+
+    Without ``out_dir``, each cell's summaries are persist()ed so the
+    metric stage reuses them instead of re-calling the summarizer; the
+    caches ride on ``result.summaries._persisted_inputs`` — release them
+    via ``operators.dedup.unpersist_inputs(result.summaries)`` AFTER
+    materializing everything you need (statistics/best are lazy plans over
+    those caches)."""
     approaches = approaches or list(APPROACHES)
     if not approaches:
         raise ValueError("no approaches given")
@@ -95,7 +107,15 @@ def run_evaluation_pipeline(
     config = config or {}
     t_start = time.time()
     per_cell: list[DataFrame] = []
+    persisted: list[DataFrame] = []
     cell_stats: dict[str, dict] = {}
+    spark = docs.sparkSession
+
+    def _hdir_exists(path: str) -> bool:
+        # scheme-agnostic (file:/hdfs:/s3a:) — os.path.isdir is driver-local
+        # and always False for object-store URIs
+        p = spark._jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
 
     if max_samples is not None:
         docs = docs.orderBy("doc_id").limit(max_samples)
@@ -104,32 +124,40 @@ def run_evaluation_pipeline(
         build = APPROACHES[approach]
         for model, summarizer in summarizers.items():
             cell_dir = (
-                os.path.join(out_dir, f"approach={approach}", f"model={model}")
+                f"{out_dir.rstrip('/')}/approach={approach}/model={model}"
                 if out_dir
                 else None
             )
             todo = docs
-            if cell_dir and os.path.isdir(cell_dir):
-                spark = docs.sparkSession
+            cell_exists = bool(cell_dir) and _hdir_exists(cell_dir)
+            if cell_exists:
                 existing = spark.read.parquet(cell_dir)
                 todo = skip_existing(docs, existing, "doc_id")
             n_new = todo.count() if cell_dir else None
             t0 = time.time()
             fresh = build(todo, summarizer, config.get(approach, {}))
             if cell_dir:
-                if os.path.isdir(cell_dir):
+                if cell_exists:
                     # the incremental plan lazily READS cell_dir (skip_existing
                     # anti-join); materialize before append-writing the same
                     # directory, or a task retry / mid-write re-listing could
                     # double-read or treat a partial cell as complete
                     fresh = fresh.localCheckpoint(eager=True)
                 fresh.write.mode("append").parquet(cell_dir)
-                fresh = docs.sparkSession.read.parquet(cell_dir)
+                # restrict the read-back to THIS run's doc scope: the cell
+                # dir may hold a larger prior corpus (full sweep before a
+                # max_samples rerun), which would otherwise flow into the
+                # metrics and silently ignore the requested sample
+                fresh = spark.read.parquet(cell_dir).join(
+                    docs.select("doc_id"), "doc_id", "left_semi"
+                )
             else:
                 # force execution inside the timed region (plans are lazy);
-                # the cache is reused by the metric stage below
+                # the cache is reused by the metric stage below — released
+                # by the caller via the _persisted_inputs hook (docstring)
                 fresh = fresh.persist()
                 fresh.count()
+                persisted.append(fresh)
             cell = fresh.select(
                 "doc_id",
                 F.lit(approach).alias("approach"),
@@ -183,8 +211,20 @@ def run_evaluation_pipeline(
         "total_seconds": round(time.time() - t_start, 3),
     }
     if out_dir:
-        os.makedirs(out_dir, exist_ok=True)
-        with open(os.path.join(out_dir, "manifest.json"), "w") as f:
-            json.dump(manifest, f, indent=2, default=str)
+        # Hadoop FS write: the manifest lands NEXT TO the data on whatever
+        # filesystem out_dir names (a driver-local open() would create a
+        # bogus './s3a:/...' path for object-store sinks)
+        jvm = spark._jvm
+        mpath = jvm.org.apache.hadoop.fs.Path(f"{out_dir.rstrip('/')}/manifest.json")
+        fs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        stream = fs.create(mpath, True)
+        try:
+            stream.write(
+                bytearray(json.dumps(manifest, indent=2, default=str).encode("utf-8"))
+            )
+        finally:
+            stream.close()
 
-    return SweepResult(all_summaries, metrics, statistics, best, manifest)
+    res = SweepResult(all_summaries, metrics, statistics, best, manifest)
+    all_summaries._persisted_inputs = persisted  # caller-controlled release
+    return res

@@ -18,13 +18,25 @@ def corpus_token_stats(docs: DataFrame, out_json: str | None = None) -> tuple[Da
     Returns (rows_df, totals). ``out_json`` writes the rows as JSON lines
     (S4 metadata sink) plus a ``_totals.json`` header next to them — the
     reference's ``{files: [...], totals: {...}}`` shape split into a
-    distributed sink + a scalar driver object."""
+    distributed sink + a scalar driver object. The header is written with a
+    driver-local open(): pass a LOCAL out_json (the reference's metadata
+    layout is a local artifact); the rows sink itself is distributed.
+
+    ``tokens`` and ``words`` deliberately carry the SAME whitespace count:
+    the reference's tokens column is an HF-tokenizer count
+    (calculate_tokens.py:10-11), which lives behind the real-model seam —
+    swap ``functions.bpe.bpe_token_count_udf`` (or the HF path when
+    installed) into the tokens column for subword-accurate metadata."""
     rows = docs.select(
         "doc_id",
         ws_token_count("text").alias("tokens"),
         F.length("text").alias("characters"),
         ws_token_count("text").alias("words"),
     )
+    if out_json:
+        # the totals agg AND the sink both consume rows: persist so the
+        # corpus tokenization runs once, not twice end-to-end
+        rows = rows.persist()
     t = rows.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tokens").alias("total_tokens"),
@@ -41,6 +53,7 @@ def corpus_token_stats(docs: DataFrame, out_json: str | None = None) -> tuple[Da
         rows.write.mode("overwrite").json(out_json)
         with open(f"{out_json.rstrip('/')}/_totals.json", "w") as f:
             json.dump(totals, f, indent=2)
+        rows.unpersist()
     return rows, totals
 
 
