@@ -119,19 +119,29 @@ def rouge_n_f1_df(
     a per-row number within each id group, so duplicate-id rows each get
     their own correct score — grouping gram counts by ids alone would merge
     different rows' multisets and emit impossible F1 > 1 values. The
-    row_number runs over a total order on (gen, ref); rows identical in all
-    of (ids, gen, ref) are interchangeable, so ambiguous numbering among
-    them cannot change any row's score even though each branch recomputes
-    the window independently."""
+    row_number runs over a total order whose leading keys are
+    ``xxhash64(gen), xxhash64(ref)`` — 8-byte comparisons instead of
+    multi-KB text comparisons in the window sort — with the raw columns as
+    final tiebreakers so the order stays fully deterministic even under
+    hash collisions. Rows identical in all of (ids, gen, ref) compare equal
+    under this order and are interchangeable, so ambiguous numbering among
+    them cannot change any row's score. ``keyed`` is persisted so the
+    window's exchange+sort runs once, not once per downstream branch;
+    callers with long-lived sessions release it after their action via
+    ``operators.unpersist_inputs(result)``."""
     from pyspark.sql import Window
 
     ids = list(id_cols)
     out_col = out_col or f"rouge{n}"
-    w = Window.partitionBy(*ids).orderBy(F.col(gen_col).asc_nulls_first(),
-                                         F.col(ref_col).asc_nulls_first())
+    w = Window.partitionBy(*ids).orderBy(
+        F.xxhash64(gen_col).asc(),
+        F.xxhash64(ref_col).asc(),
+        F.col(gen_col).asc_nulls_first(),
+        F.col(ref_col).asc_nulls_first(),
+    )
     keyed = pairs.select(*ids, gen_col, ref_col).withColumn(
         "_row", F.row_number().over(w)
-    )
+    ).persist()
     keys = ids + ["_row"]
     g = (
         keyed.select(*keys, F.explode(_ngram_arr(gen_col, n)).alias("_tok"))
@@ -161,7 +171,9 @@ def rouge_n_f1_df(
         (F.col("_lg") > 0) & (F.col("_lr") > 0) & (F.coalesce("_inter", F.lit(0)) > 0),
         2.0 * F.col("_inter") / (F.col("_lg") + F.col("_lr")),
     ).otherwise(F.lit(0.0))
-    return out.select(*ids, f1.alias(out_col))
+    result = out.select(*ids, f1.alias(out_col))
+    result._persisted_inputs = [keyed]  # unpersist hook for long-lived sessions
+    return result
 
 
 def rouge1_f1_df(

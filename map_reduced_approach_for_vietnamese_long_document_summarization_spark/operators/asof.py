@@ -121,7 +121,8 @@ def asof_join(
         # (epoch seconds; NTZ cannot cast straight to double), numeric
         # columns subtract in their native units WITHOUT a timestamp
         # round-trip (an epoch-microseconds axis would overflow to NULL)
-        if dict(matched.dtypes)["_t"].startswith("timestamp"):
+        _t_dtype = dict(matched.dtypes)["_t"]
+        if _t_dtype.startswith("timestamp") or _t_dtype == "date":
             age = (
                 F.col("_t").cast("timestamp").cast("double")
                 - F.col("_m")[right_time].cast("timestamp").cast("double")

@@ -146,6 +146,12 @@ def lsh_band_table(
             f"n_bands must divide n_hashes with 1 <= n_bands <= n_hashes, "
             f"got n_bands={n_bands}, n_hashes={n_hashes}"
         )
+    # a NULL signature is "no signature" (e.g. a NULL-text doc upstream):
+    # such rows emit no bands and so never enter any candidate bucket —
+    # the pre-guard behavior. Without this filter size(NULL) = -1 under
+    # ANSI-off and the short-signature raise below would fire with a
+    # misleading "-1 hashes" message (round-7 ADVICE).
+    df = df.filter(F.col(sig_col).isNotNull())
     raw_sig = F.col(sig_col)
     sig = F.when(F.size(raw_sig) >= n_hashes, raw_sig).otherwise(
         F.raise_error(

@@ -64,7 +64,10 @@ def interval_join(
         # multiplies by 1e6 internally, so an epoch-microseconds axis
         # (~1.7e15) would overflow long and wrap (non-ANSI), silently
         # corrupting bucket ids on both sides of the join
-        if dict(df.dtypes)[c].startswith("timestamp"):
+        dtype = dict(df.dtypes)[c]
+        if dtype.startswith("timestamp") or dtype == "date":
+            # DATE has no direct double cast — route through timestamp
+            # (midnight UTC) like the timestamp axes
             return F.col(c).cast("timestamp").cast("double")
         return F.col(c).cast("double")
 

@@ -138,8 +138,15 @@ def skip_existing_bloom(
     # DIFFERENT alias, and ReuseExchange does not dedupe across them — the
     # full key-set scan+aggregate would run n_hashes times. persist() is
     # lazy (no job here); callers in long-lived sessions release via
-    # dedup.unpersist_inputs(result).
-    words = words.persist()
+    # dedup.unpersist_inputs(result). Below ~1M expected keys the one-shot
+    # materialization costs more than the n_hashes-1 recomputes it saves
+    # (round-7 probe: 1.55x at sf0.1), so the persist is gated on the
+    # caller's sizing hint — at the 10^10-key scale this operator exists
+    # for, expected_items is always far past the gate.
+    persisted: list = []
+    if expected_items >= 1_000_000:
+        words = words.persist()
+        persisted.append(words)
 
     flagged = docs.select(*docs.columns, *positions(docs))
     maybe = F.lit(True)
@@ -162,7 +169,7 @@ def skip_existing_bloom(
     )
     definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     if not exact:
-        definitely_new._persisted_inputs = [words]  # unpersist hook
+        definitely_new._persisted_inputs = persisted  # unpersist hook
         return definitely_new
     rescued = (
         flagged.filter(F.col("_maybe"))
@@ -170,7 +177,7 @@ def skip_existing_bloom(
         .join(existing_keys.select(key), key, "left_anti")
     )
     out = definitely_new.unionByName(rescued)
-    out._persisted_inputs = [words]  # unpersist hook for long-lived sessions
+    out._persisted_inputs = persisted  # unpersist hook for long-lived sessions
     return out
 
 

@@ -501,11 +501,16 @@ def hybrid_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_similarity_expr("embedding", "qv"), 9).alias("sim"),
         )
     )
+    # top-20 via sort+limit (TakeOrderedAndProject — per-partition heaps,
+    # no single-partition global sort of ALL sims), then rank the 20
+    # survivors with the same total order: identical rows, identical ranks,
+    # and the window now runs over 20 rows instead of the whole corpus
     dense = (
-        sims.withColumn(
+        sims.orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn(
             "rnk", F.row_number().over(Window.orderBy(F.desc("sim"), F.asc("doc_id")))
         )
-        .filter(F.col("rnk") <= 20)
         .select("doc_id", "rnk")
     )
     return rrf_fuse([bmr, dense], top_k=10)

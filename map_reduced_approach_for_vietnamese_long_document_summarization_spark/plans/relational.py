@@ -2516,9 +2516,10 @@ SELECT doc_id, round(rouge1, 6) AS rouge1_f FROM scores
 def rouge1_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-1 F1 per (generated, reference) pair (M1) — multiset unigram
     overlap computed entirely JVM-side (metrics.rouge.rouge1_f1_expr)."""
-    return _rouge1_pairs(spark, sf_dir).select(
-        "doc_id", F.round("rouge1", 6).alias("rouge1_f")
-    )
+    out = _rouge1_pairs(spark, sf_dir)
+    sel = out.select("doc_id", F.round("rouge1", 6).alias("rouge1_f"))
+    sel._persisted_inputs = getattr(out, "_persisted_inputs", [])
+    return sel
 
 
 @query(
@@ -2565,7 +2566,9 @@ def rouge2_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(toks, 31, 90), " ").alias("r"),
     )
     out = rouge_n_f1_df(pair, 2, out_col="rouge2")
-    return out.select("doc_id", F.round("rouge2", 6).alias("rouge2_f"))
+    sel = out.select("doc_id", F.round("rouge2", 6).alias("rouge2_f"))
+    sel._persisted_inputs = getattr(out, "_persisted_inputs", [])
+    return sel
 
 
 @query(
@@ -2586,14 +2589,16 @@ def rouge1_moments_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metric moments (A2): mean/std(pop)/min/max — population std matches
     the reference's numpy default (evaluate_summaries_semantic.py:600-617)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    scores = _rouge1_pairs(spark, sf_dir).join(d, "doc_id")
-    return scores.groupBy("lang").agg(
+    pairs = _rouge1_pairs(spark, sf_dir)
+    agg = pairs.join(d, "doc_id").groupBy("lang").agg(
         F.round(F.avg("rouge1"), 6).alias("mean_r1"),
         F.round(F.stddev_pop("rouge1"), 6).alias("std_r1"),
         F.round(F.min("rouge1"), 6).alias("min_r1"),
         F.round(F.max("rouge1"), 6).alias("max_r1"),
         F.count(F.lit(1)).alias("n"),
     )
+    agg._persisted_inputs = getattr(pairs, "_persisted_inputs", [])
+    return agg
 
 
 @query(
@@ -2611,7 +2616,10 @@ def rouge1_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket counting (evaluate_summaries_semantic.py:661-671)."""
     from ..metrics.aggregate import similarity_histogram
 
-    return similarity_histogram(_rouge1_pairs(spark, sf_dir), "rouge1")
+    pairs = _rouge1_pairs(spark, sf_dir)
+    hist = similarity_histogram(pairs, "rouge1")
+    hist._persisted_inputs = getattr(pairs, "_persisted_inputs", [])
+    return hist
 
 
 @query(

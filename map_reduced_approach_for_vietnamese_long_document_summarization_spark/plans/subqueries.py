@@ -31,6 +31,131 @@ _SQ_TABLES = (
 )
 
 
+import re
+
+_SQ_TABLE_SET = frozenset(_SQ_TABLES)
+
+# tokens: single-quoted strings (with '' escapes), double-quoted
+# identifiers, line comments, identifiers, any other single char
+_SQ_TOKEN = re.compile(r"'(?:[^']|'')*'|\"[^\"]*\"|--[^\n]*|[A-Za-z_][A-Za-z0-9_]*|\S")
+_SQ_WORD = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+# keywords that terminate a FROM clause at the current nesting depth
+_SQ_END_FROM = frozenset(
+    "where group order having limit union intersect except window qualify select".split()
+)
+# keywords that can follow a table reference but are never its alias
+_SQ_NOT_ALIAS = _SQ_END_FROM | frozenset(
+    "on using join inner left right full cross outer natural lateral as".split()
+)
+
+
+class _FromState:
+    __slots__ = ("in_from", "expect_table", "expect_alias")
+
+    def __init__(self):
+        self.in_from = False
+        self.expect_table = False
+        self.expect_alias = False
+
+
+def _rewrite_tables(text: str) -> tuple[str, frozenset]:
+    """Rewrite harness-table identifiers to ``vlds_sq_``-prefixed view names
+    in TABLE positions only, via a token walk that tracks FROM-clause
+    context per paren depth — not a regex over the raw text, whose
+    ``,\\s*name`` alternative also matched SELECT-list and function-arg
+    commas, and whose ``name.`` qualifier rewrite also hit derived-table
+    aliases that shadow a harness table name (round-7 ADVICE).
+
+    Table-name qualifiers (``part.p_partkey`` in a correlated subquery) are
+    rewritten only for tables referenced WITHOUT an alias and never for
+    names that are also bound as an alias somewhere in the statement.
+    Returns ``(rewritten_sql, harness_tables_used)``."""
+    toks = [(m.group(0), m.start(), m.end()) for m in _SQ_TOKEN.finditer(text)]
+    stack = [_FromState()]
+    spans: list[tuple[int, int]] = []  # table-position occurrences to rewrite
+    bare_tables: set[str] = set()  # harness tables referenced without an alias
+    alias_names: set[str] = set()  # identifiers bound as aliases anywhere
+    used: set[str] = set()
+    for i, (val, a, b) in enumerate(toks):
+        st = stack[-1]
+        low = val.lower()
+        if val == "(":
+            stack.append(_FromState())
+        elif val == ")":
+            if len(stack) > 1:
+                stack.pop()
+            outer = stack[-1]
+            if outer.expect_table:  # a derived table just closed
+                outer.expect_table = False
+                outer.expect_alias = True
+        elif val == ",":
+            if st.in_from:
+                st.expect_table = True
+                st.expect_alias = False
+        elif val[0] in "'\"" or val.startswith("--"):
+            pass  # literal / quoted identifier / comment — never a table
+        elif _SQ_WORD.fullmatch(val):
+            if low in ("from", "join"):
+                st.in_from = True
+                st.expect_table = True
+                st.expect_alias = False
+            elif low in _SQ_END_FROM:
+                st.in_from = False
+                st.expect_table = False
+                st.expect_alias = False
+            elif low in ("on", "using"):
+                st.expect_table = False
+                st.expect_alias = False
+            elif low in ("inner", "left", "right", "full", "cross", "outer",
+                         "natural", "lateral"):
+                st.expect_alias = False  # connectors between tables and JOIN
+            elif low == "as":
+                pass  # alias keyword — keep expecting the alias word
+            elif st.expect_table:
+                if low in _SQ_TABLE_SET:
+                    spans.append((a, b))
+                    used.add(low)
+                    nxt = toks[i + 1] if i + 1 < len(toks) else None
+                    aliased = (
+                        nxt is not None
+                        and _SQ_WORD.fullmatch(nxt[0])
+                        and (nxt[0].lower() == "as"
+                             or nxt[0].lower() not in _SQ_NOT_ALIAS)
+                    )
+                    if not aliased:
+                        bare_tables.add(low)
+                st.expect_table = False
+                st.expect_alias = True
+            elif st.expect_alias:
+                alias_names.add(low)
+                st.expect_alias = False
+    # qualifier occurrences: `name.` where name is a bare harness table and
+    # never shadowed by an alias, and not itself a table position
+    table_spans = set(spans)
+    qualifiable = bare_tables - alias_names
+    for i, (val, a, b) in enumerate(toks):
+        if (
+            val.lower() in qualifiable
+            and (a, b) not in table_spans
+            and i + 1 < len(toks)
+            and toks[i + 1][0] == "."
+            and not (i > 0 and toks[i - 1][0] == ".")
+        ):
+            spans.append((a, b))
+    out = []
+    pos = 0
+    for a, b in sorted(spans):
+        out.append(text[pos:a])
+        out.append(f"vlds_sq_{text[a:b].lower()}")
+        pos = b
+    out.append(text[pos:])
+    return "".join(out), frozenset(used)
+
+
+_REWRITE_CACHE: dict[str, tuple[str, frozenset]] = {}
+
+
 def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
     """Run ``text`` through spark.sql with the harness tables available.
 
@@ -39,25 +164,29 @@ def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
     names would silently clobber a user's own ``orders``/``lineitem`` temp
     view as a plan-construction side effect (the hazard relational.py's
     inline-SQL query documents). The ORACLE copy keeps the bare names:
-    the driver's DuckDB views are registered under them. View registration
-    is idempotent and metadata-only."""
-    import re
+    the driver's DuckDB views are registered under them.
 
-    spark_text = text
-    for name in _SQ_TABLES:
-        # rewrite only TABLE positions (after FROM/JOIN or a FROM-list
-        # comma) — a bare \b replace would also hit column aliases like
-        # `n_name AS nation` and GROUP BY references to them
-        pat = re.compile(rf"((?:\bFROM|\bJOIN)\s+|,\s*)({name})\b", re.IGNORECASE)
-        if pat.search(text):
+    Both halves are amortized (round-7 VERDICT item 2): the rewritten SQL
+    is cached per text (module-level — the rewrite is session-independent)
+    and the prefixed views are registered once per (SparkSession, sf_dir),
+    tracked on the session object, so repeated invocations pay zero
+    re-registration / re-rewrite constant. Switching ``sf_dir`` on the same
+    session re-registers; a user who drops a ``vlds_sq_`` view manually
+    gets a plain table-not-found on the next run of that query."""
+    cached = _REWRITE_CACHE.get(text)
+    if cached is None:
+        cached = _rewrite_tables(text)
+        _REWRITE_CACHE[text] = cached
+    spark_text, used = cached
+    state = getattr(spark, "_vlds_sq_views", None)
+    if state is None or state[0] != sf_dir:
+        state = (sf_dir, set())
+        spark._vlds_sq_views = state
+    registered = state[1]
+    for name in used:
+        if name not in registered:
             _t(spark, sf_dir, name).createOrReplaceTempView(f"vlds_sq_{name}")
-            spark_text = pat.sub(rf"\g<1>vlds_sq_{name}", spark_text)
-            # correlated subqueries can qualify columns by the TABLE name
-            # (`part.p_partkey`); once the table is renamed, the qualifier
-            # must follow
-            spark_text = re.sub(
-                rf"\b{name}\.", f"vlds_sq_{name}.", spark_text
-            )
+            registered.add(name)
     return spark.sql(spark_text)
 
 

@@ -9,6 +9,7 @@ from .events import (
     read_events_stream,
     session_event_counts,
     sliding_event_counts,
+    state_schema_migration_hint,
     stateful_user_running_stats,
     tumbling_event_counts,
 )
@@ -32,4 +33,5 @@ __all__ = [
     "dedup_events_stream",
     "enrich_stream_with_dim",
     "incremental_summarize_stream",
+    "state_schema_migration_hint",
 ]

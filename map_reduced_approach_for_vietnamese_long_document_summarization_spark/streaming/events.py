@@ -229,7 +229,9 @@ def incremental_summarize_stream(
     # (or a pre-newest_ms idle checkpoint upgrading to this version) widens
     # its state schema, which Spark's state schema checker rejects on
     # restart (STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE) — start such a
-    # stream from a fresh checkpoint.
+    # stream from a fresh checkpoint. state_schema_migration_hint()
+    # recognizes that failure and returns this instruction for callers to
+    # surface (the error is async, so it cannot be caught here).
     state_fields = [
         T.StructField("summary", T.StringType()),
         T.StructField("n_chunks", T.LongType()),
@@ -290,6 +292,51 @@ def incremental_summarize_stream(
             "EventTimeTimeout" if idle_timeout_ms is not None else "NoTimeout"
         ),
     )
+
+
+def state_schema_migration_hint(exc: BaseException) -> str | None:
+    """Recognize the idle-mode state-schema widening rejection and return
+    the migration instruction, else None.
+
+    ``incremental_summarize_stream(idle_timeout_ms=...)`` widens the state
+    value schema with ``newest_ms`` (see its docstring); restarting a
+    checkpoint written by the 2-field (pre-idle) version then fails with
+    Spark's ``STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE``. Streaming errors
+    surface asynchronously (``StreamingQueryException`` from ``awaitTermination``
+    / ``processAllAvailable``), so the construction site cannot catch this —
+    callers run their start/await under ``try`` and ask this helper::
+
+        try:
+            q.processAllAvailable()
+        except Exception as e:
+            hint = state_schema_migration_hint(e)
+            if hint: raise RuntimeError(hint) from e
+            raise
+
+    Walks the ``__cause__`` chain so wrapped Py4J/connect exceptions match
+    too."""
+    seen = set()
+    cur: BaseException | None = exc
+    while cur is not None and id(cur) not in seen:
+        seen.add(id(cur))
+        msg = str(cur)
+        if (
+            "STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE" in msg
+            or "StateSchemaNotCompatible" in msg
+        ):
+            return (
+                "State value schema changed under this checkpoint: "
+                "incremental_summarize_stream's idle mode (idle_timeout_ms) "
+                "stores an extra newest_ms field, which is incompatible with "
+                "checkpoints written before idle mode was enabled (and vice "
+                "versa). Spark state schemas cannot be migrated in place — "
+                "start the stream from a FRESH checkpointLocation (the "
+                "evicted docs re-process from the source on replay; the "
+                "fingerprint-gate contract makes that re-processing, not "
+                "corruption)."
+            )
+        cur = cur.__cause__
+    return None
 
 
 def correlate_event_pairs(

@@ -218,3 +218,68 @@ def test_shared_sql_queries_do_not_clobber_user_views(spark, sf_dir):
         assert spark.table("lineitem").count() == 1
     finally:
         spark.catalog.dropTempView("lineitem")
+
+
+def test_rewrite_tables_targets_table_positions_only():
+    """The token-walk rewriter (round-7 ADVICE): SELECT-list / function-arg
+    commas and alias-shadowed names must survive; FROM-list commas,
+    JOINed tables, and bare-table qualifiers must be rewritten."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans.subqueries import (
+        _rewrite_tables,
+    )
+
+    # column alias sharing a harness table name in a SELECT-list comma
+    # position: not a table reference
+    new, used = _rewrite_tables(
+        "SELECT count(*), events FROM orders GROUP BY events"
+    )
+    assert new == "SELECT count(*), events FROM vlds_sq_orders GROUP BY events"
+    assert used == frozenset({"orders"})
+    # derived-table alias shadowing a harness name: neither the alias nor
+    # its qualifier may be rewritten
+    new, _ = _rewrite_tables("SELECT events.x FROM (SELECT 1 AS x) events")
+    assert new == "SELECT events.x FROM (SELECT 1 AS x) events"
+    # genuine FROM-list comma still rewrites
+    new, used = _rewrite_tables("SELECT * FROM orders, lineitem")
+    assert new == "SELECT * FROM vlds_sq_orders, vlds_sq_lineitem"
+    assert used == frozenset({"orders", "lineitem"})
+    # function-arg comma is not a FROM-list comma
+    new, _ = _rewrite_tables("SELECT coalesce(a, events) FROM orders")
+    assert new == "SELECT coalesce(a, events) FROM vlds_sq_orders"
+    # bare-table qualifier in a correlated subquery follows the rename
+    new, _ = _rewrite_tables(
+        "SELECT 1 FROM part WHERE 1 = "
+        "(SELECT max(x) FROM lineitem l2 WHERE l2.k = part.p_partkey)"
+    )
+    assert "vlds_sq_part.p_partkey" in new and "FROM vlds_sq_lineitem l2" in new
+    # string literals are opaque
+    new, _ = _rewrite_tables("SELECT 'from orders' FROM lineitem")
+    assert new == "SELECT 'from orders' FROM vlds_sq_lineitem"
+
+
+def test_shared_sql_registration_amortized(spark, sf_dir):
+    """Repeat invocations of a shared-SQL query must not re-register the
+    vlds_sq_ views (round-7 VERDICT item 2): the per-(session, sf_dir)
+    registration set short-circuits the second call."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans import (
+        subqueries as sq,
+    )
+
+    QUERIES["order_priority_exists_late"](spark, sf_dir).count()
+    state = spark._vlds_sq_views
+    assert state[0] == sf_dir and "lineitem" in state[1]
+    registered_before = set(state[1])
+    calls = []
+    orig = sq._t
+
+    def counting_t(s, d, n):
+        calls.append(n)
+        return orig(s, d, n)
+
+    sq._t, tval = counting_t, sq._t
+    try:
+        QUERIES["order_priority_exists_late"](spark, sf_dir).count()
+    finally:
+        sq._t = tval
+    assert calls == []  # no re-load, no re-registration
+    assert set(spark._vlds_sq_views[1]) == registered_before
