@@ -39,6 +39,17 @@ policy"): best-of-N defends against noise WITHIN a rep set; only spread
 can flag noise ACROSS the session; and only an interleaved same-session
 probe settles a flagged query.
 
+``--baseline`` mode additionally consults ``BENCH_ADJUDICATIONS.json``
+(round-7 VERDICT item 4): a regressed/noisy flag whose query carries a
+recorded interleaved-probe adjudication — with a reproducing control and
+an ``accepted_best`` — is reclassified ``adjudicated`` (clean exit) as
+long as the current best stays within ``--threshold`` of the accepted
+level. Slower than even the accepted level and the row is ``regressed``
+again: adjudication re-baselines, it does not grant immunity. The
+comparator therefore exits non-zero until every flag has either a fix or
+a recorded adjudication — the round-7 gap (guard fired, round closed with
+the flags unadjudicated) cannot recur silently.
+
     python examples/bench_compare.py BENCH_r05.json [--threshold 1.5]
                                                     [--spread 1.5]
     python examples/bench_compare.py --baseline
@@ -130,6 +141,19 @@ def load_baseline() -> tuple[dict, dict]:
     return best, spreads
 
 
+def load_adjudications() -> dict:
+    """query -> adjudication record from BENCH_ADJUDICATIONS.json.
+
+    Each record carries the probe evidence ({"round", "verdict", "note",
+    "accepted_best", "probe_reps", "control"}); only ``accepted_best`` is
+    read here — the rest is the audit trail SCALE.md's policy requires."""
+    path = os.path.join(_REPO, "BENCH_ADJUDICATIONS.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("old", nargs="?",
@@ -157,10 +181,15 @@ def main() -> None:
         new = json.load(f)
     new_q, reps = new["queries"], new.get("reps", {})
 
+    adjudications = load_adjudications() if args.baseline else {}
     rows = []
     for name in sorted(set(old_q) & set(new_q)):
         cls = classify(old_q[name], new_q[name], reps.get(name), args.threshold,
                        args.spread, args.floor, old_spreads.get(name))
+        if cls != "ok" and name in adjudications:
+            accepted = adjudications[name].get("accepted_best")
+            if accepted is not None and new_q[name] <= accepted * args.threshold:
+                cls = "adjudicated"
         rows.append((cls, name, old_q[name], new_q[name], reps.get(name)))
     if not rows:
         print(
@@ -170,20 +199,26 @@ def main() -> None:
         )
         raise SystemExit(1)
 
-    order = {"regressed": 0, "noisy": 1, "ok": 2}
+    order = {"regressed": 0, "noisy": 1, "adjudicated": 2, "ok": 3}
     rows.sort(key=lambda r: (order[r[0]], -(r[3] / max(r[2], 1e-3))))
-    n = {"ok": 0, "noisy": 0, "regressed": 0}
+    n = {"ok": 0, "noisy": 0, "regressed": 0, "adjudicated": 0}
     for cls, name, old, best, rep in rows:
         n[cls] += 1
-        if cls != "ok":
-            print(f"{cls.upper():9s} {name:35s} {old:6.2f}s -> {best:6.2f}s"
+        if cls == "adjudicated":
+            adj = adjudications[name]
+            print(f"{cls.upper():11s} {name:35s} {old:6.2f}s -> {best:6.2f}s"
+                  f"  accepted_best={adj.get('accepted_best')} "
+                  f"(r{adj.get('round')}: {adj.get('note', '')[:60]})")
+        elif cls != "ok":
+            print(f"{cls.upper():11s} {name:35s} {old:6.2f}s -> {best:6.2f}s"
                   f"  reps={rep}  base_spread={old_spreads.get(name)}")
     tot_old = sum(r[2] for r in rows)
     tot_new = sum(r[3] for r in rows)
     print(f"# {len(rows)} common queries vs {label}: "
           f"{tot_old:.1f}s -> {tot_new:.1f}s "
           f"(ratio {tot_new / tot_old:.2f}); "
-          f"{n['ok']} ok, {n['noisy']} noisy, {n['regressed']} regressed")
+          f"{n['ok']} ok, {n['adjudicated']} adjudicated, "
+          f"{n['noisy']} noisy, {n['regressed']} regressed")
     if n["regressed"]:
         print("# probe regressed queries interleaved before believing them "
               "(SCALE.md driver policy)", file=sys.stderr)

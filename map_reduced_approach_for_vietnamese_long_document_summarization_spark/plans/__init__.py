@@ -21,14 +21,14 @@ from . import tpch_extra as _tpch_extra  # noqa: F401  (registers its queries)
 # Rounds of CORRECTNESS artifacts this window's staleness ranking was
 # computed from (CORRECTNESS_r01..r{N}.json). Bump when re-rotating so the
 # policy test re-derives the expected window from the same evidence.
-ROTATION_BASIS_ROUNDS = 6
+ROTATION_BASIS_ROUNDS = 7
 
 _PRIORITY = [
-    # ROUND-7 ROTATION — STALENESS REFRESH (VERDICT r6 item 1). Basis =
-    # CORRECTNESS_r01..r06. The 45 non-flagship slots retire the entire
-    # ≤r3 tail: all 6 oracles last green in r2, all 18 last green in r3,
-    # and the first 21 of the r4 vintage by name. After r7 goes green no
-    # oracle's most recent driver row is older than r4.
+    # ROUND-8 ROTATION — STALENESS REFRESH (VERDICT r7 item 5). Basis =
+    # CORRECTNESS_r01..r07. The 45 non-flagship slots retire the one r4
+    # oracle (q9_product_profit) and the 44 stalest of the r5 vintage by
+    # name. After r8 goes green no oracle's most recent driver row is
+    # older than r5.
     # tests/test_registry_window.py::test_window_prefers_stalest re-derives
     # this exact set from the artifacts; examples/rotate_window.py printed
     # this block.
@@ -38,58 +38,57 @@ _PRIORITY = [
     "pipeline_critique_mock",
     "pipeline_hierarchical_mock",
     "pipeline_truncated_mock",
-    # -- last green r2 ------------------------------------------------------
-    "embedding_cosine_pairs_exact",
-    "embedding_label_centroids",
-    "estimated_chunk_counts",
-    "mock_collapse_level",
-    "rouge1_histogram",
-    "rouge2_per_doc",
-    # -- last green r3 ------------------------------------------------------
-    "big_order_customers",
-    "brand_small_qty_revenue",
-    "corpus_pack_greedy_512",
-    "customer_balance_ranks",
-    "doc_stratified_sample",
-    "dormant_rich_customers",
-    "embedding_int8_roundtrip",
-    "embedding_ivf_fixed_top3",
-    "embedding_near_dups_lsh",
-    "events_click_purchase_pairs",
-    "forecast_revenue_q6",
-    "lineitem_grouping_sets",
-    "multimodal_decode_dims",
-    "nation_supplier_scalars",
-    "promo_revenue_q14",
-    "returnflag_except_all",
-    "segment_price_percentiles",
-    "source_name_sanitize",
-    # -- last green r4 (first 21 by name) -----------------------------------
-    "doc_char_entropy",
-    "doc_epoch_upsample",
-    "doc_feature_hash_embed",
-    "doc_source_quota",
-    "doc_tfidf_top3",
-    "doc_unigram_logprob",
-    "embedding_semantic_dedup",
-    "embedding_split_contamination",
-    "events_dedup_first_per_minute",
-    "events_resample_1h_ffill",
-    "events_trailing_24h_stats",
-    "q11_important_inventory",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q19_disjunctive_revenue",
-    "q20_heavy_shippers",
-    "q21_latest_shipper",
-    "q2_min_cost_supplier",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    # Tail: everything else is r4(+)-fresh and stays parity-checked locally
+    # -- last green r4 ------------------------------------------------------
+    "q9_product_profit",
+    # -- last green r5 (first 44 by name) -----------------------------------
+    "ann_recall_at3",
+    "bertscore_mock_pairs",
+    "bm25_search_top10",
+    "corpus_diff_status",
+    "corpus_mixture_rates",
+    "corpus_pack_512",
+    "corpus_top_bigrams",
+    "doc_bloom_skip_existing",
+    "doc_chunk_fixed100",
+    "doc_contamination_top20",
+    "doc_dedup_keep_best",
+    "doc_dup_clusters",
+    "doc_exact_dedup",
+    "doc_greedy_buckets",
+    "doc_length_iqr_outliers",
+    "doc_line_dedup",
+    "doc_pii_redact",
+    "doc_quality_classifier_fixed",
+    "doc_quality_report",
+    "doc_repetition_stats",
+    "doc_script_ratios",
+    "doc_span_dedup",
+    "doc_split_assign",
+    "doc_text_normalize",
+    "doc_winnow_fingerprints",
+    "embedding_ann_lsh_top3",
+    "embedding_knn_top3",
+    "events_click_in_purchase_window",
+    "events_sessionization",
+    "events_tumbling_10min",
+    "hybrid_search_top10",
+    "llm_judge_mock_scores",
+    "media_ahash_near_dups",
+    "minhash_md5_dedup",
+    "minhash_md5_incremental_dedup",
+    "minhash_md5_star_dedup",
+    "mock_collapse_loop",
+    "multimodal_decode_features",
+    "ngram_jaccard_top20",
+    "order_priority_exists_late",
+    "purchase_click_attribution",
+    "rouge1_moments_by_lang",
+    "rouge1_per_doc",
+    "simhash_md5_near_dups",
+    # Tail: everything else is r5(+)-fresh and stays parity-checked locally
     # every session (tests/test_oracle_parity.py, 141 oracles); rows-only
-    # showcases ride the tail by design. Next-stalest queue for round 8:
-    # q9_product_profit, then the r5 vintage.
+    # showcases ride the tail by design. Next-stalest queue for round 9:
+    # tree_file_hierarchical, then the rest of the r5 vintage.
 ]
 
 

@@ -105,3 +105,66 @@ def test_real_artifacts_load():
     assert len(best) >= 60
     q4, _ = bc.load_old(os.path.join(_REPO, "BENCH_r04.json"))
     assert len(q4) >= 20  # recovered from the clipped stdout tail
+
+
+def test_adjudication_reclassifies_within_accepted_level(tmp_path, monkeypatch, capsys):
+    """An adjudicated query (round-7 VERDICT item 4) exits clean while its
+    best stays within threshold of the recorded accepted_best — and flips
+    back to regressed when it does not: adjudication re-baselines, it does
+    not grant immunity."""
+    import json
+
+    import pytest
+
+    monkeypatch.setattr(bc, "_REPO", str(tmp_path))
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"parsed": {"queries": {"a": 1.0, "big": 1.0}}})
+    )
+    (tmp_path / "BENCH_ADJUDICATIONS.json").write_text(
+        json.dumps({"a": {"round": 8, "accepted_best": 2.0,
+                          "note": "persist tax accepted", "verdict": "accepted"}})
+    )
+    new = tmp_path / "bench_last.json"
+
+    def run(a_time):
+        new.write_text(json.dumps(
+            {"queries": {"a": a_time, "big": 1.0},
+             "reps": {"a": [a_time, a_time], "big": [1.0, 1.0]}}
+        ))
+        monkeypatch.setattr(
+            bc.sys, "argv",
+            ["bench_compare.py", "--baseline", "--new", str(new)],
+        )
+        try:
+            bc.main()
+            return 0
+        except SystemExit as e:
+            return e.code
+
+    # 2.0s vs all-rounds best 1.0 = regressed by ratio, but adjudicated
+    assert run(2.0) == 0
+    assert "ADJUDICATED" in capsys.readouterr().out
+    # 3.5s exceeds accepted_best * threshold (2.0 * 1.5) -> regressed again
+    assert run(3.5) == 1
+
+
+def test_adjudication_ignored_outside_baseline_mode(tmp_path, monkeypatch):
+    import json
+
+    monkeypatch.setattr(bc, "_REPO", str(tmp_path))
+    old = tmp_path / "BENCH_r01.json"
+    old.write_text(json.dumps({"parsed": {"queries": {"a": 1.0}}}))
+    (tmp_path / "BENCH_ADJUDICATIONS.json").write_text(
+        json.dumps({"a": {"accepted_best": 2.0}})
+    )
+    new = tmp_path / "bench_last.json"
+    new.write_text(json.dumps({"queries": {"a": 2.0}, "reps": {"a": [2.0, 2.0]}}))
+    monkeypatch.setattr(
+        bc.sys, "argv", ["bench_compare.py", str(old), "--new", str(new)]
+    )
+    try:
+        bc.main()
+        code = 0
+    except SystemExit as e:
+        code = e.code
+    assert code == 1  # single-round diff stays strict
