@@ -75,6 +75,11 @@ class TinyBPETokenizer:
     # GPT-2 classes capture as ONE pre-token. Slice such runs into bounded
     # windows first — lossless (slices concatenate back), deterministic,
     # and only affects single-class runs longer than any natural word.
+    # CAVEAT (round-7 ADVICE): merges cannot cross window boundaries, so
+    # the token SEQUENCE (and count) for a >256-char single-class run
+    # differs from an unbounded BPE's. If token-count parity with a
+    # reference tokenizer is ever asserted, exclude such runs or replicate
+    # this windowing in the oracle.
     _MAX_PRETOKEN = 256
     # the rank cache is keyed by every intermediate merged substring; on
     # the long-lived per-executor UDF singleton it must not grow without
