@@ -87,12 +87,15 @@ def _reduce_with_critique(
     iteration: int,
     max_critique_iterations: int,
 ) -> str:
-    # section tagging (CR:228-233, C10)
-    tagged = "\n\n".join(f"[PHẦN {i + 1}]\n{t}" for i, t in enumerate(texts))
+    # section tagging (CR:228-233, C10). NULL member texts render as ''
+    # (not the literal string 'None'): collapse's JVM twin (array_join)
+    # skips NULL elements, and a NULL-summary chunk must not inject noise
+    # tokens into the reduce input
+    tagged = "\n\n".join(f"[PHẦN {i + 1}]\n{t or ''}" for i, t in enumerate(texts))
     initial = summarizer.summarize_text(tagged)
     if iteration >= max_critique_iterations:
         return initial
-    reference = "\n\n---\n\n".join(origs)
+    reference = "\n\n---\n\n".join(o or "" for o in origs)
     critique = critic.critique(initial, reference)
     if any(p in critique.lower() for p in STOP_PHRASES):  # C11
         return initial
@@ -191,7 +194,13 @@ def mapreduce_critique_summarize(
     cols = (id_col, "chunk_idx", "text", "n_tokens", "orig")
 
     def _with_total(d: DataFrame) -> DataFrame:
-        return d.select(*cols, F.sum("n_tokens").over(w).alias("_total"))
+        # coalesce: SUM skips NULLs, but a doc whose EVERY row has a NULL
+        # token count would get a NULL total — failing both the `> budget`
+        # and `<= budget` filters and silently leaving the loop (same rule
+        # as collapse_until_fits). As 0 it counts as fitting.
+        return d.select(
+            *cols, F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("_total")
+        )
 
     from ..operators._ckpt import RollingCheckpoint
 

@@ -149,3 +149,54 @@ def test_bloom_persist_gated_on_expected_items(spark):
     assert len(big._persisted_inputs) == 1
     assert big.count() == 30
     big._persisted_inputs[0].unpersist()
+
+
+def test_critique_pipeline_survives_all_null_summaries(spark):
+    """A doc whose every chunk summary comes back NULL must not silently
+    leave the critique collapse loop (NULL _total failed both the > and <=
+    filters before the coalesce — same rule as collapse_until_fits), and
+    NULL member texts must render as '' in the reduce input, not 'None'."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize.critique import (
+        mapreduce_critique_summarize,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize.summarizer import (
+        MockSummarizer,
+    )
+
+    class NullOnMarker(MockSummarizer):
+        """NULL summary for chunks carrying the marker token."""
+
+        def expr(self, col: Column) -> Column:
+            return F.when(
+                col.contains("XNULLX"), F.lit(None).cast("string")
+            ).otherwise(super().expr(col))
+
+        def __call__(self, texts):
+            return texts.map(
+                lambda t: None
+                if t and "XNULLX" in t
+                else " ".join((t or "").split()[: self.max_tokens])
+            )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["XNULLX"] * 40)),
+            (2, " ".join(f"w{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    out = mapreduce_critique_summarize(
+        docs,
+        NullOnMarker(8),
+        chunk_size=10,
+        chunk_overlap=0,
+        token_max=12,
+        max_rounds=3,
+    )
+    rows = {r.doc_id: r.summary for r in out.collect()}
+    assert set(rows) == {1, 2}            # both docs present
+    assert "None" not in (rows[1] or "")  # NULL texts never render as 'None'
+    assert rows[2]                        # the normal doc still summarizes
