@@ -283,3 +283,30 @@ def test_shared_sql_registration_amortized(spark, sf_dir):
         sq._t = tval
     assert calls == []  # no re-load, no re-registration
     assert set(spark._vlds_sq_views[1]) == registered_before
+
+
+def test_rewrite_round_trips_all_registered_texts():
+    """Invariant over every registered shared-SQL text: the rewrite only
+    PREFIXES table identifiers — stripping the prefix restores the original
+    byte-for-byte, so the Spark plan and the DuckDB oracle provably run the
+    same SQL modulo view names."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans import (
+        ORACLES,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans.subqueries import (
+        _rewrite_tables,
+        _sql,
+    )
+
+    checked = 0
+    for name, fn in QUERIES.items():
+        code = getattr(fn, "__code__", None)
+        if code is None or "_sql" not in code.co_names:
+            continue
+        text = ORACLES[name]
+        assert "vlds_sq_" not in text  # precondition for the round-trip
+        new, used = _rewrite_tables(text)
+        assert new.replace("vlds_sq_", "") == text, name
+        assert used  # every shared-SQL query references harness tables
+        checked += 1
+    assert checked >= 16  # the full shared-SQL family was exercised
