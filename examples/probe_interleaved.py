@@ -10,6 +10,14 @@ profile instead of letting one noisy minute own all of a query's reps.
 
 Prints per-query rep arrays (in interleave order), min, and the ratio vs
 any reference times passed as name=sec pairs via --ref.
+
+``--accept name [name ...]`` additionally records the named probed queries
+into ``BENCH_ADJUDICATIONS.json`` (SCALE.md bench-adjudication policy):
+each gets ``accepted_best`` = this probe's min, the rep array as evidence,
+and ``--note``/``--round-tag`` metadata — the one-command path from "probe
+settled it, slowdown accepted" to the artifact ``bench_compare --baseline``
+reads. Queries not listed are never recorded; use it only for verdicts of
+"accepted" (fixes need no entry, noise goes in SCALE.md's table).
 """
 
 import argparse
@@ -35,7 +43,17 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=6)
     ap.add_argument("--ref", nargs="*", default=[],
                     help="name=sec reference bests to ratio against")
+    ap.add_argument("--accept", nargs="*", default=[],
+                    help="probed queries to record as ACCEPTED slowdowns in "
+                         "BENCH_ADJUDICATIONS.json (accepted_best = probe min)")
+    ap.add_argument("--note", default="",
+                    help="why the slowdown is accepted (stored per entry)")
+    ap.add_argument("--round-tag", type=int, default=0,
+                    help="round number stamped on recorded entries")
     args = ap.parse_args()
+    unknown_accept = [n for n in args.accept if n not in args.names]
+    if unknown_accept:
+        ap.error(f"--accept names must be probed too: {unknown_accept}")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     refs = {}
     for kv in args.ref:
@@ -70,6 +88,29 @@ def main() -> None:
         print(f"# {name}: min={row['min']}s spread={row['spread']} reps={arr}",
               file=sys.stderr)
     print(json.dumps(out))
+
+    if args.accept:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_ADJUDICATIONS.json",
+        )
+        book = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                book = json.load(f)
+        for name in args.accept:
+            book[name] = {
+                "round": args.round_tag,
+                "verdict": "accepted",
+                "note": args.note,
+                "accepted_best": out[name]["min"],
+                "probe_reps": out[name]["reps"],
+            }
+        with open(path, "w") as f:
+            json.dump(book, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"# recorded {len(args.accept)} adjudication(s) -> {path}",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
