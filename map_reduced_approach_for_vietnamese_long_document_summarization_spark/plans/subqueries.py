@@ -173,6 +173,12 @@ def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
     re-registration / re-rewrite constant. Switching ``sf_dir`` on the same
     session re-registers; a user who drops a ``vlds_sq_`` view manually
     gets a plain table-not-found on the next run of that query."""
+    from ..sources.tables import ensure_semantic_confs
+
+    # re-pin the engine's semantic confs on EVERY invocation (pre-amortized
+    # behavior, via _t): the view-registration skip below must not also skip
+    # the ANSI-off/UTC contract if a caller flipped confs mid-session
+    ensure_semantic_confs(spark)
     cached = _REWRITE_CACHE.get(text)
     if cached is None:
         cached = _rewrite_tables(text)
