@@ -44,8 +44,14 @@ probe settles a flagged query.
 recorded interleaved-probe adjudication — with a reproducing control and
 an ``accepted_best`` — is reclassified ``adjudicated`` (clean exit) as
 long as the current best stays within ``--threshold`` of the accepted
-level. Slower than even the accepted level and the row is ``regressed``
-again: adjudication re-baselines, it does not grant immunity. The
+level. More than ``--threshold`` beyond even the accepted level and the
+row is ``regressed`` again: adjudication re-baselines (the creep guard
+now measures drift from ``accepted_best`` instead of the all-rounds
+best), it does not grant immunity. Entries without recorded control
+evidence (a non-accepted probed query with a ``ratio_vs_best``) or with
+a verdict other than ``accepted`` are IGNORED with a warning — an
+adjudication that skipped the control ritual is not evidence
+(probe_interleaved --accept refuses to write such entries). The
 comparator therefore exits non-zero until every flag has either a fix or
 a recorded adjudication — the round-7 gap (guard fired, round closed with
 the flags unadjudicated) cannot recur silently.
@@ -142,16 +148,39 @@ def load_baseline() -> tuple[dict, dict]:
 
 
 def load_adjudications() -> dict:
-    """query -> adjudication record from BENCH_ADJUDICATIONS.json.
+    """query -> VALID adjudication record from BENCH_ADJUDICATIONS.json.
 
     Each record carries the probe evidence ({"round", "verdict", "note",
-    "accepted_best", "probe_reps", "control"}); only ``accepted_best`` is
-    read here — the rest is the audit trail SCALE.md's policy requires."""
+    "accepted_best", "probe_reps", "control"}). Records are only honored
+    when the SCALE.md ritual is complete (ADVICE r8): ``verdict`` must be
+    ``accepted``, ``accepted_best`` present, and ``control`` must name at
+    least one control query with its measured ``ratio_vs_best`` — a probe
+    with no control reproducing near its best proves nothing about the
+    box. Invalid entries are dropped with a warning so a hand-edited or
+    legacy entry can't silently weaken the creep guard."""
     path = os.path.join(_REPO, "BENCH_ADJUDICATIONS.json")
     if not os.path.exists(path):
         return {}
     with open(path) as f:
-        return json.load(f)
+        book = json.load(f)
+    valid = {}
+    for name, rec in book.items():
+        control = rec.get("control") or {}
+        complete = (
+            rec.get("verdict") == "accepted"
+            and rec.get("accepted_best") is not None
+            and any("ratio_vs_best" in c for c in control.values()
+                    if isinstance(c, dict))
+        )
+        if complete:
+            valid[name] = rec
+        else:
+            print(f"# WARNING: ignoring adjudication for {name!r} — "
+                  f"verdict={rec.get('verdict')!r}, control evidence "
+                  f"{'present' if control else 'MISSING'}; re-record via "
+                  f"probe_interleaved --accept with a --ref control",
+                  file=sys.stderr)
+    return valid
 
 
 def main() -> None:

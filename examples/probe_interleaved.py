@@ -18,6 +18,17 @@ and ``--note``/``--round-tag`` metadata — the one-command path from "probe
 settled it, slowdown accepted" to the artifact ``bench_compare --baseline``
 reads. Queries not listed are never recorded; use it only for verdicts of
 "accepted" (fixes need no entry, noise goes in SCALE.md's table).
+
+Accepting requires CONTROL EVIDENCE in the same probe (ADVICE r8): a probe
+that shows only the flagged query slow proves nothing about the box — a
+control query whose all-rounds best is known must ride the same interleave
+and land near its best, or the "slow" verdict indicts the session, not the
+code. So ``--accept`` demands (a) at least one ``--ref`` entry for a probed
+query OTHER than the accepted ones (that query becomes the recorded
+control, with its measured ratio), (b) ``--round-tag >= 1`` (entries
+stamped round 0 are indistinguishable from careless re-runs), and (c)
+``--force`` to overwrite an existing entry — the prior entry is preserved
+under the new entry's ``history`` so the audit trail survives.
 """
 
 import argparse
@@ -50,10 +61,41 @@ def main() -> None:
                     help="why the slowdown is accepted (stored per entry)")
     ap.add_argument("--round-tag", type=int, default=0,
                     help="round number stamped on recorded entries")
+    ap.add_argument("--force", action="store_true",
+                    help="allow --accept to replace an existing adjudication "
+                         "entry (the prior entry is kept under 'history')")
     args = ap.parse_args()
     unknown_accept = [n for n in args.accept if n not in args.names]
     if unknown_accept:
         ap.error(f"--accept names must be probed too: {unknown_accept}")
+    control_names = []
+    if args.accept:
+        if args.round_tag < 1:
+            ap.error("--accept requires --round-tag >= 1 (round-0 entries "
+                     "are indistinguishable from careless re-runs)")
+        ref_names = {kv.split("=")[0] for kv in args.ref}
+        control_names = sorted(
+            (ref_names & set(args.names)) - set(args.accept))
+        if not control_names:
+            ap.error("--accept requires control evidence: probe at least one "
+                     "NON-accepted query with a --ref name=sec best in the "
+                     "same interleave (SCALE.md: a slowdown is only 'accepted'"
+                     " when a control reproduced near its best alongside it)")
+    adjudications_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_ADJUDICATIONS.json",
+    )
+    book = {}
+    if os.path.exists(adjudications_path):
+        with open(adjudications_path) as f:
+            book = json.load(f)
+    # refuse BEFORE the probe runs — a careless re-run must not burn minutes
+    # of reps only to clobber (or fail to write) the audit trail at the end
+    blocked = [n for n in args.accept if n in book and not args.force]
+    if blocked:
+        ap.error(f"adjudication entries already exist for {blocked} — pass "
+                 f"--force to replace (prior entries are preserved under "
+                 f"'history')")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     refs = {}
     for kv in args.ref:
@@ -90,27 +132,31 @@ def main() -> None:
     print(json.dumps(out))
 
     if args.accept:
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "BENCH_ADJUDICATIONS.json",
-        )
-        book = {}
-        if os.path.exists(path):
-            with open(path) as f:
-                book = json.load(f)
+        # the control's evidence: its measured min and the ratio vs the best
+        # the caller passed — bench_compare rejects entries without this
+        controls = {
+            n: {"min": out[n]["min"],
+                "ratio_vs_best": round(out[n]["min"] / min(refs[n]), 2)}
+            for n in control_names
+        }
         for name in args.accept:
+            prior = book.get(name)
             book[name] = {
                 "round": args.round_tag,
                 "verdict": "accepted",
                 "note": args.note,
                 "accepted_best": out[name]["min"],
                 "probe_reps": out[name]["reps"],
+                "control": controls,
             }
-        with open(path, "w") as f:
+            if prior is not None:
+                book[name]["history"] = (
+                    prior.pop("history", []) + [prior])
+        with open(adjudications_path, "w") as f:
             json.dump(book, f, indent=1, sort_keys=True)
             f.write("\n")
-        print(f"# recorded {len(args.accept)} adjudication(s) -> {path}",
-              file=sys.stderr)
+        print(f"# recorded {len(args.accept)} adjudication(s) -> "
+              f"{adjudications_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

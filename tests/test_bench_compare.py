@@ -122,7 +122,9 @@ def test_adjudication_reclassifies_within_accepted_level(tmp_path, monkeypatch, 
     )
     (tmp_path / "BENCH_ADJUDICATIONS.json").write_text(
         json.dumps({"a": {"round": 8, "accepted_best": 2.0,
-                          "note": "persist tax accepted", "verdict": "accepted"}})
+                          "note": "persist tax accepted", "verdict": "accepted",
+                          "control": {"big": {"min": 1.0,
+                                              "ratio_vs_best": 1.0}}}})
     )
     new = tmp_path / "bench_last.json"
 
@@ -168,3 +170,41 @@ def test_adjudication_ignored_outside_baseline_mode(tmp_path, monkeypatch):
     except SystemExit as e:
         code = e.code
     assert code == 1  # single-round diff stays strict
+
+
+def test_adjudication_without_control_evidence_is_ignored(tmp_path, monkeypatch, capsys):
+    """ADVICE r8: an adjudication entry that skipped the control ritual
+    (no control query reproducing near its best in the same interleave, or
+    a verdict other than 'accepted') must NOT weaken the creep guard — the
+    comparator drops it with a warning and the row regresses normally."""
+    import json
+
+    monkeypatch.setattr(bc, "_REPO", str(tmp_path))
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"parsed": {"queries": {"a": 1.0, "b": 1.0}}})
+    )
+    (tmp_path / "BENCH_ADJUDICATIONS.json").write_text(json.dumps({
+        # missing control entirely
+        "a": {"round": 8, "accepted_best": 2.0, "verdict": "accepted"},
+        # control present but wrong verdict
+        "b": {"round": 8, "accepted_best": 2.0, "verdict": "noise",
+              "control": {"x": {"min": 1.0, "ratio_vs_best": 1.0}}},
+    }))
+    new = tmp_path / "bench_last.json"
+    new.write_text(json.dumps(
+        {"queries": {"a": 2.0, "b": 2.0},
+         "reps": {"a": [2.0, 2.0], "b": [2.0, 2.0]}}
+    ))
+    monkeypatch.setattr(
+        bc.sys, "argv",
+        ["bench_compare.py", "--baseline", "--new", str(new)],
+    )
+    try:
+        bc.main()
+        code = 0
+    except SystemExit as e:
+        code = e.code
+    assert code == 1  # both rows regressed — neither adjudication honored
+    err = capsys.readouterr().err
+    assert "ignoring adjudication for 'a'" in err
+    assert "ignoring adjudication for 'b'" in err
