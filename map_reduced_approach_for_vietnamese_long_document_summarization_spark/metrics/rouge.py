@@ -96,6 +96,28 @@ def _ngram_arr(col, n: int):
     return F.coalesce(out, F.array().cast("array<string>"))
 
 
+# Bounded cache book-keeping (ADVICE r8): callers SHOULD release the keyed
+# cache via ``operators.unpersist_inputs(result)`` after their action, but a
+# long-lived session that never does must not accumulate pinned cache per
+# invocation (skip_existing_bloom gates its persist on expected scale; here
+# the branch count is fixed at 3, so the persist always pays — the exposure
+# is the leak, not the cost). Each call enrolls its cache; past
+# _MAX_LIVE_KEYED outstanding entries the oldest is force-released.
+# Correctness is unaffected — an evicted entry's branches just recompute.
+_MAX_LIVE_KEYED = 8
+_LIVE_KEYED: list = []
+
+
+def _enroll_keyed(keyed) -> None:
+    _LIVE_KEYED.append(keyed)
+    while len(_LIVE_KEYED) > _MAX_LIVE_KEYED:
+        stale = _LIVE_KEYED.pop(0)
+        try:
+            stale.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing left to release
+
+
 def rouge_n_f1_df(
     pairs,
     n: int = 1,
@@ -142,6 +164,7 @@ def rouge_n_f1_df(
     keyed = pairs.select(*ids, gen_col, ref_col).withColumn(
         "_row", F.row_number().over(w)
     ).persist()
+    _enroll_keyed(keyed)
     keys = ids + ["_row"]
     g = (
         keyed.select(*keys, F.explode(_ngram_arr(gen_col, n)).alias("_tok"))

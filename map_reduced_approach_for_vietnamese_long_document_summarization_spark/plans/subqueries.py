@@ -59,6 +59,41 @@ class _FromState:
         self.expect_alias = False
 
 
+def _cte_bound_names(toks) -> set:
+    """Identifiers bound as CTE (or named-window) definitions: ``name
+    [(col, ...)] AS (``. A CTE named after a harness table shadows it for
+    the rest of the statement (ADVICE r8), so references to it must NOT be
+    rewritten to the ``vlds_sq_`` view — DuckDB resolves the same text to
+    the CTE. The match is scope-insensitive: a (pathological) CTE body
+    that references its OWN name would resolve to the real table in DuckDB
+    but raise table-not-found in Spark — a loud error, never a silent
+    wrong-table read. Named windows (``WINDOW w AS (...)``) also match;
+    excluding them is harmless since they never appear in FROM position."""
+    names = set()
+    for i, (val, _a, _b) in enumerate(toks):
+        if not _SQ_WORD.fullmatch(val) or val.lower() in _SQ_NOT_ALIAS:
+            continue
+        j = i + 1
+        if j < len(toks) and toks[j][0] == "(":  # optional column list
+            depth = 0
+            while j < len(toks):
+                if toks[j][0] == "(":
+                    depth += 1
+                elif toks[j][0] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                j += 1
+        if (
+            j + 1 < len(toks)
+            and toks[j][0].lower() == "as"
+            and toks[j + 1][0] == "("
+        ):
+            names.add(val.lower())
+    return names
+
+
 def _rewrite_tables(text: str) -> tuple[str, frozenset]:
     """Rewrite harness-table identifiers to ``vlds_sq_``-prefixed view names
     in TABLE positions only, via a token walk that tracks FROM-clause
@@ -70,8 +105,13 @@ def _rewrite_tables(text: str) -> tuple[str, frozenset]:
     Table-name qualifiers (``part.p_partkey`` in a correlated subquery) are
     rewritten only for tables referenced WITHOUT an alias and never for
     names that are also bound as an alias somewhere in the statement.
+    Names bound by ``WITH <name> AS (...)`` shadow harness tables
+    (ADVICE r8) and are excluded from both table-position and qualifier
+    rewriting — see ``_cte_bound_names``.
+
     Returns ``(rewritten_sql, harness_tables_used)``."""
     toks = [(m.group(0), m.start(), m.end()) for m in _SQ_TOKEN.finditer(text)]
+    cte_names = _cte_bound_names(toks)
     stack = [_FromState()]
     spans: list[tuple[int, int]] = []  # table-position occurrences to rewrite
     bare_tables: set[str] = set()  # harness tables referenced without an alias
@@ -113,7 +153,7 @@ def _rewrite_tables(text: str) -> tuple[str, frozenset]:
             elif low == "as":
                 pass  # alias keyword — keep expecting the alias word
             elif st.expect_table:
-                if low in _SQ_TABLE_SET:
+                if low in _SQ_TABLE_SET and low not in cte_names:
                     spans.append((a, b))
                     used.add(low)
                     nxt = toks[i + 1] if i + 1 < len(toks) else None
@@ -133,7 +173,7 @@ def _rewrite_tables(text: str) -> tuple[str, frozenset]:
     # qualifier occurrences: `name.` where name is a bare harness table and
     # never shadowed by an alias, and not itself a table position
     table_spans = set(spans)
-    qualifiable = bare_tables - alias_names
+    qualifiable = bare_tables - alias_names - cte_names
     for i, (val, a, b) in enumerate(toks):
         if (
             val.lower() in qualifiable

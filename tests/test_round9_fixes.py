@@ -1,0 +1,106 @@
+"""Round-9 hardening pins (VERDICT r8 item 5, ADVICE r8).
+
+1. Critique NULL-section tagging contract: the Python critique reducer and
+   the collapse JVM twin handle NULL member texts differently at the
+   presentation layer (tag kept with empty body vs element dropped) but
+   MUST agree on the observable content — a NULL chunk summary contributes
+   zero tokens in both engines, and the literal string 'None' never leaks.
+2. rouge_n_f1_df bounded cache book-keeping: a long-lived session that
+   ignores the _persisted_inputs release hook must not accumulate pinned
+   cache without bound.
+"""
+
+from pyspark.sql import functions as F
+
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.collapse import (
+    reduce_groups,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize import (
+    MockCritic,
+    MockSummarizer,
+)
+from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize.critique import (
+    _reduce_with_critique,
+)
+
+
+class _CapturingSummarizer(MockSummarizer):
+    """MockSummarizer that records the raw reduce input (pre-whitespace-
+    normalization), so the tagging layer itself is assertable."""
+
+    def summarize_text(self, text: str) -> str:
+        self.seen = text
+        return super().summarize_text(text)
+
+
+def test_critique_null_section_tagging_contract(spark):
+    """VERDICT r8 item 5: pin the NULL-member contract on BOTH reduce
+    engines for the same input, so a refactor of either side that changes
+    what a NULL chunk summary contributes fails here loudly.
+
+    Python critique reducer (summarize/critique.py): a NULL member keeps
+    its [PHẦN i] tag with an EMPTY body — never the literal 'None'.
+    Collapse JVM twin (operators/collapse.py reduce_groups): array_join
+    drops NULL elements entirely, no dangling separator. The observable
+    contract: content tokens agree exactly once tags are stripped — the
+    tag-for-empty-section asymmetry is presentation, not content."""
+    texts = ["alpha one", None, "beta two"]
+
+    s = _CapturingSummarizer(100)  # budget >> input: output = tagged input
+    out = _reduce_with_critique(
+        texts, ["o1", None, "o3"], s, MockCritic(),
+        iteration=5, max_critique_iterations=2,  # past cap: no critique leg
+    )
+    # raw tagging layer: tag kept for the NULL section, body empty
+    assert s.seen == (
+        "[PHẦN 1]\nalpha one\n\n[PHẦN 2]\n\n\n[PHẦN 3]\nbeta two"
+    )
+    assert "None" not in out
+
+    rows = [(1, 0, 0, "alpha one"), (1, 1, 0, None), (1, 2, 0, "beta two")]
+    df = spark.createDataFrame(
+        rows, "doc_id int, chunk_idx int, group_id int, text string"
+    )
+    jvm = reduce_groups(df, MockSummarizer(100)).collect()
+    assert len(jvm) == 1
+    # NULL element dropped with NO dangling separator between survivors
+    assert jvm[0].text == "alpha one beta two"
+
+    # the cross-engine contract: identical content tokens modulo tags
+    content = [t for t in out.split() if t != "[PHẦN" and not t.endswith("]")]
+    assert content == jvm[0].text.split()
+
+
+def test_rouge_keyed_cache_is_bounded(spark):
+    """ADVICE r8: rouge_n_f1_df persists its window-keyed intermediate for
+    the 3 downstream branches; callers that never release the
+    _persisted_inputs hook must still see bounded pinned cache — the
+    enrollment FIFO force-releases beyond _MAX_LIVE_KEYED entries."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.metrics import rouge
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators._ckpt import (
+        persistent_rdd_ids,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, f"a b c d{i}", f"b c e f{i}") for i in range(6)],
+        "doc_id int, g string, r string",
+    )
+    before = len(persistent_rdd_ids(spark.sparkContext))
+    results = []
+    for i in range(rouge._MAX_LIVE_KEYED + 5):
+        # vary the plan per call so each persist is a distinct cache entry
+        r = rouge.rouge1_f1_df(pairs.withColumn("g", F.concat("g", F.lit(i))))
+        r.count()  # materialize the cache
+        results.append(r)  # caller "forgets" to release the hook
+    live = len(persistent_rdd_ids(spark.sparkContext)) - before
+    assert live <= rouge._MAX_LIVE_KEYED, (
+        f"{live} keyed caches pinned — enrollment FIFO not bounding"
+    )
+    # releasing via the documented hook still works for the survivors
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
+        unpersist_inputs,
+    )
+
+    for r in results:
+        unpersist_inputs(r)
+    assert len(persistent_rdd_ids(spark.sparkContext)) == before

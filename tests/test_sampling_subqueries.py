@@ -257,6 +257,41 @@ def test_rewrite_tables_targets_table_positions_only():
     assert new == "SELECT 'from orders' FROM vlds_sq_lineitem"
 
 
+def test_rewrite_tables_respects_cte_bindings():
+    """ADVICE r8: a CTE named after a harness table shadows it — 'WITH
+    orders AS (...) SELECT ... FROM orders' must read the CTE, not the
+    vlds_sq_ view; non-shadowing harness references in the same statement
+    still rewrite."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans.subqueries import (
+        _rewrite_tables,
+    )
+
+    new, used = _rewrite_tables(
+        "WITH orders AS (SELECT 1 AS k FROM lineitem) "
+        "SELECT orders.k FROM orders"
+    )
+    assert new == (
+        "WITH orders AS (SELECT 1 AS k FROM vlds_sq_lineitem) "
+        "SELECT orders.k FROM orders"
+    )
+    assert used == frozenset({"lineitem"})
+    # CTE with a column list also binds its name
+    new, used = _rewrite_tables(
+        "WITH events(k) AS (SELECT 1) SELECT * FROM events, part"
+    )
+    assert new == "WITH events(k) AS (SELECT 1) SELECT * FROM events, vlds_sq_part"
+    assert used == frozenset({"part"})
+    # a non-shadowing CTE leaves harness rewriting untouched
+    new, used = _rewrite_tables(
+        "WITH u AS (SELECT * FROM orders) SELECT * FROM u JOIN lineitem ON 1=1"
+    )
+    assert new == (
+        "WITH u AS (SELECT * FROM vlds_sq_orders) "
+        "SELECT * FROM u JOIN vlds_sq_lineitem ON 1=1"
+    )
+    assert used == frozenset({"orders", "lineitem"})
+
+
 def test_shared_sql_registration_amortized(spark, sf_dir):
     """Repeat invocations of a shared-SQL query must not re-register the
     vlds_sq_ views (round-7 VERDICT item 2): the per-(session, sf_dir)
