@@ -108,7 +108,92 @@ def build_skewed_corpus(spark, sf_dir: str, viral_reps: int = 2000):
     return out.repartition(64, "doc_id")
 
 
+def semdedup_skew_stress(spark, sf_dir: str, n_total: int = 30_000,
+                         skew: float = 0.9) -> None:
+    """SemDeDup megacell stress (VERDICT r8 item 6): semantic_dedup's
+    docstring names the failure mode (one runaway cell -> strip x n_cell
+    blowup) and the remedy (raise n_lists / refit) — this measures both.
+
+    Corpus: ``n_total`` vectors fanned out from the sf embeddings table,
+    ``skew`` of them a tight blob around one fixed centroid (cosine ~1
+    within the blob — worst case: megacell AND near-total domination), the
+    rest the original spread. Run 1 uses the 8 fixed centroids the blob was
+    aimed at — the megacell materializes and the strip peak is measured at
+    its worst. Run 2 is the documented remediation: k-means centroids
+    refit on the skewed data (n_lists=64) subdivide the blob, and the
+    histogram + strip peak + wall time are re-measured. All generation is
+    one lazy plan — no driver loops, no collected vectors."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.similarity import (
+        cell_histogram,
+        ivf_build_index,
+        ivf_fixed_centroids,
+        semantic_dedup,
+    )
+
+    dim, strip = 64, 1024
+    fixed = ivf_fixed_centroids(dim, n_lists=8)
+    mu = fixed[3]  # the blob magnet: every blob row lands in this cell
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    reps = max(1, n_total // emb.count())
+    fanned = emb.withColumn(
+        "_r", F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
+    ).select(
+        (F.col("vec_id") * reps + F.col("_r")).alias("vec_id"), "embedding"
+    )
+    rid = F.col("vec_id")
+    is_blob = F.pmod(F.xxhash64(rid), F.lit(100)) < int(skew * 100)
+    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
+    # per-(row, dim) deterministic jitter in [-0.01, 0.01]: keeps blob rows
+    # distinct (not exact dups) but cosine-~1 to each other
+    blob_vec = F.zip_with(
+        mu_lit,
+        F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: (F.pmod(F.xxhash64(rid, i), F.lit(1000))
+                               .cast("double") - 500.0) / 50000.0),
+        lambda m, j: (m + j).cast("float"),
+    )
+    corpus = fanned.select(
+        "vec_id",
+        F.when(is_blob, blob_vec).otherwise(F.col("embedding")).alias("embedding"),
+    ).repartition(64, "vec_id").persist()
+    n = corpus.count()
+    print(f"semdedup skew corpus: {n} vectors, {skew:.0%} blob, dim {dim}")
+
+    for label, centroids in (
+        ("megacell (8 fixed centroids, blob-aimed)", fixed),
+        ("remediated (64 k-means centroids refit on the skewed data)",
+         ivf_build_index(corpus, n_lists=64)[1]),
+    ):
+        t0 = time.time()
+        out = semantic_dedup(corpus, centroids, threshold=0.95)
+        survivors = out.count()
+        wall = time.time() - t0
+        hist = cell_histogram(_assign_hist(corpus, centroids)).limit(5).collect()
+        top = hist[0]["n"] if hist else 0
+        peak = strip * top * 8  # the dominated-mask sims strip, float64
+        print(
+            f"  {label}: top cells {[r['n'] for r in hist]}, "
+            f"strip peak {peak / 1e6:.0f} MB, survivors {survivors}/{n}, "
+            f"wall {wall:.1f}s"
+        )
+        unpersist_inputs(out)
+    corpus.unpersist()
+
+
+def _assign_hist(corpus, centroids):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    return ivf_assign(corpus, centroids)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--semdedup":
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+        spark = get_spark(app_name="vlds-stress-semdedup", shuffle_partitions=32)
+        semdedup_skew_stress(spark, sf_dir)
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     viral_reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
     spark = get_spark(app_name="vlds-stress-dedup", shuffle_partitions=32)

@@ -51,6 +51,7 @@ from .similarity import (
     random_hyperplane_lsh_topk,
 )
 from .asof import asof_join
+from .rollup import ansi_cube, ansi_rollup
 from .classifier import (
     fixed_quality_coefficients,
     score_quality,
@@ -76,6 +77,8 @@ from .features import feature_hash_embed, to_dense_vector
 from .vocab import tfidf_top_terms, top_ngrams, unigram_logprob
 
 __all__ = [
+    "ansi_cube",
+    "ansi_rollup",
     "asof_join",
     "fixed_quality_coefficients",
     "score_quality",

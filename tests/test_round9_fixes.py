@@ -104,3 +104,68 @@ def test_rouge_keyed_cache_is_bounded(spark):
     for r in results:
         unpersist_inputs(r)
     assert len(persistent_rdd_ids(spark.sparkContext)) == before
+
+
+def test_rollup_empty_input_divergence_and_ansi_wrappers(spark):
+    """Round-9 differential-fuzzer finding (4/200 seeded shapes): Spark's
+    grouping-set aggregates return ZERO rows over an empty input, while
+    ANSI (DuckDB, Postgres) require the () grouping set to act as a global
+    aggregate — one grand-total row (count 0, sum NULL). Pin BOTH: the raw
+    Spark behavior (so an upstream Spark fix shows up as a failure here and
+    the fuzzer's known-divergence class can be retired), and the
+    operators.ansi_rollup/ansi_cube wrappers that restore the row."""
+    import duckdb
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        ansi_cube,
+        ansi_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "x", 2.0), (2, "a", "y", 3.0), (3, "b", "x", 5.0)],
+        "k int, s string, u string, v double",
+    )
+    empty = df.filter("k > 99")
+
+    # raw Spark: zero rows on empty input (the divergence)
+    assert spark.sql(
+        "SELECT 1"
+    ) is not None  # session alive
+    assert empty.rollup("s").agg(F.count(F.lit(1))).count() == 0
+    assert empty.cube("s").agg(F.count(F.lit(1))).count() == 0
+
+    # the ANSI reference behavior, replayed live so the pin tracks DuckDB
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (k int, s varchar, v double)")
+    ref = con.sql(
+        "SELECT s, count(*) c, sum(v) sv FROM t GROUP BY ROLLUP(s)"
+    ).fetchall()
+    assert ref == [(None, 0, None)]
+
+    # wrappers: empty input -> exactly the ANSI grand-total row
+    got = ansi_rollup(
+        empty, ("s",), F.count(F.lit(1)).alias("c"), F.sum("v").alias("sv")
+    ).collect()
+    assert [(r.s, r.c, r.sv) for r in got] == [(None, 0, None)]
+    got_cube = ansi_cube(
+        empty, ("s", "u"), F.count(F.lit(1)).alias("c")
+    ).collect()
+    assert [(r.s, r.u, r.c) for r in got_cube] == [(None, None, 0)]
+
+    # wrappers: NON-empty input -> byte-identical to the plain form
+    plain = sorted(
+        ((r.s, r.c, r.sv)
+         for r in df.rollup("s").agg(
+             F.count(F.lit(1)).alias("c"), F.sum("v").alias("sv")
+         ).collect()),
+        key=repr,
+    )
+    wrapped = sorted(
+        ((r.s, r.c, r.sv)
+         for r in ansi_rollup(
+             df, ("s",), F.count(F.lit(1)).alias("c"), F.sum("v").alias("sv")
+         ).collect()),
+        key=repr,
+    )
+    assert plain == wrapped
+    assert (None, 3, 10.0) in wrapped  # grand total present once, not doubled
