@@ -63,11 +63,13 @@ TABLES: dict[str, dict[str, str]] = {
                "value": "f"},
     "documents": {"doc_id": "i", "lang": "s", "source": "s", "n_chars": "i"},
 }
-# unique key per table: windows/limits tie-break on it for total order
+# id-ish column per table (output labeling only — the synthetic tables
+# carry NO reliable unique key: lineitem duplicates (l_orderkey,
+# l_linenumber) by design; window totality comes from all-columns
+# tiebreaks in _window_order, never from these)
 PK = {"region": "r_regionkey", "nation": "n_nationkey", "customer": "c_custkey",
       "supplier": "s_suppkey", "part": "p_partkey", "orders": "o_orderkey",
       "lineitem": "l_linenumber", "events": "event_id", "documents": "doc_id"}
-# lineitem's PK is composite; give windows its full tiebreak
 PK_EXTRA = {"lineitem": ["l_orderkey", "l_linenumber"]}
 
 # FK join graph (child table, child col, parent table, parent col)
@@ -137,6 +139,8 @@ class ShapeGen:
     KINDS = (
         "filter_agg", "join_agg", "window", "setop",
         "in_subquery", "exists", "projection", "order_limit", "rollup",
+        # round-9 breadth extensions
+        "time_rollup", "window_frame", "derived_join",
     )
 
     def __init__(self, seed: int, prof: dict):
@@ -217,19 +221,30 @@ class ShapeGen:
                 ["count", "sum", "avg", "min", "max", "count_distinct",
                  "stddev_pop"])
             if fn == "count":
-                out.append(f"count(*) AS agg_{i}")
+                body = "count(*)"
             elif fn == "count_distinct":
-                out.append(f"count(DISTINCT {expr}) AS agg_{i}")
+                body = f"count(DISTINCT {expr})"
             elif fn in ("sum", "avg", "stddev_pop") and kind == "f":
-                out.append(f"round({fn}({expr}), 3) AS agg_{i}")
-            elif fn == "avg":
-                out.append(f"round(avg({expr}), 3) AS agg_{i}")
-            elif fn == "stddev_pop":
-                out.append(f"round(stddev_pop({expr}), 3) AS agg_{i}")
+                body = f"{fn}({expr})"
+            elif fn in ("avg", "stddev_pop"):
+                body = f"{fn}({expr})"
             elif kind == "f":
-                out.append(f"round({fn}({expr}), 4) AS agg_{i}")
+                body = f"{fn}({expr})"
             else:
-                out.append(f"{fn}({expr}) AS agg_{i}")
+                body = f"{fn}({expr})"
+            # ANSI FILTER clause (round-9 breadth): both engines implement
+            # it; a per-aggregate predicate composed with GROUP BY is a
+            # shape the frozen registry only exercises via one histogram
+            if self.rng.random() < 0.25:
+                body += f" FILTER (WHERE {self.pred(t, alias, 0)})"
+            needs_round = (
+                kind == "f" or fn in ("avg", "stddev_pop")
+            ) and fn not in ("count", "count_distinct")
+            if needs_round:
+                nd = 3 if fn in ("sum", "avg", "stddev_pop") else 4
+                out.append(f"round({body}, {nd}) AS agg_{i}")
+            else:
+                out.append(f"{body} AS agg_{i}")
         return out
 
     def group_cols(self, t: str, max_n: int = 2) -> list[str]:
@@ -288,12 +303,20 @@ class ShapeGen:
         return f"SELECT {gl}, {', '.join(aggs)}\n{frm}{where}\nGROUP BY {gl}"
 
     def _window_order(self, t: str, alias: str) -> str:
+        """A TOTAL order: random leading key, then EVERY remaining column
+        as pinned-direction tiebreaks. The synthetic tables have no
+        reliable unique key (lineitem duplicates (l_orderkey,
+        l_linenumber) by design, and sf0.001 even carries one full-FK
+        duplicate pair), so per-key tiebreaks leave ROWS frames ambiguous
+        between engines — all-columns ordering makes any remaining ties
+        full-row-identical, i.e. interchangeable, and the window output
+        multiset deterministic."""
         nums = [c for c, k in TABLES[t].items() if k in ("i", "f", "t")]
         c = self.rng.choice(nums)
         d = self.rng.choice(["ASC", "DESC"])
         nf = self.rng.choice(["NULLS FIRST", "NULLS LAST"])
-        tie = PK_EXTRA.get(t, [PK[t]])
-        ties = ", ".join(f"{alias}.{k} ASC" for k in tie)
+        ties = ", ".join(
+            f"{alias}.{k} ASC NULLS FIRST" for k in TABLES[t] if k != c)
         return f"{alias}.{c} {d} {nf}, {ties}"
 
     def _window(self) -> str:
@@ -303,9 +326,13 @@ class ShapeGen:
             ["row_number()", "rank()", "dense_rank()", "count(*)"])
         order = self._window_order(t, "t0")
         keys = PK_EXTRA.get(t, [PK[t]])
-        kl = ", ".join(f"t0.{k}" for k in keys)
+        # dedupe: the partition col may coincide with a PK tiebreak col
+        # (lineitem's l_linenumber); duplicate output names are renamed
+        # differently by the two engines (pandas _1 suffix vs dup)
+        sel = list(dict.fromkeys(keys + [part]))
+        kl = ", ".join(f"t0.{k}" for k in sel)
         return (
-            f"SELECT {kl}, t0.{part},\n"
+            f"SELECT {kl},\n"
             f"       {wf} OVER (PARTITION BY t0.{part} ORDER BY {order}) "
             f"AS wfn\nFROM {t} t0\nWHERE {self.pred(t, 't0')}"
         )
@@ -386,6 +413,75 @@ class ShapeGen:
         pl = ", ".join(f"t0.{c}" for c in proj)
         return (f"SELECT {pl} FROM {t} t0\nWHERE {self.pred(t, 't0')}\n"
                 f"ORDER BY {order}\nLIMIT {k}")
+
+    def _time_rollup(self) -> str:
+        """date_trunc / extract group-bys — the time-bucket aggregation
+        pattern every events pipeline writes; both engines implement the
+        ANSI forms identically (Spark date_trunc(fmt, ts), DuckDB
+        date_trunc(part, ts) — same spelling for these parts)."""
+        t = self.rng.choice(["orders", "lineitem", "events"])
+        ts = {"orders": "o_orderdate", "lineitem": "l_shipdate",
+              "events": "ts"}[t]
+        if self.rng.random() < 0.5:
+            part = self.rng.choice(["year", "quarter", "month", "week", "day"])
+            key = f"date_trunc('{part}', t0.{ts})"
+        else:
+            part = self.rng.choice(["year", "quarter", "month", "day"])
+            key = f"extract({part} FROM t0.{ts})"
+        aggs = self.aggs(t, "t0", self.rng.randint(1, 2))
+        return (
+            f"SELECT {key} AS tkey, {', '.join(aggs)}\nFROM {t} t0\n"
+            f"WHERE {self.pred(t, 't0')}\nGROUP BY {key}"
+        )
+
+    def _window_frame(self) -> str:
+        """Explicit ROWS frames over a total order — running/trailing
+        aggregates. ROWS (not RANGE) + a unique tiebreak makes the frame
+        content deterministic; float window sums are rounded in-SQL."""
+        t = self.rng.choice([x for x in TABLES if x not in ("region", "nation")])
+        part = self.rng.choice(GROUPABLE[t])
+        nums = [c for c, k in TABLES[t].items() if k in ("i", "f")]
+        c = self.rng.choice(nums)
+        order = self._window_order(t, "t0")
+        k = self.rng.randint(1, 4)
+        frame = self.rng.choice([
+            f"ROWS BETWEEN {k} PRECEDING AND CURRENT ROW",
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            f"ROWS BETWEEN CURRENT ROW AND {k} FOLLOWING",
+        ])
+        fn = self.rng.choice(["sum", "min", "max", "count"])
+        body = f"{fn}(t0.{c})" if fn != "count" else "count(*)"
+        w = f"OVER (PARTITION BY t0.{part} ORDER BY {order} {frame})"
+        expr = (f"round({body} {w}, 3)"
+                if TABLES[t][c] == "f" and fn in ("sum",)
+                else f"{body} {w}")
+        keys = PK_EXTRA.get(t, [PK[t]])
+        sel = list(dict.fromkeys(keys + [part]))  # dedupe vs PK tiebreaks
+        kl = ", ".join(f"t0.{x}" for x in sel)
+        return (
+            f"SELECT {kl}, {expr} AS wfn\nFROM {t} t0\n"
+            f"WHERE {self.pred(t, 't0')}"
+        )
+
+    def _derived_join(self) -> str:
+        """Aggregate-in-FROM joined back to a dimension — the pre-agg
+        pattern (and exactly the shape the round-9 top_revenue_orders fix
+        rewrote to, so the fuzzer now guards its semantics)."""
+        fk = self.rng.choice(FKS)
+        child, ckey, parent, pkey = fk
+        aggs = self.aggs(child, "c0", 1)
+        jtype = self.rng.choice(["JOIN", "LEFT JOIN", "RIGHT JOIN"])
+        g = self.group_cols(parent, 1)
+        gl = ", ".join(f"t1.{c}" for c in g)
+        where = ""
+        if self.rng.random() < 0.5:
+            where = f" WHERE {self.pred(child, 'c0')}"
+        return (
+            f"SELECT {gl}, t1.{pkey} AS pk, d.agg_0\n"
+            f"FROM (SELECT c0.{ckey} AS k, {aggs[0]} FROM {child} c0"
+            f"{where} GROUP BY c0.{ckey}) d\n"
+            f"{jtype} {parent} t1 ON d.k = t1.{pkey}"
+        )
 
     def _rollup(self) -> str:
         t = self.rng.choice([x for x in TABLES if len(GROUPABLE.get(x, [])) >= 2])

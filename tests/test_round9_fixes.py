@@ -103,7 +103,10 @@ def test_rouge_keyed_cache_is_bounded(spark):
 
     for r in results:
         unpersist_inputs(r)
-    assert len(persistent_rdd_ids(spark.sparkContext)) == before
+    # <= not ==: in a shared session the FIFO may also have evicted keyed
+    # caches a PRIOR test leaked (they were counted in `before`) — that is
+    # the FIFO working as designed, not a release failure here
+    assert len(persistent_rdd_ids(spark.sparkContext)) <= before
 
 
 def test_rollup_empty_input_divergence_and_ansi_wrappers(spark):
