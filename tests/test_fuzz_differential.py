@@ -79,3 +79,20 @@ def test_nightly_artifact_is_clean():
     assert d["summary"]["n"] >= 200
     assert d["summary"]["failures"] == []
     assert all("seed" in s for s in d["shapes"])
+
+
+def test_empty_sweep_artifact_is_clean():
+    """The committed empty_sweep_last.json must record full-registry
+    empty-input agreement: every oracled query matches DuckDB over
+    zero-row tables except exactly the three triaged grouping-set queries
+    (the rollup_empty_input class, operators/rollup.py)."""
+    import json
+
+    with open(os.path.join(_REPO, "empty_sweep_last.json")) as f:
+        d = json.load(f)
+    assert d["total"] >= 141
+    assert d["new_diffs"] == [] and d["errors"] == []
+    assert d["known_divergent"] == [
+        "lineitem_grouping_sets", "region_nation_rollup", "returnflag_cube",
+    ]
+    assert d["ok"] == d["total"] - 3
