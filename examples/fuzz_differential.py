@@ -140,7 +140,7 @@ class ShapeGen:
         "filter_agg", "join_agg", "window", "setop",
         "in_subquery", "exists", "projection", "order_limit", "rollup",
         # round-9 breadth extensions
-        "time_rollup", "window_frame", "derived_join",
+        "time_rollup", "window_frame", "derived_join", "scalar_subquery",
     )
 
     def __init__(self, seed: int, prof: dict):
@@ -200,13 +200,19 @@ class ShapeGen:
         kind = TABLES[t][c]
         ref = f"{alias}.{c}"
         r = self.rng.random()
-        if r < 0.5:
+        if r < 0.45:
             return ref, kind
-        if r < 0.7:
+        if r < 0.62:
             other = self.rng.choice(nums)
             op = self.rng.choice(["+", "-"])
             k = "f" if "f" in (kind, TABLES[t][other]) else "i"
             return f"({ref} {op} {alias}.{other})", k
+        if r < 0.72:
+            # division — including by columns that CAN be zero: both
+            # engines return NULL for x/0 under this engine's pinned
+            # non-ANSI confs (verified r9), and int/int is double in both
+            other = self.rng.choice(nums)
+            return f"({ref} / {alias}.{other})", "f"
         if r < 0.85 and kind == "f":
             lit = round(self.rng.uniform(0.5, 2.0), 2)
             return f"({ref} * {lit})", "f"
@@ -481,6 +487,32 @@ class ShapeGen:
             f"FROM (SELECT c0.{ckey} AS k, {aggs[0]} FROM {child} c0"
             f"{where} GROUP BY c0.{ckey}) d\n"
             f"{jtype} {parent} t1 ON d.k = t1.{pkey}"
+        )
+
+    def _scalar_subquery(self) -> str:
+        """Correlated scalar subquery in the SELECT list — Catalyst's
+        RewriteCorrelatedScalarSubquery turns it into an aggregated
+        left-outer join; DuckDB decorrelates the same way. Aggregated
+        (Spark requires it), so empty matches yield NULL (sum/max) or 0
+        (count) identically in both engines."""
+        fk = self.rng.choice(FKS)
+        child, ckey, parent, pkey = fk
+        nums = [c for c, k in TABLES[child].items() if k in ("i", "f")]
+        c = self.rng.choice(nums)
+        fn = self.rng.choice(["max", "min", "count", "sum"])
+        if fn == "count":
+            body = "count(*)"
+        elif TABLES[child][c] == "f":
+            body = f"round({fn}(c0.{c}), 3)"
+        else:
+            body = f"{fn}(c0.{c})"
+        g = self.group_cols(parent, 1)
+        gl = ", ".join(f"t1.{x}" for x in g)
+        return (
+            f"SELECT t1.{pkey} AS pk, {gl},\n"
+            f"       (SELECT {body} FROM {child} c0 "
+            f"WHERE c0.{ckey} = t1.{pkey} AND {self.pred(child, 'c0', 1)}) "
+            f"AS sub\nFROM {parent} t1\nWHERE {self.pred(parent, 't1')}"
         )
 
     def _rollup(self) -> str:
