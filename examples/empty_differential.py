@@ -26,9 +26,7 @@ list below); anything NEW here exits non-zero.
 from __future__ import annotations
 
 import argparse
-import datetime as _dt
 import json
-import math
 import os
 import sys
 
@@ -46,31 +44,21 @@ KNOWN_EMPTY_DIVERGENT = {
 }
 
 
-def _norm_cell(v):
-    import pandas as pd
+# one normalization, not three: reuse the fuzzer's copy so the two
+# differential harnesses can never disagree on what counts as a divergence
+def _fuzz_module():
+    import importlib.util
 
-    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
-        return "<null>"
-    if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
-    if isinstance(v, bool):
-        return str(v)
-    if isinstance(v, pd.Timestamp):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
-    if isinstance(v, _dt.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
-    if isinstance(v, _dt.date):
-        return v.strftime("%Y-%m-%d") + " 00:00:00"
-    return str(v)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fuzz_differential.py")
+    spec = importlib.util.spec_from_file_location("fuzz_differential", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
-def _normalize(df):
-    cols = sorted(df.columns)
-    rows = [tuple(_norm_cell(v) for v in row)
-            for row in df[cols].itertuples(index=False, name=None)]
-    return cols, sorted(rows)
+_FZ = _fuzz_module()
+_normalize = _FZ._normalize
 
 
 def build_empty_dir(src_sf_dir: str, dst: str) -> None:
@@ -98,7 +86,7 @@ def run_sweep(spark, empty_dir: str) -> dict:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{empty_dir}/{t}.parquet'")
-    ok, known, rows = 0, [], []
+    ok, known = 0, []
     new_diffs, errs = [], []
     for name in sorted(ORACLES):
         try:
@@ -117,7 +105,9 @@ def run_sweep(spark, empty_dir: str) -> dict:
         oc, orr = _normalize(odf)
         if sc == oc and sr == orr:
             ok += 1
-        elif name in KNOWN_EMPTY_DIVERGENT and not sr and orr:
+        elif name in KNOWN_EMPTY_DIVERGENT and sc == oc and not sr and orr:
+            # columns must STILL match — a schema divergence on a pinned
+            # query is a new class, not the known rows-only one
             known.append(name)
         else:
             new_diffs.append({

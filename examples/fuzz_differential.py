@@ -230,12 +230,6 @@ class ShapeGen:
                 body = "count(*)"
             elif fn == "count_distinct":
                 body = f"count(DISTINCT {expr})"
-            elif fn in ("sum", "avg", "stddev_pop") and kind == "f":
-                body = f"{fn}({expr})"
-            elif fn in ("avg", "stddev_pop"):
-                body = f"{fn}({expr})"
-            elif kind == "f":
-                body = f"{fn}({expr})"
             else:
                 body = f"{fn}({expr})"
             # ANSI FILTER clause (round-9 breadth): both engines implement
@@ -686,12 +680,18 @@ def main() -> None:
     ap.add_argument("--sf-dir",
                     default=os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
                                            "/root/testdata/sf0.01"))
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "fuzz_last.json"))
+    ap.add_argument("--out", default=None,
+                    help="result file; defaults to fuzz_last.json (the "
+                         "committed nightly artifact) for full runs, but "
+                         "fuzz_replay.json in --replay mode so a triage "
+                         "replay can never clobber the nightly record")
     ap.add_argument("--replay", type=int, nargs="*", default=None,
                     help="re-run exactly these shape seeds (triage mode)")
     args = ap.parse_args()
+    if args.out is None:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        args.out = os.path.join(
+            repo, "fuzz_replay.json" if args.replay else "fuzz_last.json")
 
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark import get_spark
 

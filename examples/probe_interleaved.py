@@ -28,7 +28,12 @@ query OTHER than the accepted ones (that query becomes the recorded
 control, with its measured ratio), (b) ``--round-tag >= 1`` (entries
 stamped round 0 are indistinguishable from careless re-runs), and (c)
 ``--force`` to overwrite an existing entry — the prior entry is preserved
-under the new entry's ``history`` so the audit trail survives.
+under the new entry's ``history`` so the audit trail survives. The
+recording is then GATED on the control actually reproducing: any control
+ratio above 1.2x its ``--ref`` best refuses the write (exit 3) — a noisy
+session cannot re-baseline the creep guard no matter what the caller
+typed. The book is re-read immediately before writing so a concurrent
+probe's entries are never clobbered by this run's pre-probe snapshot.
 """
 
 import argparse
@@ -73,6 +78,9 @@ def main() -> None:
         if args.round_tag < 1:
             ap.error("--accept requires --round-tag >= 1 (round-0 entries "
                      "are indistinguishable from careless re-runs)")
+        for kv in args.ref:
+            if float(kv.split("=")[1]) <= 0:
+                ap.error(f"--ref best must be > 0: {kv}")
         ref_names = {kv.split("=")[0] for kv in args.ref}
         control_names = sorted(
             (ref_names & set(args.names)) - set(args.accept))
@@ -139,6 +147,32 @@ def main() -> None:
                 "ratio_vs_best": round(out[n]["min"] / min(refs[n]), 2)}
             for n in control_names
         }
+        # the control must actually REPRODUCE near its best (SCALE.md:
+        # <= ~1.2x), or this probe indicts the session and recording an
+        # acceptance would re-baseline the creep guard on noise — the
+        # exact failure the ritual exists to prevent
+        bad = {n: c["ratio_vs_best"] for n, c in controls.items()
+               if c["ratio_vs_best"] > 1.2}
+        if bad:
+            print(f"# REFUSED to record: control(s) did not reproduce "
+                  f"their bests {bad} (need <= 1.2x) — noisy session, "
+                  f"re-probe on a quiet box", file=sys.stderr)
+            raise SystemExit(3)
+        # re-read the book NOW: the probe ran for minutes and another
+        # probe/process may have recorded entries since the fail-fast
+        # snapshot — writing that stale snapshot back would silently drop
+        # them from the audit trail
+        book = {}
+        if os.path.exists(adjudications_path):
+            with open(adjudications_path) as f:
+                book = json.load(f)
+        still_blocked = [n for n in args.accept
+                         if n in book and not args.force]
+        if still_blocked:
+            print(f"# REFUSED: entries for {still_blocked} appeared while "
+                  f"the probe ran — pass --force to replace",
+                  file=sys.stderr)
+            raise SystemExit(1)
         for name in args.accept:
             prior = book.get(name)
             book[name] = {

@@ -83,3 +83,18 @@ def test_accept_refuses_overwrite_without_force(monkeypatch, tmp_path):
         ["qa", "ctrl", "--accept", "qa", "--round-tag", "9",
          "--ref", "ctrl=1.0"],
     ) == 2
+
+
+def test_accept_rejects_nonpositive_ref_best(monkeypatch):
+    # a zero/negative --ref best would crash (or poison) the control ratio
+    # AFTER the multi-minute probe; reject it during argument validation
+    assert _run(
+        monkeypatch,
+        ["qa", "ctrl", "--accept", "qa", "--round-tag", "9",
+         "--ref", "ctrl=0"],
+    ) == 2
+    assert _run(
+        monkeypatch,
+        ["qa", "ctrl", "--accept", "qa", "--round-tag", "9",
+         "--ref", "ctrl=-1.5"],
+    ) == 2
