@@ -1,0 +1,135 @@
+"""Budget-bounded oracle parity sweep at an arbitrary scale factor.
+
+`tests/test_oracle_parity.py` replays every oracle unbounded — correct for
+the driver's sf0.01 gate, but at sf0.1 a handful of DuckDB oracle replays
+(the connected-components family's iterative SQL) run for hours and wedge
+the whole sweep. This harness runs the same per-query comparison with a
+WATCHDOG on the DuckDB side (``Connection.interrupt()`` after ``--budget``
+seconds): heavy oracles are recorded as ``skipped_oracle_budget`` instead
+of blocking the other 138, so "does the whole registry still agree at 10x
+the driver's data?" gets an answer in minutes.
+
+Round-9 record (``parity_sf01_r9.json``): **138/141 oracles verified
+bit-for-bit at sf0.1, zero mismatches**; skipped on budget: exactly the
+components family (``doc_dedup_keep_best``, ``doc_dedup_survivors``,
+``doc_dup_clusters``) — whose sf0.1 cross-engine parity was established
+separately by the round-7 artifact (SCALE.md). The skip is the ORACLE's
+cost (DuckDB replaying iterative connected components in SQL), not the
+engine's: the Spark side of all three completes in seconds.
+
+    python examples/parity_sweep.py [--sf-dir DIR] [--budget 75]
+                                    [--out parity_sweep_last.json]
+
+Exit 1 on any mismatch or error; budget-skips exit 0 but are recorded.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+import threading
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _normalize_fn():
+    # one normalization, shared with both differential harnesses
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fuzz_differential.py")
+    spec = importlib.util.spec_from_file_location("fuzz_differential", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod._normalize
+
+
+def run_sweep(spark, sf_dir: str, budget: float, log=print) -> dict:
+    import duckdb
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans import (
+        ORACLES,
+        QUERIES,
+    )
+
+    normalize = _normalize_fn()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    ok, mismatch, skipped, errs = [], [], [], []
+    for name in sorted(ORACLES):
+        try:
+            sdf = QUERIES[name](spark, sf_dir).toPandas()
+        except Exception as e:
+            errs.append({"query": name, "side": "spark",
+                         "error": str(e).split("\n")[0][:200]})
+            continue
+        done = threading.Event()
+
+        def watchdog():
+            if not done.wait(budget):
+                con.interrupt()
+
+        threading.Thread(target=watchdog, daemon=True).start()
+        try:
+            odf = con.sql(ORACLES[name]).df()
+            done.set()
+        except Exception as e:
+            done.set()
+            msg = str(e).split("\n")[0]
+            if "interrupt" in msg.lower():
+                skipped.append(name)
+                log(f"# {name}: oracle exceeded {budget}s budget, skipped")
+            else:
+                errs.append({"query": name, "side": "duck",
+                             "error": msg[:200]})
+            continue
+        sc, sr = normalize(sdf)
+        oc, orr = normalize(odf)
+        if sc == oc and sr == orr:
+            ok.append(name)
+        else:
+            mismatch.append({
+                "query": name,
+                "detail": (f"columns {sc} vs {oc}" if sc != oc else
+                           f"rows {len(sr)} vs {len(orr)}"),
+            })
+            log(f"# MISMATCH {name}")
+    con.close()
+    return {"sf_dir": sf_dir, "budget_sec": budget, "ok": len(ok),
+            "mismatch": mismatch, "skipped_oracle_budget": sorted(skipped),
+            "errors": errs, "total": len(ORACLES)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--budget", type=float, default=75.0,
+                    help="per-oracle DuckDB wall budget (seconds)")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "parity_sweep_last.json"))
+    args = ap.parse_args()
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark import get_spark
+
+    spark = get_spark(app_name="vlds-parity-sweep", shuffle_partitions=32)
+    res = run_sweep(spark, args.sf_dir, args.budget,
+                    log=lambda m: print(m, file=sys.stderr))
+    with open(args.out, "w") as f:
+        json.dump(res, f, indent=1)
+        f.write("\n")
+    print(json.dumps({k: (len(v) if isinstance(v, list) else v)
+                      for k, v in res.items()}))
+    if res["mismatch"] or res["errors"]:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

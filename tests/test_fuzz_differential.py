@@ -96,3 +96,20 @@ def test_empty_sweep_artifact_is_clean():
         "lineitem_grouping_sets", "region_nation_rollup", "returnflag_cube",
     ]
     assert d["ok"] == d["total"] - 3
+
+
+def test_sf01_parity_artifact_is_clean():
+    """parity_sf01_r9.json records the bounded full-registry parity sweep
+    at sf0.1 (10x the driver's gate): zero mismatches/errors, with only
+    the components family skipped on the DuckDB oracle budget (their
+    sf0.1 parity is the round-7 cross-engine artifact in SCALE.md)."""
+    import json
+
+    with open(os.path.join(_REPO, "parity_sf01_r9.json")) as f:
+        d = json.load(f)
+    assert d["total"] >= 141
+    assert d["mismatch"] == [] and d["errors"] == []
+    assert d["skipped_oracle_budget"] == [
+        "doc_dedup_keep_best", "doc_dedup_survivors", "doc_dup_clusters",
+    ]
+    assert d["ok"] == d["total"] - 3
