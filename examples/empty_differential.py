@@ -61,15 +61,19 @@ _FZ = _fuzz_module()
 _normalize = _FZ._normalize
 
 
-def build_empty_dir(src_sf_dir: str, dst: str) -> None:
-    """Zero-row parquet twins with the source dir's exact schemas."""
+def build_empty_dir(src_sf_dir: str, dst: str, rows: int = 0) -> None:
+    """Parquet twins with the source dir's exact schemas and the first
+    ``rows`` rows (0 = empty — the default sweep; 1 or a handful probes
+    single-row aggregate/window edges: stddev over one value, frames
+    shorter than their bounds, joins whose FK partner didn't make the
+    cut)."""
     import duckdb
 
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
-            f"COPY (SELECT * FROM '{src_sf_dir}/{t}.parquet' LIMIT 0) "
+            f"COPY (SELECT * FROM '{src_sf_dir}/{t}.parquet' LIMIT {rows}) "
             f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
         )
     con.close()
@@ -126,6 +130,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src-sf-dir", default="/root/testdata/sf0.01",
                     help="schema source for the zero-row twins")
+    ap.add_argument("--rows", type=int, default=0,
+                    help="rows per table (0 = empty sweep; small N probes "
+                         "single-/few-row aggregate and window edges). "
+                         "The known grouping-set divergence only applies "
+                         "at 0 — with rows present the pinned queries must "
+                         "match exactly.")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "empty_sweep_last.json"))
@@ -133,10 +143,11 @@ def main() -> None:
 
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark import get_spark
 
-    empty_dir = "/tmp/vlds_sf_empty"
-    build_empty_dir(args.src_sf_dir, empty_dir)
+    empty_dir = f"/tmp/vlds_sf_rows{args.rows}"
+    build_empty_dir(args.src_sf_dir, empty_dir, rows=args.rows)
     spark = get_spark(app_name="vlds-empty-sweep", shuffle_partitions=8)
     res = run_sweep(spark, empty_dir)
+    res["rows_per_table"] = args.rows
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1)
         f.write("\n")
