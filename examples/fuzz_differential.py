@@ -141,6 +141,9 @@ class ShapeGen:
         "in_subquery", "exists", "projection", "order_limit", "rollup",
         # round-9 breadth extensions
         "time_rollup", "window_frame", "derived_join", "scalar_subquery",
+        # the testdata carries ZERO NULLs, so NULL semantics — the classic
+        # cross-engine minefield — need deliberate injection (see null_lab)
+        "null_lab",
     )
 
     def __init__(self, seed: int, prof: dict):
@@ -481,6 +484,84 @@ class ShapeGen:
             f"FROM (SELECT c0.{ckey} AS k, {aggs[0]} FROM {child} c0"
             f"{where} GROUP BY c0.{ckey}) d\n"
             f"{jtype} {parent} t1 ON d.k = t1.{pkey}"
+        )
+
+    def _nullified(self, t: str, alias: str = "s0",
+                   keep_pk: bool = True) -> str:
+        """Derived-table twin of ``t`` with deterministic NULL injection:
+        each column independently NULLed on a pk-modulus stripe (~1/7 of
+        rows per column, different stripes per column). The SAME text runs
+        on both engines, so the injection itself can't diverge — only the
+        engines' NULL semantics can."""
+        pk = PK[t]
+        cols = []
+        for i, c in enumerate(TABLES[t]):
+            if c == pk and keep_pk:
+                cols.append(f"{alias}.{c}")
+            else:
+                cols.append(
+                    f"CASE WHEN ({alias}.{pk} + {i}) % 7 = 3 THEN NULL "
+                    f"ELSE {alias}.{c} END AS {c}")
+        return f"(SELECT {', '.join(cols)} FROM {t} {alias})"
+
+    def _null_lab(self) -> str:
+        """NULL-semantics probes over nullified derived tables: NULL group
+        keys (one group, ANSI), NULL join keys (never match), NOT IN with
+        NULLs in the list (three-valued logic: empty result), null-skipping
+        aggregates (count(col) vs count(*), sum/avg), NULLS FIRST/LAST
+        ordering with LIMIT, and NULL window partitions."""
+        sub = self.rng.choice(["agg", "join", "not_in", "order", "window"])
+        if sub == "join":
+            child, ckey, parent, pkey = self.rng.choice(FKS)
+            jt = self.rng.choice(["JOIN", "LEFT JOIN"])
+            return (
+                f"SELECT count(*) AS n_rows, count(d1.{pkey}) AS n_matched\n"
+                f"FROM {self._nullified(child, 's0')} d0\n"
+                f"{jt} {self._nullified(parent, 's1')} d1 "
+                f"ON d0.{ckey} = d1.{pkey}"
+            )
+        if sub == "not_in":
+            child, ckey, parent, pkey = self.rng.choice(FKS)
+            neg = "NOT IN" if self.rng.random() < 0.6 else "IN"
+            # keep_pk=False: the subquery's key column itself carries NULLs
+            # — the ANSI three-valued-logic trap (any NULL in a NOT IN list
+            # empties the result)
+            return (
+                f"SELECT count(*) AS n_rows FROM {child} t0\n"
+                f"WHERE t0.{ckey} {neg} "
+                f"(SELECT d1.{pkey} FROM "
+                f"{self._nullified(parent, 's1', keep_pk=False)} d1)"
+            )
+        t = self.rng.choice([x for x in TABLES if x != "lineitem"])
+        pk = PK[t]
+        g = self.rng.choice(GROUPABLE[t])
+        nums = [c for c, k in TABLES[t].items()
+                if k in ("i", "f") and c != pk]
+        num = self.rng.choice(nums) if nums else pk
+        rnd = "round({}, 3)" if TABLES[t].get(num) == "f" else "{}"
+        if sub == "agg":
+            return (
+                f"SELECT d0.{g}, count(*) AS n_rows, "
+                f"count(d0.{num}) AS n_nonnull, "
+                f"{rnd.format(f'sum(d0.{num})')} AS s\n"
+                f"FROM {self._nullified(t)} d0\nGROUP BY d0.{g}"
+            )
+        if sub == "order":
+            d = self.rng.choice(["ASC", "DESC"])
+            nf = self.rng.choice(["NULLS FIRST", "NULLS LAST"])
+            k = self.rng.randint(5, 30)
+            return (
+                f"SELECT d0.{pk}, d0.{num} FROM {self._nullified(t)} d0\n"
+                f"ORDER BY 2 {d} {nf}, 1 ASC\nLIMIT {k}"
+            )
+        # window: NULL partition key forms its own partition in both
+        # engines; pk tiebreak is unique here (lineitem excluded above)
+        nf = self.rng.choice(["NULLS FIRST", "NULLS LAST"])
+        return (
+            f"SELECT d0.{pk}, d0.{g},\n"
+            f"       rank() OVER (PARTITION BY d0.{g} "
+            f"ORDER BY d0.{num} ASC {nf}, d0.{pk} ASC) AS wfn\n"
+            f"FROM {self._nullified(t)} d0"
         )
 
     def _scalar_subquery(self) -> str:
