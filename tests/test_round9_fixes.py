@@ -172,3 +172,40 @@ def test_rollup_empty_input_divergence_and_ansi_wrappers(spark):
     )
     assert plain == wrapped
     assert (None, 3, 10.0) in wrapped  # grand total present once, not doubled
+
+
+def test_nan_semantics_agree_across_engines(spark):
+    """Round-9 probe of the other float minefield: both engines treat NaN
+    identically — NaN = NaN is TRUE (unlike IEEE), NaN sorts above every
+    other double, and grouping collapses NaNs into one group. Pinned as
+    AGREEMENT (the testdata carries no NaNs, so nothing else exercises
+    this): if either engine changes, the differential harnesses need a
+    known-divergence class before anything else trips."""
+    import duckdb
+
+    srow = spark.sql(
+        "SELECT CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE) AS eq, "
+        "CAST('NaN' AS DOUBLE) > CAST(1e308 AS DOUBLE) AS gt"
+    ).collect()[0]
+    assert (srow.eq, srow.gt) == (True, True)
+    sgroups = spark.sql(
+        "SELECT x, count(*) c FROM (SELECT CAST('NaN' AS DOUBLE) x "
+        "UNION ALL SELECT CAST('NaN' AS DOUBLE) UNION ALL SELECT 1.0) "
+        "GROUP BY x ORDER BY x"
+    ).collect()
+    con = duckdb.connect()
+    drow = con.sql(
+        "SELECT 'NaN'::DOUBLE = 'NaN'::DOUBLE, 'NaN'::DOUBLE > 1e308"
+    ).fetchone()
+    assert drow == (True, True)
+    dgroups = con.sql(
+        "SELECT x, count(*) c FROM (SELECT 'NaN'::DOUBLE x "
+        "UNION ALL SELECT 'NaN'::DOUBLE UNION ALL SELECT 1.0) "
+        "GROUP BY x ORDER BY x"
+    ).fetchall()
+    import math
+
+    norm = lambda rows: [("nan" if math.isnan(x) else x, c) for x, c in rows]
+    assert norm([(r.x, r.c) for r in sgroups]) == norm(dgroups) == [
+        (1.0, 1), ("nan", 2)
+    ]
