@@ -290,7 +290,7 @@ class ShapeGen:
 
     def _join_agg(self) -> str:
         tables, conds = self._join_path(self.rng.randint(1, 2))
-        jtype = self.rng.choice(["JOIN", "JOIN", "LEFT JOIN"])
+        jtype = self.rng.choice(["JOIN", "JOIN", "LEFT JOIN", "FULL JOIN"])
         frm = f"FROM {tables[0][0]} {tables[0][1]}"
         for (t, a), cond in zip(tables[1:], conds):
             frm += f"\n{jtype} {t} {a} ON {cond}"
@@ -513,7 +513,9 @@ class ShapeGen:
         sub = self.rng.choice(["agg", "join", "not_in", "order", "window"])
         if sub == "join":
             child, ckey, parent, pkey = self.rng.choice(FKS)
-            jt = self.rng.choice(["JOIN", "LEFT JOIN"])
+            # FULL OUTER + NULL keys is the strongest probe here: NULL keys
+            # match nothing yet both sides' rows must survive unpaired
+            jt = self.rng.choice(["JOIN", "LEFT JOIN", "FULL JOIN"])
             return (
                 f"SELECT count(*) AS n_rows, count(d1.{pkey}) AS n_matched\n"
                 f"FROM {self._nullified(child, 's0')} d0\n"
@@ -634,9 +636,22 @@ def _normalize(df):
     return cols, sorted(rows)
 
 
+def _decimals(s: str) -> int:
+    """Decimal places shown in a normalized numeric string ('516.449' -> 3)."""
+    return len(s.rsplit(".", 1)[1]) if "." in s else 0
+
+
 def _tolerant_equal(srows, orows) -> bool:
     """Strict-mismatch triage: cell-wise with float isclose. Rows re-sorted
-    with floats coarsened to 4dp so low-bit jitter can't misalign the sort."""
+    with floats coarsened to 4dp so low-bit jitter can't misalign the sort.
+
+    Two accepted jitter classes: (a) plain isclose (rel 1e-6) for unrounded
+    accumulation noise; (b) ROUND-BOUNDARY flips — an in-SQL round(x, d>=3)
+    sits on a knife edge where sub-ulp accumulation-order differences
+    amplify to exactly one unit in the last place (seed 11111100041:
+    round(avg(price*0.57), 3) -> 516.449 vs 516.448). Only values rounded
+    to >=3 decimals qualify and only within 1.5 units of the last place, so
+    coarse diffs (1.0 vs 1.1) stay loud."""
     def key(row):
         out = []
         for cell in row:
@@ -655,9 +670,12 @@ def _tolerant_equal(srows, orows) -> bool:
             if x == y:
                 continue
             try:
-                if math.isclose(float(x), float(y),
-                                rel_tol=1e-6, abs_tol=1e-9):
+                fx, fy = float(x), float(y)
+                if math.isclose(fx, fy, rel_tol=1e-6, abs_tol=1e-9):
                     continue
+                d = max(_decimals(x), _decimals(y))
+                if d >= 3 and abs(fx - fy) <= 1.5 * 10 ** -d:
+                    continue  # round-boundary flip (see docstring)
             except (TypeError, ValueError):
                 pass
             return False

@@ -113,3 +113,15 @@ def test_sf01_parity_artifact_is_clean():
         "doc_dedup_keep_best", "doc_dedup_survivors", "doc_dup_clusters",
     ]
     assert d["ok"] == d["total"] - 3
+
+
+def test_tolerant_equal_round_boundary_class():
+    """Round-boundary flips (an in-SQL round amplifying sub-ulp
+    accumulation noise to one unit in the last place) classify as jitter
+    ONLY for >=3-decimal values and only within 1.5 units — coarse diffs
+    stay loud."""
+    ok = fz._tolerant_equal
+    assert ok([("516.449", "a")], [("516.448", "a")])      # seed 11111100041
+    assert not ok([("516.449", "a")], [("516.446", "a")])  # 3 units: real
+    assert not ok([("1.0", "a")], [("1.1", "a")])          # 1dp: excluded
+    assert not ok([("51.64", "a")], [("51.65", "a")])      # 2dp: excluded
