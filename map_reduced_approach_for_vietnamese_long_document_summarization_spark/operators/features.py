@@ -8,16 +8,18 @@ buckets (the HashingTF / feature-hashing trick — Weinberger et al., arXiv
 featurization is explode + two hash aggregates, so it runs at corpus scale
 exactly like the dedup family.
 
-Scale design: one postings explode (shared ``term_postings`` base — pass a
-persisted frame to amortize across signals), a (doc, bucket) hash aggregate
-(map-side combinable; bucket count is bounded by ``dims`` per doc, so the
-shuffle carries at most ``dims`` rows per doc regardless of document
-length), and a per-doc norm via a second grouped aggregate joined back —
-two narrow shuffles total, both keyed by the doc id. Output is the SPARSE
-exploded form (id, dim, weight): at 100 TB a dense ``array<double>`` per
-doc is mostly zeros and the exploded form feeds groupBy/join consumers
-(cosine joins, centroid aggs) without per-row array surgery; collect to a
-dense vector with ``to_dense_vector`` only at the API boundary.
+Scale design: the default path is ZERO-shuffle — a document is one row, so
+bucket hash, per-bucket weights, and the L2 norm are per-row HOF
+expressions, and the only Generate is the <=dims-wide sparse-entry explode
+(round-10 plan audit; previously the default exploded the full token
+stream into two doc-keyed hash aggregates + a norm join). Passing a
+persisted ``postings`` frame switches to the explode/aggregate shape to
+amortize an already-built ``term_postings`` base across signals. Output is
+the SPARSE exploded form (id, dim, weight): at 100 TB a dense
+``array<double>`` per doc is mostly zeros and the exploded form feeds
+groupBy/join consumers (cosine joins, centroid aggs) without per-row array
+surgery; collect to a dense vector with ``to_dense_vector`` only at the
+API boundary.
 
 The bucket hash is the engine's cross-engine md5 family
 (``md5_hash32(term) % dims``) so a DuckDB oracle replays the embedding
@@ -56,24 +58,66 @@ def feature_hash_embed(
     """
     if dims <= 0:
         raise ValueError("dims must be positive")
-    from .retrieval import term_postings
-
     hash_col_fn = hash_col_fn or md5_hash32
-    post = postings if postings is not None else term_postings(docs, text_col, id_col)
-    bucketed = (
-        post.withColumn("dim", F.pmod(hash_col_fn(F.col("term")), F.lit(dims)).cast("int"))
-        .groupBy(id_col, "dim")
-        .agg(F.sum("tf").cast("double").alias("_w"))
-    )
-    if not normalize:
-        return bucketed.select(
-            id_col, "dim", F.round(F.col("_w"), 6).alias("weight")
+    if postings is not None:
+        # shared-postings path: the explode is already paid for (amortized
+        # across signals by the caller), so the bucket/norm aggregates ride
+        # the existing (id, term, tf) frame — two narrow doc-keyed shuffles
+        bucketed = (
+            postings.withColumn(
+                "dim", F.pmod(hash_col_fn(F.col("term")), F.lit(dims)).cast("int")
+            )
+            .groupBy(id_col, "dim")
+            .agg(F.sum("tf").cast("double").alias("_w"))
         )
-    norms = bucketed.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_norm")
+        if not normalize:
+            return bucketed.select(
+                id_col, "dim", F.round(F.col("_w"), 6).alias("weight")
+            )
+        norms = bucketed.groupBy(id_col).agg(
+            F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_norm")
+        )
+        return bucketed.join(norms, id_col).select(
+            id_col, "dim", F.round(F.col("_w") / F.col("_norm"), 6).alias("weight")
+        )
+    # ZERO-SHUFFLE per-row path (round-10 plan audit): a document is one
+    # row, so the whole embedding — bucket hash, per-bucket weight, L2
+    # norm — is a per-row HOF expression followed by a <=dims-wide explode
+    # of the sparse entries. The prior default exploded every token into
+    # (doc, dim) + per-doc-norm hash aggregates joined back — three
+    # exchanges shipping the corpus's token stream for values computable
+    # where the row sits (~1.7x at sf0.1; at 100 TB a scan vs a shuffle).
+    # Weight equals the count of token occurrences hashing to the bucket
+    # (== sum of per-term tfs, exactly the postings-path value); the norm
+    # folds integer-valued squares < 2^53, exact in any order, so both
+    # paths round to identical weights. Each intermediate is materialized
+    # in its own projection (the term_postings lesson: an un-materialized
+    # expression referenced by a downstream HOF re-evaluates per element).
+    from ..functions.text import tokenize_ws
+
+    toks = tokenize_ws(F.lower(F.col(text_col)))
+    staged = docs.select(
+        F.col(id_col),
+        F.transform(toks, lambda t: F.pmod(hash_col_fn(t), F.lit(dims)).cast("int")).alias(
+            "_dims"
+        ),
+    ).select(id_col, "_dims", F.array_distinct("_dims").alias("_dd"))
+    weights = F.transform(
+        F.col("_dd"),
+        lambda d: F.size(F.filter(F.col("_dims"), lambda x: x == d)).cast("double"),
     )
-    return bucketed.join(norms, id_col).select(
-        id_col, "dim", F.round(F.col("_w") / F.col("_norm"), 6).alias("weight")
+    staged = staged.select(id_col, F.col("_dd"), weights.alias("_w"))
+    if normalize:
+        scale = F.sqrt(F.aggregate(F.col("_w"), F.lit(0.0), lambda a, w: a + w * w))
+    else:
+        scale = F.lit(1.0)
+    ex = staged.select(
+        id_col, scale.alias("_scale"), F.explode(F.arrays_zip("_dd", "_w")).alias("_e")
+    )
+    return ex.select(
+        id_col,
+        F.col("_e._dd").alias("dim"),
+        F.round(F.col("_e._w") / F.col("_scale"), 6).alias("weight"),
     )
 
 

@@ -2118,8 +2118,11 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from its id — the redacted TEXT is the hash-checked value, so
     the row pins pattern semantics across both engines (RE2-compatible
     patterns; DuckDB replays them verbatim with the 'g' flag). Pure
-    regexp expressions: scan-speed, codegen, zero shuffle."""
-    from ..functions.pii import pii_counts, redact_pii
+    regexp expressions: scan-speed, codegen, zero shuffle. Round-10 plan
+    audit: routed through ``redact_pii_with_counts`` so the shared replace
+    chain is staged in its own projections (each regex pass exactly once
+    per row by construction, not by codegen CSE)."""
+    from ..functions.pii import redact_pii_with_counts
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     decorated = F.concat(
@@ -2133,13 +2136,8 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" call +84-555-"),
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
     )
-    counts = pii_counts(decorated)
-    return d.select(
-        "doc_id",
-        counts["email"].alias("n_email"),
-        counts["phone"].alias("n_phone"),
-        counts["ipv4"].alias("n_ipv4"),
-        redact_pii(decorated).alias("redacted"),
+    return redact_pii_with_counts(
+        d.select("doc_id", decorated.alias("text")), "text"
     )
 
 
