@@ -144,12 +144,20 @@ class ShapeGen:
         # the testdata carries ZERO NULLs, so NULL semantics — the classic
         # cross-engine minefield — need deliberate injection (see null_lab)
         "null_lab",
+        # round-10 breadth extensions (VERDICT r9 item 5): compositions the
+        # registry can't see — deep mixed-type join chains, HAVING over
+        # non-selected aggregates, DISTINCT x window, set-ops inside
+        # subqueries, and a multibyte/Vietnamese string lab (the testdata
+        # is pure ASCII while the engine's domain is Vietnamese)
+        "join_chain3", "having_agg", "distinct_window", "setop_subquery",
+        "unicode_lab",
     )
 
-    def __init__(self, seed: int, prof: dict):
+    def __init__(self, seed: int, prof: dict, kinds=None):
         self.rng = random.Random(seed)
         self.prof = prof
         self.seed = seed
+        self.kinds = tuple(kinds) if kinds else self.KINDS
 
     # -- leaf pieces -------------------------------------------------------
 
@@ -258,7 +266,10 @@ class ShapeGen:
     # -- shapes ------------------------------------------------------------
 
     def gen(self) -> tuple[str, str]:
-        kind = self.rng.choice(self.KINDS)
+        # NOTE: seed->shape mapping is stable only within one grammar
+        # version — widening KINDS remaps old seeds. Every artifact embeds
+        # the full SQL, so historical records stay triageable regardless.
+        kind = self.rng.choice(self.kinds)
         return kind, getattr(self, f"_{kind}")()
 
     def _filter_agg(self) -> str:
@@ -602,6 +613,231 @@ class ShapeGen:
             f"WHERE {self.pred(t, 't0')}\nGROUP BY ROLLUP ({gl})"
         )
 
+    # -- round-10 shapes -----------------------------------------------------
+
+    def _join_chain3(self) -> str:
+        """3-4 table FK chains with an independently drawn join type PER
+        HOP (mixed INNER/LEFT/RIGHT/FULL). ANSI left-to-right association
+        in both engines; outer-padded NULLs flow into group keys (one NULL
+        group) and null-skipping aggregates identically."""
+        fk = self.rng.choice(FKS)
+        chain = [(fk[0], "t0"), (fk[2], "t1")]
+        jt = self.rng.choice(["JOIN", "LEFT JOIN", "FULL JOIN"])
+        joins = [(jt, fk[2], "t1", f"t0.{fk[1]} = t1.{fk[3]}")]
+        for h in range(2, self.rng.randint(3, 4)):
+            alias = f"t{h}"
+            in_chain = {t for t, _ in chain}
+            cands = []
+            for c, ck, p, pk2 in FKS:
+                for t, a in chain:
+                    if t == c and p not in in_chain:
+                        cands.append((p, f"{a}.{ck} = {alias}.{pk2}"))
+                    if t == p and c not in in_chain:
+                        cands.append((c, f"{alias}.{ck} = {a}.{pk2}"))
+            if not cands:
+                break
+            tbl, cond = self.rng.choice(cands)
+            jt = self.rng.choice(
+                ["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
+            joins.append((jt, tbl, alias, cond))
+            chain.append((tbl, alias))
+        frm = f"FROM {chain[0][0]} t0"
+        for jt, tbl, al, cond in joins:
+            frm += f"\n{jt} {tbl} {al} ON {cond}"
+        gt, ga = self.rng.choice(chain)
+        g = self.group_cols(gt, 1)[0]
+        at, aa = self.rng.choice(chain)
+        aggs = self.aggs(at, aa, 1)
+        where = ""
+        if self.rng.random() < 0.5:
+            # filter on the FIRST table only — identical text both engines,
+            # and it keeps the outer-join null-padding interplay visible
+            where = f"\nWHERE {self.pred(chain[0][0], 't0', 1)}"
+        return (
+            f"SELECT {ga}.{g} AS gkey, count(*) AS n_rows, {aggs[0]}\n"
+            f"{frm}{where}\nGROUP BY {ga}.{g}"
+        )
+
+    def _having_agg(self) -> str:
+        """HAVING over aggregates beyond count(*), including aggregates
+        absent from the SELECT list. Predicates stay on EXACT aggregates
+        (counts, integer sums, min/max — single-value selection, no float
+        accumulation) so group MEMBERSHIP can never flip on summation
+        order; float aggregates still appear in the output, rounded."""
+        t = self.rng.choice(list(TABLES))
+        g = self.group_cols(t)
+        gl = ", ".join(f"t0.{c}" for c in g)
+        aggs = self.aggs(t, "t0", self.rng.randint(1, 2))
+        ints = [c for c, k in TABLES[t].items() if k == "i"]
+        havings = []
+        for _ in range(self.rng.randint(1, 2)):
+            r = self.rng.random()
+            if r < 0.25 or not ints:
+                havings.append(f"count(*) >= {self.rng.randint(1, 4)}")
+            elif r < 0.5:
+                c = self.rng.choice(ints)
+                havings.append(f"count(DISTINCT t0.{c}) >= "
+                               f"{self.rng.randint(1, 3)}")
+            elif r < 0.75:
+                c = self.rng.choice(ints)
+                op = self.rng.choice([">", "<="])
+                havings.append(f"sum(t0.{c}) {op} {self.literal(t, c)}")
+            else:
+                c = self.rng.choice(list(TABLES[t]))
+                op = self.rng.choice([">=", "<"])
+                fn = self.rng.choice(["min", "max"])
+                havings.append(
+                    f"{fn}(t0.{c}) {op} {self.literal(t, c)}")
+        glue = self.rng.choice([" AND ", " OR "])
+        where = ""
+        if self.rng.random() < 0.5:
+            where = f"\nWHERE {self.pred(t, 't0', 1)}"
+        return (
+            f"SELECT {gl}, {', '.join(aggs)}\nFROM {t} t0{where}\n"
+            f"GROUP BY {gl}\nHAVING {glue.join(havings)}"
+        )
+
+    def _distinct_window(self) -> str:
+        """DISTINCT composed with window functions, both nestings: (a)
+        DISTINCT over a deterministic window output (optionally filtered
+        on the window value — the top-k-per-group idiom), and (b) a window
+        computed OVER a DISTINCT derived table (pairs unique -> row_number
+        total without extra tiebreaks)."""
+        t = self.rng.choice(
+            [x for x in TABLES if x not in ("region", "nation")])
+        part = self.rng.choice(GROUPABLE[t])
+        if self.rng.random() < 0.55:
+            wf = self.rng.choice(["rank()", "dense_rank()", "count(*)"])
+            order = self._window_order(t, "t0")
+            inner = (
+                f"SELECT t0.{part} AS gk, {wf} OVER (PARTITION BY "
+                f"t0.{part} ORDER BY {order}) AS wfn\n"
+                f"  FROM {t} t0 WHERE {self.pred(t, 't0')}"
+            )
+            filt = (f" WHERE wfn <= {self.rng.randint(1, 5)}"
+                    if self.rng.random() < 0.5 else "")
+            return f"SELECT DISTINCT gk, wfn FROM (\n{inner}\n) d{filt}"
+        nums = [c for c, k in TABLES[t].items() if k in ("i", "f")]
+        num = self.rng.choice(nums)
+        nf = self.rng.choice(["NULLS FIRST", "NULLS LAST"])
+        inner = (
+            f"SELECT DISTINCT t0.{part} AS gk, t0.{num} AS v\n"
+            f"  FROM {t} t0 WHERE {self.pred(t, 't0')}"
+        )
+        return (
+            f"SELECT gk, v, row_number() OVER (PARTITION BY gk "
+            f"ORDER BY v ASC {nf}) AS wfn\nFROM (\n{inner}\n) d"
+        )
+
+    def _setop_subquery(self) -> str:
+        """Set operations INSIDE subqueries: IN / NOT IN over an
+        INTERSECT/EXCEPT/UNION of two key selections, and aggregation over
+        a set-op derived table. (Key columns carry no NULLs in the
+        testdata, so NOT IN three-valued logic stays with null_lab.)"""
+        op = self.rng.choice(["INTERSECT", "EXCEPT", "UNION"])
+        if self.rng.random() < 0.5:
+            child, ckey, parent, pkey = self.rng.choice(FKS)
+            neg = "NOT IN" if self.rng.random() < 0.3 else "IN"
+            g = self.group_cols(child)
+            gl = ", ".join(f"t0.{c}" for c in g)
+            return (
+                f"SELECT {gl}, count(*) AS agg_0\nFROM {child} t0\n"
+                f"WHERE t0.{ckey} {neg} (\n"
+                f"  SELECT t1.{pkey} FROM {parent} t1 "
+                f"WHERE {self.pred(parent, 't1', 1)}\n  {op}\n"
+                f"  SELECT t2.{pkey} FROM {parent} t2 "
+                f"WHERE {self.pred(parent, 't2', 1)}\n)\nGROUP BY {gl}"
+            )
+        t = self.rng.choice(list(TABLES))
+        proj, p1 = self._branch_proj(t)
+        p2 = self.pred(t, "t0")
+        if op == "UNION" and self.rng.random() < 0.4:
+            op = "UNION ALL"
+        first = proj.split(", ")[0].split(".")[1]
+        return (
+            f"SELECT count(*) AS n_rows, count(DISTINCT {first}) AS n_d\n"
+            f"FROM (\n  SELECT {proj} FROM {t} t0 WHERE {p1}\n  {op}\n"
+            f"  SELECT {proj} FROM {t} t0 WHERE {p2}\n) d"
+        )
+
+    # Vietnamese / multibyte literal pool: composed diacritics, the
+    # decomposed combining-mark form, uppercase-with-diacritics, CJK, and
+    # an astral-plane emoji (UTF-16 surrogate pair on the JVM side). Every
+    # function x literal cell and the binary-collation ordering of this
+    # exact pool are cross-engine pinned in
+    # tests/test_round10_fixes.py::test_unicode_lab_pool_agreement.
+    VN_POOL = (
+        "bài báo", "tóm tắt", "tiếng Việt", "văn bản dài", "Đà Nẵng",
+        "HÀ NỘI", "học máy", "dữ liệu", "ế ẩm", "日本語テキスト",
+        "😀 emoji", "café decomposed",
+    )
+
+    def _vn_derived(self, t: str, alias: str = "v0") -> tuple[str, int]:
+        """Derived table injecting Vietnamese text on pk-modulus stripes —
+        same text both engines, so only string SEMANTICS can diverge.
+        Returns (sql, n_arms); one arm is NULL ~half the time."""
+        pk = PK[t]
+        sel = self.rng.sample(self.VN_POOL, self.rng.randint(3, 6))
+        arms = " ".join(f"WHEN {i} THEN {_sql_str(s)}"
+                        for i, s in enumerate(sel))
+        tail = "NULL" if self.rng.random() < 0.5 else _sql_str(
+            self.rng.choice(self.VN_POOL))
+        return (
+            f"(SELECT {alias}.{pk} AS pk, CASE ({alias}.{pk} % "
+            f"{len(sel) + 1}) {arms} ELSE {tail} END AS vtxt "
+            f"FROM {t} {alias})"
+        ), len(sel)
+
+    def _unicode_lab(self) -> str:
+        """Multibyte string lab over Vietnamese/CJK/astral literals:
+        predicates (=, range, IN, LIKE prefix), GROUP BY, binary-collation
+        ORDER BY + LIMIT, and character-semantics functions
+        (length/substring/upper/lower/concat) — none of which any
+        ASCII-only registry shape can exercise."""
+        t = self.rng.choice(["customer", "orders", "documents", "part"])
+        d, _n = self._vn_derived(t)
+        sub = self.rng.choice(["filter", "group", "order", "funcs"])
+        if sub == "filter":
+            v = _sql_str(self.rng.choice(self.VN_POOL))
+            r = self.rng.random()
+            if r < 0.3:
+                vals = ", ".join(_sql_str(x) for x in self.rng.sample(
+                    self.VN_POOL, self.rng.randint(2, 4)))
+                p = f"d0.vtxt IN ({vals})"
+            elif r < 0.6:
+                full = self.rng.choice(self.VN_POOL)
+                cut = max(1, self.rng.randint(1, len(full) - 1))
+                p = f"d0.vtxt LIKE {_sql_str(full[:cut])[:-1]}%'"
+            else:
+                op = self.rng.choice(["=", "<>", "<", ">="])
+                p = f"d0.vtxt {op} {v}"
+            return (f"SELECT count(*) AS n_rows, count(d0.vtxt) AS n_v\n"
+                    f"FROM {d} d0\nWHERE {p}")
+        if sub == "group":
+            return (
+                f"SELECT d0.vtxt, count(*) AS n_rows, "
+                f"min(length(d0.vtxt)) AS min_len, "
+                f"max(upper(d0.vtxt)) AS max_up\n"
+                f"FROM {d} d0\nGROUP BY d0.vtxt"
+            )
+        if sub == "order":
+            dr = self.rng.choice(["ASC", "DESC"])
+            nf = self.rng.choice(["NULLS FIRST", "NULLS LAST"])
+            k = self.rng.randint(5, 30)
+            return (
+                f"SELECT d0.pk, d0.vtxt FROM {d} d0\n"
+                f"ORDER BY d0.vtxt {dr} {nf}, d0.pk ASC\nLIMIT {k}"
+            )
+        i = self.rng.randint(1, 3)
+        ln = self.rng.randint(1, 5)
+        return (
+            f"SELECT d0.pk, upper(d0.vtxt) AS up, lower(d0.vtxt) AS lo, "
+            f"length(d0.vtxt) AS n_chars, "
+            f"substring(d0.vtxt, {i}, {ln}) AS sub, "
+            f"d0.vtxt || '_' || coalesce(d0.vtxt, '<n>') AS cc\n"
+            f"FROM {d} d0\nWHERE d0.pk % {self.rng.randint(2, 5)} = 0"
+        )
+
 
 # ---------------------------------------------------------------- comparison
 
@@ -615,6 +851,8 @@ def _norm_cell(v):
     if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
         return "<null>"
     if isinstance(v, float):
+        if not math.isfinite(v):
+            return repr(v)  # 'inf' / '-inf' — a diff, never a sweep crash
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))
@@ -650,8 +888,10 @@ def _tolerant_equal(srows, orows) -> bool:
     sits on a knife edge where sub-ulp accumulation-order differences
     amplify to exactly one unit in the last place (seed 11111100041:
     round(avg(price*0.57), 3) -> 516.449 vs 516.448). Only values rounded
-    to >=3 decimals qualify and only within 1.5 units of the last place, so
-    coarse diffs (1.0 vs 1.1) stay loud."""
+    to >=3 decimals qualify, only within 1.5 units of the last place, AND
+    only when the two values are relatively close (rel 1e-3) — an absolute
+    tolerance alone would wave through a 2x divergence on small magnitudes
+    (0.001 vs 0.002), so coarse diffs stay loud at every scale."""
     def key(row):
         out = []
         for cell in row:
@@ -674,7 +914,8 @@ def _tolerant_equal(srows, orows) -> bool:
                 if math.isclose(fx, fy, rel_tol=1e-6, abs_tol=1e-9):
                     continue
                 d = max(_decimals(x), _decimals(y))
-                if d >= 3 and abs(fx - fy) <= 1.5 * 10 ** -d:
+                if (d >= 3 and abs(fx - fy) <= 1.5 * 10 ** -d
+                        and math.isclose(fx, fy, rel_tol=1e-3)):
                     continue  # round-boundary flip (see docstring)
             except (TypeError, ValueError):
                 pass
@@ -710,7 +951,7 @@ def _is_rollup_empty_input(text: str, srows, orows) -> bool:
 
 
 def run_shapes(spark, sf_dir: str, shape_seeds: list[int],
-               log=print) -> list[dict]:
+               log=print, kinds=None) -> list[dict]:
     import duckdb
 
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans.subqueries import (
@@ -724,7 +965,7 @@ def run_shapes(spark, sf_dir: str, shape_seeds: list[int],
 
     results = []
     for i, seed in enumerate(shape_seeds):
-        kind, text = ShapeGen(seed, prof).gen()
+        kind, text = ShapeGen(seed, prof, kinds).gen()
         rec: dict = {"i": i, "seed": seed, "kind": kind, "sql": text}
         try:
             sdf = _sql(spark, sf_dir, text).toPandas()
@@ -786,6 +1027,11 @@ def main() -> None:
                          "replay can never clobber the nightly record")
     ap.add_argument("--replay", type=int, nargs="*", default=None,
                     help="re-run exactly these shape seeds (triage mode)")
+    ap.add_argument("--kinds", nargs="*", default=None,
+                    help="restrict generation to these grammar kinds (new-"
+                         "shape shakedown); a --replay of a --kinds run "
+                         "must pass the SAME --kinds to regenerate the "
+                         "same shapes")
     args = ap.parse_args()
     if args.out is None:
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -797,8 +1043,13 @@ def main() -> None:
     spark = get_spark(app_name="vlds-fuzz")
     seeds = (args.replay if args.replay
              else [args.seed * 100_000 + i for i in range(args.n)])
+    if args.kinds:
+        bad = [k for k in args.kinds if k not in ShapeGen.KINDS]
+        if bad:
+            ap.error(f"unknown kinds {bad}; valid: {list(ShapeGen.KINDS)}")
     results = run_shapes(spark, args.sf_dir, seeds,
-                         log=lambda m: print(m, file=sys.stderr))
+                         log=lambda m: print(m, file=sys.stderr),
+                         kinds=args.kinds)
 
     counts: dict = {}
     for r in results:
@@ -813,6 +1064,10 @@ def main() -> None:
             {"seed": r["seed"], "detail": r["detail"]}
             for r in results if r["status"] == "known_divergence"
         ],
+        # jitter stays visible: every seed the tolerant comparator absorbed,
+        # so a tolerance bug can be audited from the artifact alone
+        "float_jitter_seeds": [r["seed"] for r in results
+                               if r["status"] == "float_jitter"],
         "kinds": sorted({r["kind"] for r in results}),
     }
     with open(args.out, "w") as f:

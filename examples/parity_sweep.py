@@ -50,7 +50,8 @@ def _normalize_fn():
     return mod._normalize
 
 
-def run_sweep(spark, sf_dir: str, budget: float, log=print) -> dict:
+def run_sweep(spark, sf_dir: str, budget: float, log=print,
+              only=None) -> dict:
     import duckdb
 
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans import (
@@ -62,23 +63,32 @@ def run_sweep(spark, sf_dir: str, budget: float, log=print) -> dict:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    names = sorted(ORACLES if only is None else
+                   [n for n in ORACLES if n in set(only)])
     ok, mismatch, skipped, errs = [], [], [], []
-    for name in sorted(ORACLES):
+    for name in names:
         try:
             sdf = QUERIES[name](spark, sf_dir).toPandas()
         except Exception as e:
             errs.append({"query": name, "side": "spark",
                          "error": str(e).split("\n")[0][:200]})
             continue
+        # per-query cursor: an interrupt fired after this query completes
+        # can only hit THIS cursor (closed below), never the shared
+        # connection mid-way through a LATER oracle
+        cur = con.cursor()
         done = threading.Event()
 
-        def watchdog():
+        def watchdog(c=cur):
             if not done.wait(budget):
-                con.interrupt()
+                try:
+                    c.interrupt()
+                except Exception:
+                    pass  # cursor already closed — query finished in time
 
         threading.Thread(target=watchdog, daemon=True).start()
         try:
-            odf = con.sql(ORACLES[name]).df()
+            odf = cur.sql(ORACLES[name]).df()
             done.set()
         except Exception as e:
             done.set()
@@ -90,6 +100,8 @@ def run_sweep(spark, sf_dir: str, budget: float, log=print) -> dict:
                 errs.append({"query": name, "side": "duck",
                              "error": msg[:200]})
             continue
+        finally:
+            cur.close()
         sc, sr = normalize(sdf)
         oc, orr = normalize(odf)
         if sc == oc and sr == orr:
@@ -104,7 +116,7 @@ def run_sweep(spark, sf_dir: str, budget: float, log=print) -> dict:
     con.close()
     return {"sf_dir": sf_dir, "budget_sec": budget, "ok": len(ok),
             "mismatch": mismatch, "skipped_oracle_budget": sorted(skipped),
-            "errors": errs, "total": len(ORACLES)}
+            "errors": errs, "total": len(names), "ok_queries": sorted(ok)}
 
 
 def main() -> None:
@@ -112,6 +124,10 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--budget", type=float, default=75.0,
                     help="per-oracle DuckDB wall budget (seconds)")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="restrict the sweep to these oracle names (e.g. a "
+                         "long-budget rerun of previously budget-skipped "
+                         "heavy oracles)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "parity_sweep_last.json"))
@@ -121,7 +137,8 @@ def main() -> None:
 
     spark = get_spark(app_name="vlds-parity-sweep", shuffle_partitions=32)
     res = run_sweep(spark, args.sf_dir, args.budget,
-                    log=lambda m: print(m, file=sys.stderr))
+                    log=lambda m: print(m, file=sys.stderr),
+                    only=args.only)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1)
         f.write("\n")

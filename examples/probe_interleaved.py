@@ -73,15 +73,27 @@ def main() -> None:
     unknown_accept = [n for n in args.accept if n not in args.names]
     if unknown_accept:
         ap.error(f"--accept names must be probed too: {unknown_accept}")
+    # rpartition, not split: a malformed entry gets a clear argparse error
+    # instead of an IndexError, and a (hypothetical) query name containing
+    # '=' still parses — only the LAST '=' separates name from seconds
+    parsed_refs = []
+    for kv in args.ref:
+        name, sep, val = kv.rpartition("=")
+        if not sep or not name or not val:
+            ap.error(f"--ref expects name=sec, got {kv!r}")
+        try:
+            best = float(val)
+        except ValueError:
+            ap.error(f"--ref seconds must be numeric, got {kv!r}")
+        if best <= 0:
+            ap.error(f"--ref best must be > 0: {kv}")
+        parsed_refs.append((name, best))
     control_names = []
     if args.accept:
         if args.round_tag < 1:
             ap.error("--accept requires --round-tag >= 1 (round-0 entries "
                      "are indistinguishable from careless re-runs)")
-        for kv in args.ref:
-            if float(kv.split("=")[1]) <= 0:
-                ap.error(f"--ref best must be > 0: {kv}")
-        ref_names = {kv.split("=")[0] for kv in args.ref}
+        ref_names = {n for n, _ in parsed_refs}
         control_names = sorted(
             (ref_names & set(args.names)) - set(args.accept))
         if not control_names:
@@ -106,9 +118,8 @@ def main() -> None:
                  f"'history')")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     refs = {}
-    for kv in args.ref:
-        k, v = kv.split("=")
-        refs.setdefault(k, []).append(float(v))
+    for k, v in parsed_refs:
+        refs.setdefault(k, []).append(v)
 
     spark = get_spark(app_name="vlds-probe")
     # warmup EVERY probed query outside the timed loop — warming only one

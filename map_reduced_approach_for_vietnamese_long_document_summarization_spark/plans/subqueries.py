@@ -67,7 +67,14 @@ def _cte_bound_names(toks) -> set:
     the CTE. The match is scope-insensitive: a (pathological) CTE body
     that references its OWN name would resolve to the real table in DuckDB
     but raise table-not-found in Spark — a loud error, never a silent
-    wrong-table read. Named windows (``WINDOW w AS (...)``) also match;
+    wrong-table read. Same statement-wide caveat for SIBLING CTEs defined
+    BEFORE the shadowing one (``WITH a AS (SELECT * FROM orders), orders AS
+    (...)``): ``a``'s bare ``orders`` legitimately means the real table in
+    DuckDB, but the statement-wide exclusion suppresses the ``vlds_sq_``
+    rewrite there too, so Spark raises table-not-found instead of running
+    it (ADVICE r9) — again loud, never divergent; callers hitting it can
+    rename the shadowing CTE. Named windows (``WINDOW w AS (...)``) also
+    match;
     excluding them is harmless since they never appear in FROM position."""
     names = set()
     for i, (val, _a, _b) in enumerate(toks):

@@ -138,3 +138,104 @@ def test_redact_pii_with_counts_staged_and_consistent(spark):
     want = {r["doc_id"]: r.asDict() for r in ref.collect()}
     assert got == want
     assert got[2]["redacted"] is None and got[2]["n_email"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-10 harness work (VERDICT r9 item 5 + ADVICE r9): the widened fuzzer
+# grammar and the tightened tolerant comparator.
+
+
+def _fuzz_mod():
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "fuzz_differential",
+        os.path.join(repo, "examples", "fuzz_differential.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_grammar_reaches_18_plus_kinds():
+    """VERDICT r9 item 5: grammar kinds >= 18, with the five prescribed
+    round-10 composition families present by name."""
+    fz = _fuzz_mod()
+    assert len(fz.ShapeGen.KINDS) >= 18
+    for k in ("join_chain3", "having_agg", "distinct_window",
+              "setop_subquery", "unicode_lab"):
+        assert k in fz.ShapeGen.KINDS
+
+
+def test_new_kinds_live_batch(spark, sf_dir):
+    """A fresh live Spark-vs-DuckDB batch restricted to the five round-10
+    kinds — distinct seed family from both the nightly run and the
+    standing 10-shape smoke, so sessions keep widening coverage."""
+    fz = _fuzz_mod()
+    seeds = [10_100_000 + i for i in range(10)]
+    kinds = ["join_chain3", "having_agg", "distinct_window",
+             "setop_subquery", "unicode_lab"]
+    results = fz.run_shapes(spark, sf_dir, seeds, log=lambda m: None,
+                            kinds=kinds)
+    bad = [r for r in results
+           if r["status"] not in ("ok", "float_jitter", "known_divergence")]
+    assert not bad, f"differential failures: {bad}"
+    assert {r["kind"] for r in results} <= set(kinds)
+
+
+def test_unicode_lab_pool_agreement(spark):
+    """Cross-engine pin of the EXACT literal pool and function set the
+    unicode_lab grammar draws from: character-semantics functions over
+    composed/decomposed Vietnamese, CJK, and an astral emoji, plus the
+    binary-collation ordering of the full pool. If either engine changes
+    string semantics, this fails before the fuzzer starts flaking."""
+    import duckdb
+
+    fz = _fuzz_mod()
+    pool = list(fz.ShapeGen.VN_POOL)
+    probes = []
+    for s in pool:
+        lit = "'" + s.replace("'", "''") + "'"
+        probes += [f"upper({lit})", f"lower({lit})", f"length({lit})",
+                   f"substring({lit}, 2, 4)", f"{lit} LIKE 'b%'",
+                   f"{lit} < 'tó'", f"{lit} >= 'Đ'", f"{lit} || '_k'"]
+    q = "SELECT " + ", ".join(f"{p} AS c{i}" for i, p in enumerate(probes))
+    srow = tuple(spark.sql(q).collect()[0])
+    con = duckdb.connect()  # keep a strong ref: the relation is lazy
+    drow = con.sql(q).fetchone()
+    bad = [(probes[i], a, b)
+           for i, (a, b) in enumerate(zip(srow, drow)) if a != b]
+    assert not bad, f"string-semantics disagreements: {bad}"
+    # binary-collation ORDER BY over the pool agrees
+    sdf = spark.createDataFrame(list(enumerate(pool)), "pk int, vtxt string")
+    sdf.createOrReplaceTempView("vlds_vn_pool")
+    so = [r[0] for r in spark.sql(
+        "SELECT pk FROM vlds_vn_pool ORDER BY vtxt ASC, pk").collect()]
+    con.sql("CREATE TABLE vn(pk int, vtxt varchar)")
+    for i, s in enumerate(pool):
+        con.execute("INSERT INTO vn VALUES (?, ?)", [i, s])
+    do = [r[0] for r in con.sql(
+        "SELECT pk FROM vn ORDER BY vtxt ASC, pk").fetchall()]
+    assert so == do
+    spark.catalog.dropTempView("vlds_vn_pool")
+
+
+def test_tolerant_equal_requires_relative_closeness():
+    """ADVICE r9: the round-boundary jitter class must ALSO be relatively
+    close — a 2x divergence on small magnitudes (0.001 vs 0.002) is one
+    unit in the last place yet a genuine difference, and must stay loud."""
+    fz = _fuzz_mod()
+    ok = fz._tolerant_equal
+    assert not ok([("0.001", "a")], [("0.002", "a")])   # 2x: real diff
+    assert ok([("516.449", "a")], [("516.448", "a")])   # knife-edge: jitter
+    assert not ok([("516.449", "a")], [("516.446", "a")])
+
+
+def test_norm_cell_renders_infinity():
+    """ADVICE r9: non-finite floats normalize to 'inf'/'-inf' (a recorded
+    diff) instead of crashing the sweep with OverflowError."""
+    fz = _fuzz_mod()
+    assert fz._norm_cell(float("inf")) == "inf"
+    assert fz._norm_cell(float("-inf")) == "-inf"
+    assert fz._norm_cell(float("nan")) == "<null>"
