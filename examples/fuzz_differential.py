@@ -563,8 +563,15 @@ class ShapeGen:
             d = self.rng.choice(["ASC", "DESC"])
             nf = self.rng.choice(["NULLS FIRST", "NULLS LAST"])
             k = self.rng.randint(5, 30)
+            # alias both: when t has no numeric column besides its pk,
+            # num falls back to pk and an unaliased projection would emit
+            # duplicate column names — which the engines' pandas bridges
+            # rename DIFFERENTLY (bare dup vs _1 suffix), a harness-side
+            # schema mismatch with no data divergence (sf0.1 fuzz seed
+            # 42424300099, region)
             return (
-                f"SELECT d0.{pk}, d0.{num} FROM {self._nullified(t)} d0\n"
+                f"SELECT d0.{pk} AS pk, d0.{num} AS v "
+                f"FROM {self._nullified(t)} d0\n"
                 f"ORDER BY 2 {d} {nf}, 1 ASC\nLIMIT {k}"
             )
         # window: NULL partition key forms its own partition in both

@@ -239,3 +239,69 @@ def test_norm_cell_renders_infinity():
     assert fz._norm_cell(float("inf")) == "inf"
     assert fz._norm_cell(float("-inf")) == "-inf"
     assert fz._norm_cell(float("nan")) == "<null>"
+
+
+def _closure_mod():
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "components_closure_sf01",
+        os.path.join(repo, "examples", "components_closure_sf01.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_components_oracle_slicer_stays_anchored():
+    """The sf0.1 components-parity harness executes the registry oracle's
+    OWN text (sliced around the reach/comp closure). If the oracle SQL is
+    ever refactored, slicing must fail loudly rather than silently verify
+    something else — pin both the slice anchors and the three-way shared
+    prefix here, inside the suite."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans import (
+        ORACLES,
+    )
+
+    cl = _closure_mod()
+    prefixes = set()
+    for name in cl.COMPONENT_QUERIES:
+        prefix, final = cl.slice_oracle(ORACLES[name])
+        assert prefix.startswith("WITH RECURSIVE")
+        assert "edges AS" in prefix and "reach" not in prefix
+        assert "comp" in final and "reach" not in final
+        prefixes.add(prefix)
+    assert len(prefixes) == 1, "component oracles drifted apart"
+
+
+def test_components_closure_live_at_test_sf(spark, sf_dir, tmp_path):
+    """Run the full iterative-closure parity harness per-session at the
+    test scale: oracle-prefix edge materialization, min-label flooding to
+    the comp fixed point, and all three final selects matching the Spark
+    registry queries bit-for-bit."""
+    cl = _closure_mod()
+    rec = cl.run(sf_dir, str(tmp_path / "components.json"),
+                 log=lambda m: None)
+    assert rec["all_match"], rec
+    assert rec["flood_rounds"] < 50
+    assert len(rec["queries"]) == 3
+
+
+def test_components_sf01_artifact_is_clean():
+    """components_sf01_last.json is the recorded sf0.1 parity for the
+    three oracles the budget-bounded sweep skips (VERDICT r9 item 4):
+    the oracle's own pair generation + an equivalent iterative closure,
+    all three bit-for-bit against Spark at sf0.1."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "components_sf01_last.json")) as f:
+        d = json.load(f)
+    assert d["all_match"] is True
+    assert d["sf_dir"].endswith("sf0.1")
+    names = {q["query"] for q in d["queries"]}
+    assert names == {"doc_dedup_keep_best", "doc_dedup_survivors",
+                     "doc_dup_clusters"}
+    assert all(q["values_match"] for q in d["queries"])
