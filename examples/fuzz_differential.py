@@ -803,7 +803,31 @@ class ShapeGen:
         ASCII-only registry shape can exercise."""
         t = self.rng.choice(["customer", "orders", "documents", "part"])
         d, _n = self._vn_derived(t)
-        sub = self.rng.choice(["filter", "group", "order", "funcs"])
+        sub = self.rng.choice(
+            ["filter", "group", "order", "funcs", "join", "setop"])
+        if sub == "join":
+            # multibyte equality as a HASH-JOIN key: two independently
+            # striped injections joined on the Vietnamese text itself
+            t2 = self.rng.choice(["customer", "orders", "documents"])
+            d2, _ = self._vn_derived(t2, "v1")
+            jt = self.rng.choice(["JOIN", "LEFT JOIN"])
+            return (
+                f"SELECT d0.vtxt, count(*) AS n_pairs, "
+                f"count(d1.pk) AS n_matched\n"
+                f"FROM {d} d0\n{jt} {d2} d1 ON d0.vtxt = d1.vtxt\n"
+                f"GROUP BY d0.vtxt"
+            )
+        if sub == "setop":
+            # set-op dedup/membership over multibyte values (NULL rows
+            # compare equal in set ops — both engines, ANSI)
+            op = self.rng.choice(["UNION", "INTERSECT", "EXCEPT"])
+            t2 = self.rng.choice(["customer", "orders", "documents"])
+            d2, _ = self._vn_derived(t2, "v1")
+            return (
+                f"SELECT count(*) AS n_rows, count(vtxt) AS n_v FROM (\n"
+                f"  SELECT d0.vtxt FROM {d} d0\n  {op}\n"
+                f"  SELECT d1.vtxt FROM {d2} d1\n) u"
+            )
         if sub == "filter":
             v = _sql_str(self.rng.choice(self.VN_POOL))
             r = self.rng.random()
