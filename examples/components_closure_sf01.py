@@ -90,6 +90,47 @@ def slice_oracle(sql: str) -> tuple[str, str]:
     return prefix, final
 
 
+def flood_components(con, edges_table: str, nodes_from: str,
+                     max_rounds: int = 200) -> int:
+    """Min-label flooding over a SYMMETRIC edge table (columns a, b) in
+    DuckDB temp tables: lbl' = min(lbl, neighbors' lbl) until no change.
+    Creates temp table ``comp(doc_id, cluster_id)`` — the same fixed point
+    the oracle's ``comp AS (SELECT id, min(lbl) FROM reach GROUP BY id)``
+    defines (min over the connected component), in O(diameter) rounds of
+    O(|E|) work instead of one O(sum |C|^2) enumeration. ``nodes_from`` is
+    a FROM-clause source with a ``doc_id`` column (e.g. ``documents``).
+    Property-tested against a Python union-find on random graphs in
+    tests/test_round10_fixes.py. Returns the round count."""
+    con.sql("DROP TABLE IF EXISTS lbl")
+    con.sql("DROP TABLE IF EXISTS comp")
+    con.sql(f"CREATE TEMP TABLE lbl AS "
+            f"SELECT doc_id AS id, doc_id AS lbl FROM {nodes_from}")
+    rounds = 0
+    while True:
+        rounds += 1
+        con.sql(
+            f"CREATE TEMP TABLE nxt AS "
+            f"SELECT id, min(lbl) AS lbl FROM ("
+            f"  SELECT id, lbl FROM lbl"
+            f"  UNION ALL"
+            f"  SELECT e.b AS id, l.lbl FROM lbl l "
+            f"  JOIN {edges_table} e ON e.a = l.id"
+            f") u GROUP BY id")
+        changed = con.sql(
+            "SELECT count(*) FROM nxt JOIN lbl USING (id) "
+            "WHERE nxt.lbl <> lbl.lbl").fetchone()[0]
+        con.sql("DROP TABLE lbl")
+        con.sql("ALTER TABLE nxt RENAME TO lbl")
+        if changed == 0:
+            break
+        if rounds > max_rounds:
+            raise SystemExit(
+                f"flooding did not converge in {max_rounds} rounds")
+    con.sql("CREATE TEMP TABLE comp AS "
+            "SELECT id AS doc_id, lbl AS cluster_id FROM lbl")
+    return rounds
+
+
 def run(sf_dir: str, out_path: str, log=print) -> dict:
     import duckdb
 
@@ -121,30 +162,7 @@ def run(sf_dir: str, out_path: str, log=print) -> dict:
 
     # 2. min-label flooding to the comp fixed point
     t0 = time.time()
-    con.sql("CREATE TEMP TABLE lbl AS "
-            "SELECT doc_id AS id, doc_id AS lbl FROM documents")
-    rounds = 0
-    while True:
-        rounds += 1
-        con.sql(
-            "CREATE TEMP TABLE nxt AS "
-            "SELECT id, min(lbl) AS lbl FROM ("
-            "  SELECT id, lbl FROM lbl"
-            "  UNION ALL"
-            "  SELECT e.b AS id, l.lbl FROM lbl l "
-            "  JOIN t_edges e ON e.a = l.id"
-            ") u GROUP BY id")
-        changed = con.sql(
-            "SELECT count(*) FROM nxt JOIN lbl USING (id) "
-            "WHERE nxt.lbl <> lbl.lbl").fetchone()[0]
-        con.sql("DROP TABLE lbl")
-        con.sql("ALTER TABLE nxt RENAME TO lbl")
-        if changed == 0:
-            break
-        if rounds > 200:
-            raise SystemExit("flooding did not converge in 200 rounds")
-    con.sql("CREATE TEMP TABLE comp AS "
-            "SELECT id AS doc_id, lbl AS cluster_id FROM lbl")
+    rounds = flood_components(con, "t_edges", "documents")
     close_sec = round(time.time() - t0, 1)
     log(f"# closure converged in {rounds} rounds ({close_sec}s)")
 

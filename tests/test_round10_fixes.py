@@ -305,3 +305,54 @@ def test_components_sf01_artifact_is_clean():
     assert names == {"doc_dedup_keep_best", "doc_dedup_survivors",
                      "doc_dup_clusters"}
     assert all(q["values_match"] for q in d["queries"])
+
+
+def test_flooding_matches_union_find_on_random_graphs():
+    """Property: min-label flooding (the DuckDB closure that replaces the
+    oracle's reach CTE at sf0.1) computes min(component) per node on ANY
+    symmetric edge set — checked against an independent Python union-find
+    over hypothesis-generated random graphs, not just the shipped data."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    cl = _closure_mod()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=40),
+        edges=st.lists(
+            st.tuples(st.integers(0, 39), st.integers(0, 39)), max_size=120),
+    )
+    def check(n, edges):
+        edges = [(a, b) for a, b in edges if a < n and b < n and a != b]
+        # independent reference: union-find with min-root bookkeeping
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in range(n)}
+
+        con = duckdb.connect()
+        con.sql("CREATE TEMP TABLE nodes(doc_id BIGINT)")
+        con.executemany("INSERT INTO nodes VALUES (?)",
+                        [(i,) for i in range(n)])
+        con.sql("CREATE TEMP TABLE g(a BIGINT, b BIGINT)")
+        sym = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+        if sym:
+            con.executemany("INSERT INTO g VALUES (?, ?)", sym)
+        rounds = cl.flood_components(con, "g", "nodes")
+        got = dict(con.sql(
+            "SELECT doc_id, cluster_id FROM comp").fetchall())
+        con.close()
+        assert got == want
+        assert rounds <= n + 1
+
+    check()
