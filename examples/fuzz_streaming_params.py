@@ -42,6 +42,12 @@ WINDOWS_MIN = [1, 3, 5, 7, 10, 15, 30, 60, 90]
 GAPS_MIN = [1, 2, 5, 10, 30, 120]
 KEYS = [None, "event_type", "user_id"]
 AGGS = ["count", "sum", "min_max", "count_sum"]
+# interval-join family: interval length (minutes) x bucket width (seconds),
+# deliberately spanning bucket >> interval and bucket << interval (the
+# replication-factor extremes of the bucketization), both directions
+IV_LEN_MIN = [1, 5, 10, 30, 60, 240]
+IV_BUCKET_SEC = [60, 300, 900, 1800, 3600, 7200]
+EVENT_TYPES = ["click", "view", "purchase"]
 
 
 def _normalize_fn():
@@ -56,7 +62,18 @@ def _normalize_fn():
 def gen_config(seed: int) -> dict:
     """Same seed -> same config, independent of draw order elsewhere."""
     rng = random.Random(seed)
-    op = rng.choice(["tumbling", "sliding", "session"])
+    op = rng.choice(["tumbling", "sliding", "session", "interval"])
+    if op == "interval":
+        pt, it = rng.sample(EVENT_TYPES, 2)
+        return {
+            "seed": seed, "op": op,
+            "point_type": pt, "interval_type": it,
+            "len_min": rng.choice(IV_LEN_MIN),
+            "bucket_sec": rng.choice(IV_BUCKET_SEC),
+            # lookback: interval = the len_min before the anchor event;
+            # lookahead: the len_min after it
+            "direction": rng.choice(["lookback", "lookahead"]),
+        }
     # session windows REQUIRE a grouping key in streaming: Spark raises
     # "Global aggregation with session window in streaming query is not
     # supported" (found by this harness's first smoke batch, seed 42001) —
@@ -111,6 +128,52 @@ def _windowed(df, cfg, streaming: bool):
     return out.select(*sel)
 
 
+def _interval_shapes(ev, cfg):
+    """(points, intervals) for one interval config: points are rows of
+    point_type; intervals anchor on interval_type rows and extend len_min
+    back or forward. Same derivation for the stream and the batch side."""
+    from pyspark.sql import functions as F
+
+    points = ev.filter(F.col("event_type") == cfg["point_type"]).select(
+        "user_id", F.col("event_id").alias("point_id"), "ts")
+    anchors = ev.filter(F.col("event_type") == cfg["interval_type"])
+    iv = F.expr(f"INTERVAL {cfg['len_min']} MINUTES")
+    if cfg["direction"] == "lookback":
+        intervals = anchors.select(
+            "user_id", F.col("event_id").alias("interval_id"),
+            (F.col("ts") - iv).alias("start_ts"), F.col("ts").alias("end_ts"))
+    else:
+        intervals = anchors.select(
+            "user_id", F.col("event_id").alias("interval_id"),
+            F.col("ts").alias("start_ts"), (F.col("ts") + iv).alias("end_ts"))
+    return points, intervals
+
+
+def _run_interval(spark, cfg, events_stream, batch_events, name):
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.interval import (
+        interval_join,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
+        interval_join_stream,
+    )
+
+    s_pts, s_ivs = _interval_shapes(events_stream, cfg)
+    out = interval_join_stream(
+        s_pts, s_ivs, bucket_seconds=cfg["bucket_sec"],
+        max_interval=f"{cfg['len_min']} minutes", on="user_id",
+    ).select("user_id", "point_id", "interval_id")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    b_pts, b_ivs = _interval_shapes(batch_events, cfg)
+    want = interval_join(
+        b_pts, b_ivs, bucket_seconds=cfg["bucket_sec"], point_time="ts",
+        on="user_id",
+    ).select("user_id", "point_id", "interval_id").toPandas()
+    return got, want
+
+
 def run_configs(spark, sf_dir: str, seeds: list[int], log=print) -> list[dict]:
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark.sources import (
         load_table,
@@ -127,12 +190,20 @@ def run_configs(spark, sf_dir: str, seeds: list[int], log=print) -> list[dict]:
         rec = dict(cfg)
         name = "fz" + uuid.uuid4().hex[:12]
         try:
-            stream = _windowed(read_events_stream(spark, sf_dir), cfg,
-                               streaming=True)
-            q = (stream.writeStream.outputMode("complete").format("memory")
-                 .queryName(name).trigger(availableNow=True).start())
-            q.awaitTermination(180)
-            got = spark.sql(f"SELECT * FROM {name}").toPandas()
+            if cfg["op"] == "interval":
+                got, want = _run_interval(
+                    spark, cfg, read_events_stream(spark, sf_dir),
+                    batch_events, name)
+            else:
+                stream = _windowed(read_events_stream(spark, sf_dir), cfg,
+                                   streaming=True)
+                q = (stream.writeStream.outputMode("complete")
+                     .format("memory").queryName(name)
+                     .trigger(availableNow=True).start())
+                q.awaitTermination(180)
+                got = spark.sql(f"SELECT * FROM {name}").toPandas()
+                want = _windowed(batch_events, cfg,
+                                 streaming=False).toPandas()
         except Exception as e:
             rec["status"] = "stream_err"
             rec["error"] = str(e).split("\n")[0][:300]
@@ -142,7 +213,6 @@ def run_configs(spark, sf_dir: str, seeds: list[int], log=print) -> list[dict]:
         finally:
             spark.catalog.dropTempView(name) if name in [
                 t.name for t in spark.catalog.listTables()] else None
-        want = _windowed(batch_events, cfg, streaming=False).toPandas()
         gc, gr = normalize(got)
         wc, wr = normalize(want)
         rec["rows"] = len(gr)

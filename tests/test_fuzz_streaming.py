@@ -31,6 +31,9 @@ def test_config_generator_is_seed_deterministic_and_constrained():
             w = int(cfg["window"].split()[0])
             s = int(cfg["slide"].split()[0])
             assert 1 <= s <= w
+        if cfg["op"] == "interval":
+            assert cfg["point_type"] != cfg["interval_type"]
+            assert cfg["bucket_sec"] > 0 and cfg["len_min"] > 0
 
 
 def test_small_live_batch(spark, sf_dir):
@@ -48,4 +51,4 @@ def test_streaming_fuzz_artifact_is_clean():
     assert d["summary"]["n"] >= 24
     assert d["summary"]["failures"] == []
     ops = {r["op"] for r in d["configs"]}
-    assert ops == {"tumbling", "sliding", "session"}
+    assert ops == {"tumbling", "sliding", "session", "interval"}
