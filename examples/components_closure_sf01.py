@@ -1,28 +1,29 @@
-"""sf0.1 cross-engine parity for the components family (VERDICT r9 item 4).
+"""Cross-engine parity for the components family, with an UNBOUNDED closure.
 
-The three connected-components oracles (``doc_dedup_keep_best``,
-``doc_dedup_survivors``, ``doc_dup_clusters``) share a SimHash-band pair
-generation plus a ``reach`` recursive CTE whose working set is
-sum(|component|^2) — tractable at the driver's sf0.01 gate but beyond any
-reasonable budget at sf0.1 (~913k symmetric edges with dense viral
-clusters; the r9 sweep budget-skipped all three at 75s, and DuckDB 1.0.0
-has no keyed-recursion form that would bound it).
+Since round 11 the three connected-components registry oracles
+(``doc_dedup_keep_best``, ``doc_dedup_survivors``, ``doc_dup_clusters``)
+close the SimHash pair graph with a FIXED-DEPTH chain of min-label flood
+layers (``plans/clusters.py:_closure_sql``, depth 8 + a poisoned
+convergence check) — single-statement SQL the driver and parity_sweep run
+verbatim in budget at every scale factor. (The r1-r10 ``reach`` recursive
+CTE had working set sum(|component|^2) and was budget-infeasible at sf0.1;
+VERDICT r10 item 4 prescribed this replacement.)
 
-This harness closes the gap the way the r9 verdict prescribed — an
-equivalent ITERATIVE temp-table construction DuckDB executes in budget:
+This harness is the INDEPENDENT check of the depth choice: it re-closes
+the same edge set with UNBOUNDED iteration to an observed fixed point,
+so a regression in the corpus (a cluster whose diameter exceeds the fixed
+depth) is caught by construction, not just by the in-oracle poison:
 
-1. The registry oracle's own text, up to (and excluding) ``reach``, is
-   SLICED OUT PROGRAMMATICALLY and executed verbatim to materialize the
-   edge set — tokenization, per-token md5, SimHash votes, bands,
-   candidate pairs, hamming filter all stay the exact SQL the driver
-   replays at sf0.01. Nothing is re-stated by hand.
-2. Only the closure is replaced: min-label flooding rounds
-   (``lbl' = min(lbl, min over neighbors' lbl)``) until a fixed point.
-   Over a SYMMETRIC edge set (the oracle builds ``edges`` as UNION ALL of
-   both directions) this converges to min(component) per node — the same
-   fixed point ``comp AS (SELECT id, min(lbl) FROM reach GROUP BY id)``
-   defines, in O(diameter) rounds of O(|E|) work instead of one
-   O(sum |C|^2) enumeration.
+1. The registry oracle's own text, up to (and excluding) the ``l0`` flood
+   layer, is SLICED OUT PROGRAMMATICALLY and executed verbatim to
+   materialize the edge set — tokenization, per-token md5, SimHash votes,
+   bands, candidate pairs, hamming filter all stay the exact SQL the
+   driver replays at sf0.01. Nothing is re-stated by hand.
+2. The closure runs as min-label flooding rounds in temp tables
+   (``lbl' = min(lbl, min over neighbors' lbl)``) UNTIL a fixed point —
+   no depth bound. Over a SYMMETRIC edge set (the oracle builds ``edges``
+   as UNION ALL of both directions) this converges to min(component) per
+   node, the same fixed point the oracle's bounded chain must reach.
 3. Each oracle's FINAL select (everything after the shared ``comp``
    clause) is again executed verbatim against the materialized ``comp``.
 4. The Spark side runs the registry query unmodified at sf0.1; both
@@ -57,10 +58,21 @@ COMPONENT_QUERIES = [
 ]
 
 # the exact shared clauses the slicer anchors on — if the registry oracle
-# text drifts, the partition() asserts below fail loudly
-_REACH_MARKER = ",\nreach AS ("
-_COMP_MARKER = ("comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id "
-                "FROM reach GROUP BY id)")
+# text drifts structurally, the partition() asserts below fail loudly. The
+# comp marker is derived from the SAME generator the oracles use, so the
+# two can only move in lockstep (slicing the genuine comp clause), never
+# silently anchor on stale text.
+_CLOSURE_MARKER = ",\nl0 AS MATERIALIZED ("
+
+
+def _comp_marker() -> str:
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans.clusters import (
+        _COMPONENT_CLOSURE,
+    )
+
+    comp = _COMPONENT_CLOSURE.rsplit(",\n", 1)[1]
+    assert comp.startswith("comp AS ("), "closure generator drifted"
+    return comp
 
 
 def _normalize_fn():
@@ -74,13 +86,14 @@ def _normalize_fn():
 
 def slice_oracle(sql: str) -> tuple[str, str]:
     """(edge_prefix, final_select): the oracle's own text split around the
-    reach/comp closure. edge_prefix is a complete WITH chain ending at
+    flood-layer closure. edge_prefix is a complete WITH chain ending at
     ``edges``; final_select is everything after the comp clause, rewritten
     as a standalone statement reading the ``comp`` temp table."""
-    prefix, sep, _ = sql.partition(_REACH_MARKER)
-    assert sep, "oracle text drifted: reach marker not found"
-    assert prefix.startswith("WITH RECURSIVE"), "oracle text drifted"
-    head, sep, tail = sql.partition(_COMP_MARKER)
+    sql = sql.strip()
+    prefix, sep, _ = sql.partition(_CLOSURE_MARKER)
+    assert sep, "oracle text drifted: l0 closure marker not found"
+    assert prefix.startswith("WITH"), "oracle text drifted"
+    head, sep, tail = sql.partition(_comp_marker())
     assert sep, "oracle text drifted: comp marker not found"
     tail = tail.lstrip()
     if tail.startswith(","):
@@ -103,6 +116,9 @@ def flood_components(con, edges_table: str, nodes_from: str,
     tests/test_round10_fixes.py. Returns the round count."""
     con.sql("DROP TABLE IF EXISTS lbl")
     con.sql("DROP TABLE IF EXISTS comp")
+    # a prior call that crashed mid-round may have left nxt behind —
+    # without this, the rerun dies at CREATE TEMP TABLE nxt (ADVICE r10)
+    con.sql("DROP TABLE IF EXISTS nxt")
     con.sql(f"CREATE TEMP TABLE lbl AS "
             f"SELECT doc_id AS id, doc_id AS lbl FROM {nodes_from}")
     rounds = 0
@@ -124,7 +140,10 @@ def flood_components(con, edges_table: str, nodes_from: str,
         if changed == 0:
             break
         if rounds > max_rounds:
-            raise SystemExit(
+            # RuntimeError, not SystemExit: this helper is reused from
+            # tests, where SystemExit reads as a harness error rather than
+            # a failed check (ADVICE r10); main() maps it to exit 1
+            raise RuntimeError(
                 f"flooding did not converge in {max_rounds} rounds")
     con.sql("CREATE TEMP TABLE comp AS "
             "SELECT id AS doc_id, lbl AS cluster_id FROM lbl")

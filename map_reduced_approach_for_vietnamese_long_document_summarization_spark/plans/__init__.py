@@ -21,69 +21,70 @@ from . import tpch_extra as _tpch_extra  # noqa: F401  (registers its queries)
 # Rounds of CORRECTNESS artifacts this window's staleness ranking was
 # computed from (CORRECTNESS_r01..r{N}.json). Bump when re-rotating so the
 # policy test re-derives the expected window from the same evidence.
-ROTATION_BASIS_ROUNDS = 9
+ROTATION_BASIS_ROUNDS = 10
 
 _PRIORITY = [
-    # ROUND-10 ROTATION — STALENESS REFRESH (VERDICT r9 item 3). Basis =
-    # CORRECTNESS_r01..r09. The 45 non-flagship slots retire the lone
-    # remaining r6 oracle (top_revenue_orders) and the 44 stalest of the
-    # r7 vintage by name; after r10 goes green no oracle's most recent
-    # driver row is older than r7. tests/test_registry_window.py::
+    # ROUND-11 ROTATION — STALENESS REFRESH (VERDICT r10 item 3). Basis =
+    # CORRECTNESS_r01..r10. The 45 non-flagship slots retire the lone
+    # remaining r7 oracle (source_name_sanitize) and the 44 stalest of the
+    # r8 vintage by name (judge/BERTScore/ROUGE-per-doc/dedup-md5
+    # families); after r11 goes green no oracle's most recent driver row
+    # is older than r8. tests/test_registry_window.py::
     # test_window_prefers_stalest re-derives this exact set from the
-    # artifacts; examples/rotate_window.py 9 printed this block.
+    # artifacts; examples/rotate_window.py 10 printed this block.
     # flagships (always in)
     "pipeline_mapreduce_mock",
     "pipeline_iterative_mock",
     "pipeline_critique_mock",
     "pipeline_hierarchical_mock",
     "pipeline_truncated_mock",
-    # -- last green r6 --
-    "top_revenue_orders",
     # -- last green r7 --
-    "big_order_customers",
-    "brand_small_qty_revenue",
-    "corpus_pack_greedy_512",
-    "customer_balance_ranks",
-    "doc_char_entropy",
-    "doc_epoch_upsample",
-    "doc_feature_hash_embed",
-    "doc_source_quota",
-    "doc_stratified_sample",
-    "doc_tfidf_top3",
-    "doc_unigram_logprob",
-    "dormant_rich_customers",
-    "embedding_cosine_pairs_exact",
-    "embedding_int8_roundtrip",
-    "embedding_ivf_fixed_top3",
-    "embedding_label_centroids",
-    "embedding_near_dups_lsh",
-    "embedding_semantic_dedup",
-    "embedding_split_contamination",
-    "estimated_chunk_counts",
-    "events_click_purchase_pairs",
-    "events_dedup_first_per_minute",
-    "events_resample_1h_ffill",
-    "events_trailing_24h_stats",
-    "forecast_revenue_q6",
-    "lineitem_grouping_sets",
-    "mock_collapse_level",
-    "multimodal_decode_dims",
-    "nation_supplier_scalars",
-    "promo_revenue_q14",
-    "q11_important_inventory",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q19_disjunctive_revenue",
-    "q20_heavy_shippers",
-    "q21_latest_shipper",
-    "q2_min_cost_supplier",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "returnflag_except_all",
-    "rouge1_histogram",
-    "rouge2_per_doc",
-    "segment_price_percentiles",
+    "source_name_sanitize",
+    # -- last green r8 --
+    "ann_recall_at3",
+    "bertscore_mock_pairs",
+    "bm25_search_top10",
+    "corpus_diff_status",
+    "corpus_mixture_rates",
+    "corpus_pack_512",
+    "corpus_top_bigrams",
+    "doc_bloom_skip_existing",
+    "doc_chunk_fixed100",
+    "doc_contamination_top20",
+    "doc_dedup_keep_best",
+    "doc_dup_clusters",
+    "doc_exact_dedup",
+    "doc_greedy_buckets",
+    "doc_length_iqr_outliers",
+    "doc_line_dedup",
+    "doc_pii_redact",
+    "doc_quality_classifier_fixed",
+    "doc_quality_report",
+    "doc_repetition_stats",
+    "doc_script_ratios",
+    "doc_span_dedup",
+    "doc_split_assign",
+    "doc_text_normalize",
+    "doc_winnow_fingerprints",
+    "embedding_ann_lsh_top3",
+    "embedding_knn_top3",
+    "events_click_in_purchase_window",
+    "events_sessionization",
+    "events_tumbling_10min",
+    "hybrid_search_top10",
+    "llm_judge_mock_scores",
+    "media_ahash_near_dups",
+    "minhash_md5_dedup",
+    "minhash_md5_incremental_dedup",
+    "minhash_md5_star_dedup",
+    "mock_collapse_loop",
+    "multimodal_decode_features",
+    "ngram_jaccard_top20",
+    "order_priority_exists_late",
+    "purchase_click_attribution",
+    "q9_product_profit",
+    "rouge1_moments_by_lang",
+    "rouge1_per_doc",
 ]
 
 

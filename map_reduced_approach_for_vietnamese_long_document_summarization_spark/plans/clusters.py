@@ -4,10 +4,25 @@ The pair-emitting dedup family (`minhash_*`, `simhash_*`, `ngram_jaccard_*`)
 stops at edges; these queries close the loop to actual corpus deduplication:
 components -> canonical doc per cluster. The DuckDB oracle replays the SAME
 md5-SimHash pair generation (shared CTE list, `relational._SIMHASH_MD5_PAIR_CTES`)
-and then computes the transitive closure with a recursive CTE — so the
-iterative Spark label-propagation loop is verified against an independent
-fixed-point construction, the same way `mock_collapse_loop` pinned the
-collapse convergence loop.
+and then computes the component closure with a BOUNDED chain of min-label
+flood layers (`_COMPONENT_CLOSURE` below) — so the iterative Spark
+label-propagation loop is verified against an independent fixed-point
+construction, the same way `mock_collapse_loop` pinned the collapse
+convergence loop.
+
+Why bounded layers and not a recursive CTE (the r1-r10 formulation): the
+``reach`` recursive CTE enumerates every (node, reachable-label) pair —
+working set sum(|component|^2), fine at the driver's sf0.01 gate but beyond
+any budget at sf0.1 (VERDICT r10 item 4; the r9/r10 sweeps budget-skipped
+it even at 1800s). Each flood layer is one O(|E|) join + group-by
+(``lbl' = min(lbl, neighbors' lbl)``), and over a symmetric edge set the
+chain converges to min(component) per node in diameter rounds — 5 at sf0.1
+(`components_sf01_last.json`), so depth 8 carries margin. Convergence is
+NOT assumed: an extra layer is computed and compared, and the ``comp``
+clause poisons every row with DuckDB ``error()`` if the fixed point was
+not reached — a too-shallow depth fails loudly, never silently verifies
+wrong clusters. The flooding-equals-union-find equivalence is
+property-tested in tests/test_round10_fixes.py.
 """
 
 from __future__ import annotations
@@ -17,17 +32,47 @@ from pyspark.sql import functions as F
 
 from .relational import _DUCK_TOKS, _DUCK_TOKS_LOWER, _SIMHASH_MD5_PAIR_CTES, _t, query
 
+_FLOOD_DEPTH = 8  # observed sf0.1 diameter 5; poisoned convergence check below
+
+
+def _closure_sql(depth: int = _FLOOD_DEPTH) -> str:
+    """Single-statement CTE chain: symmetric edges -> `depth` min-label
+    flood layers -> one extra verification layer -> poisoned `comp`.
+
+    Every layer is AS MATERIALIZED: DuckDB 1.0 inlines plain CTEs at each
+    reference site, and layer k references layer k-1 twice — un-materialized,
+    the plan (and the simpairs band join behind ``edges``) would expand
+    2^depth times."""
+    parts = [
+        "edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM simpairs\n"
+        "          UNION ALL\n"
+        "          SELECT id2 AS a, id1 AS b FROM simpairs)",
+        "l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM documents)",
+    ]
+    for k in range(1, depth + 2):  # +1 extra layer proves the fixed point
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM ("
+            f"SELECT id, lbl FROM l{k - 1} UNION ALL "
+            f"SELECT e.b AS id, l.lbl FROM l{k - 1} l "
+            f"JOIN edges e ON e.a = l.id) u GROUP BY id)"
+        )
+    parts.append(
+        f"conv AS (SELECT count(*) AS n FROM l{depth} a "
+        f"JOIN l{depth + 1} b USING (id) WHERE a.lbl <> b.lbl)"
+    )
+    parts.append(
+        f"comp AS (SELECT id AS doc_id, CASE WHEN (SELECT n FROM conv) = 0 "
+        f"THEN lbl ELSE error('components closure: flood depth {depth} "
+        f"did not converge') END AS cluster_id FROM l{depth + 1})"
+    )
+    return ",\n".join(parts)
+
+
+_COMPONENT_CLOSURE = _closure_sql()
+
 _CLUSTER_ORACLE = f"""
-WITH RECURSIVE {_SIMHASH_MD5_PAIR_CTES},
-edges AS (SELECT id1 AS a, id2 AS b FROM simpairs
-          UNION ALL
-          SELECT id2 AS a, id1 AS b FROM simpairs),
-reach AS (
-    SELECT doc_id AS id, doc_id AS lbl FROM documents
-  UNION
-    SELECT r.id, e.b AS lbl FROM reach r JOIN edges e ON e.a = r.lbl
-),
-comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+WITH {_SIMHASH_MD5_PAIR_CTES},
+{_COMPONENT_CLOSURE},
 sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
 SELECT comp.doc_id, comp.cluster_id, sizes.cluster_size
 FROM comp JOIN sizes USING (cluster_id)
@@ -40,8 +85,9 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hamming <= 6) -> connected components (min-label propagation,
     `operators/components.py`) -> (doc_id, cluster_id, cluster_size) for
     every document, singletons included. The oracle recomputes the same
-    pairs in DuckDB and closes them with a recursive CTE — an independent
-    fixed-point check of the iterative loop. Scale: the component state is
+    pairs in DuckDB and closes them with the bounded flood-layer chain
+    (`_COMPONENT_CLOSURE`) — an independent fixed-point check of the
+    iterative loop. Scale: the component state is
     (id, label) pairs only; each round is one edge-join shuffle + a
     map-side-combinable min."""
     from ..operators.components import connected_components
@@ -59,16 +105,8 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_dedup_survivors",
     oracle=f"""
-WITH RECURSIVE {_SIMHASH_MD5_PAIR_CTES},
-edges AS (SELECT id1 AS a, id2 AS b FROM simpairs
-          UNION ALL
-          SELECT id2 AS a, id1 AS b FROM simpairs),
-reach AS (
-    SELECT doc_id AS id, doc_id AS lbl FROM documents
-  UNION
-    SELECT r.id, e.b AS lbl FROM reach r JOIN edges e ON e.a = r.lbl
-),
-comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+WITH {_SIMHASH_MD5_PAIR_CTES},
+{_COMPONENT_CLOSURE}
 SELECT lang, count(*) AS n_survivors
 FROM comp JOIN documents USING (doc_id)
 WHERE doc_id = cluster_id
@@ -387,16 +425,8 @@ def doc_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_dedup_keep_best",
     # round-5 window candidate (tests/test_registry_window.py R5_PROMOTIONS)
     oracle=f"""
-WITH RECURSIVE {_SIMHASH_MD5_PAIR_CTES},
-edges AS (SELECT id1 AS a, id2 AS b FROM simpairs
-          UNION ALL
-          SELECT id2 AS a, id1 AS b FROM simpairs),
-reach AS (
-    SELECT doc_id AS id, doc_id AS lbl FROM documents
-  UNION
-    SELECT r.id, e.b AS lbl FROM reach r JOIN edges e ON e.a = r.lbl
-),
-comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+WITH {_SIMHASH_MD5_PAIR_CTES},
+{_COMPONENT_CLOSURE},
 rk AS (SELECT comp.doc_id, comp.cluster_id,
               row_number() OVER (PARTITION BY comp.cluster_id
                                  ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
@@ -413,8 +443,8 @@ def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties to min doc_id) instead of the min-id one — the curation policy
     when near-duplicates differ in completeness (truncated mirrors must
     lose to the full copy). One extra max_by aggregate over (component,
-    score) beyond keep-canonical; the oracle closes the same graph with a
-    recursive CTE and replays the argmax with a window."""
+    score) beyond keep-canonical; the oracle closes the same graph with the
+    bounded flood-layer chain and replays the argmax with a window."""
     from ..operators.components import dedup_keep_best
     from ..operators.dedup import md5_hash32, simhash_near_dup_pairs
 

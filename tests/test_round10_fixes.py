@@ -268,9 +268,11 @@ def test_components_oracle_slicer_stays_anchored():
     prefixes = set()
     for name in cl.COMPONENT_QUERIES:
         prefix, final = cl.slice_oracle(ORACLES[name])
-        assert prefix.startswith("WITH RECURSIVE")
-        assert "edges AS" in prefix and "reach" not in prefix
-        assert "comp" in final and "reach" not in final
+        assert prefix.startswith("WITH")
+        # prefix = pair generation + symmetric edges, nothing of the
+        # bounded closure; final = the post-comp select only
+        assert "edges AS MATERIALIZED" in prefix and "l0 AS" not in prefix
+        assert "comp" in final and "l0 AS" not in final and "conv" not in final
         prefixes.add(prefix)
     assert len(prefixes) == 1, "component oracles drifted apart"
 
