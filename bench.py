@@ -100,6 +100,58 @@ HEADLINE = [
 ]
 
 
+def _calibration(spark, reps: int) -> dict[str, list[float]]:
+    """Fixed-cost box-speed probes (VERDICT r10 item 2): constant synthetic
+    work with NO dependence on sf_dir or the registry. Identical work every
+    session, so the ratio of these numbers across rounds measures the BOX
+    (JVM, CPU contention, governor), not the code: a round whose headline
+    total crept 1.2x while calibration also crept 1.2x is a session story;
+    calibration flat + queries slow indicts the plans. Recorded per round
+    so the three-round monotonic creep class (88.3 -> 92.9 -> 104.3s over
+    r8-r10 on untouched code) gets attributed with evidence instead of
+    adjudication prose.
+
+    TWO regimes, because the r11 interleaved probes showed they diverge on
+    this box: "agg" is 30M numeric rows through a codegen'd projection and
+    a 9973-key hash aggregate (columnar scan+agg regime — the probes'
+    pricing_summary control reproduced its best here while...), and
+    "alloc" is 1.5M md5 strings exploded to 48M single-char rows and
+    re-aggregated (string/allocation/GC regime — ...every tokenization-
+    heavy query reproduced 1.3-1.8x its best). A session's two figures
+    attribute each regime separately."""
+    from pyspark.sql import functions as F
+
+    workloads = {
+        "agg": lambda: (
+            spark.range(0, 30_000_000, 1, 32)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                (F.col("id") * 2654435761 % 1000003).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        ),
+        "alloc": lambda: (
+            spark.range(0, 1_500_000, 1, 32)
+            .select(F.md5(F.col("id").cast("string")).alias("s"))
+            .select(F.explode(F.split(F.col("s"), "(?!$)")).alias("c"))
+            .groupBy("c")
+            .agg(F.count(F.lit(1)).alias("n"))
+        ),
+    }
+    out: dict[str, list[float]] = {}
+    for kind, build in workloads.items():
+        times = []
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            gc.collect()
+            start = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            times.append(round(time.perf_counter() - start, 3))
+        out[kind] = times
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -112,6 +164,15 @@ def main() -> None:
     # warmup: trigger JVM/codegen/parquet-footer caches so the first timed
     # query doesn't absorb session startup cost
     QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    cal_start = _calibration(spark, reps=3)
+    try:
+        load_start = os.getloadavg()
+    except OSError:
+        load_start = None
+    print(f"# calibration(start): "
+          f"{ {k: min(v) for k, v in cal_start.items()} } {cal_start} "
+          f"load_avg={load_start}", file=sys.stderr)
 
     # best-of-3 by default: this box shows heavy cross-tenant noise (the same
     # plan has measured 3s and 52s minutes apart), and best-of-2 still lets a
@@ -140,6 +201,15 @@ def main() -> None:
         timings[name] = min(rep_times[name])
         print(f"# {name}: {timings[name]}s {rep_times[name]}", file=sys.stderr)
 
+    cal_end = _calibration(spark, reps=3)
+    try:
+        load_end = os.getloadavg()
+    except OSError:
+        load_end = None
+    print(f"# calibration(end): "
+          f"{ {k: min(v) for k, v in cal_end.items()} } {cal_end} "
+          f"load_avg={load_end}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total_runtime",
@@ -147,6 +217,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # box-speed probes, start AND end of the run: min per regime is
+        # the session's calibration figure, the start/end pair exposes
+        # within-session degradation (a box that heats up mid-run shows
+        # end >> start). Constant work — comparable across rounds.
+        "cal": {k: min(cal_start[k] + cal_end[k]) for k in cal_start},
+        "cal_reps": {"start": cal_start, "end": cal_end},
+        "load_avg": {"start": load_start, "end": load_end},
         # per-rep times make phantom regressions self-diagnosing: best-of-N
         # can't defend against SESSION-wide noise (r5 recorded four 3-6x
         # "regressions" on unchanged code that a quiet-box probe dismissed),
@@ -177,7 +254,10 @@ def stdout_line(result: dict, target: int = 1995) -> str:
     the tail line stays best-only for the driver."""
     timings = result["queries"]
     total = result["value"]
-    base = {k: v for k, v in result.items() if k != "reps"}
+    # rep arrays and load detail live in bench_last.json only; the scalar
+    # "cal" box-speed figure stays on the line for the driver record
+    base = {k: v for k, v in result.items()
+            if k not in ("reps", "cal_reps", "load_avg")}
     for nd in (3, 2, 1):
         slim = dict(base, queries={k: round(v, nd) for k, v in timings.items()},
                     value=round(total, nd))

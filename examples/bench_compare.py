@@ -147,6 +147,34 @@ def load_baseline() -> tuple[dict, dict]:
     return best, spreads
 
 
+def _cal_dict(raw) -> dict:
+    """Normalize a "cal" value to {regime: sec}: since r11 it is
+    {"agg": ..., "alloc": ...} (two box regimes — the r11 probes showed
+    columnar scan+agg and allocation/GC speed drift independently)."""
+    if isinstance(raw, (int, float)):
+        return {"agg": float(raw)}
+    if isinstance(raw, dict):
+        return {k: float(v) for k, v in raw.items()
+                if isinstance(v, (int, float))}
+    return {}
+
+
+def load_calibrations() -> dict:
+    """round-file -> {regime: calibration seconds} ("cal" key, bench.py's
+    fixed-cost box-speed probes, recorded since r11). Earlier rounds have
+    none."""
+    cals = {}
+    for path in sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json"))):
+        with open(path) as f:
+            d = json.load(f)
+        if "parsed" in d:
+            d = d["parsed"] or {}
+        c = _cal_dict(d.get("cal"))
+        if c:
+            cals[os.path.basename(path)] = c
+    return cals
+
+
 def load_adjudications() -> dict:
     """query -> VALID adjudication record from BENCH_ADJUDICATIONS.json.
 
@@ -248,6 +276,31 @@ def main() -> None:
           f"(ratio {tot_new / tot_old:.2f}); "
           f"{n['ok']} ok, {n['adjudicated']} adjudicated, "
           f"{n['noisy']} noisy, {n['regressed']} regressed")
+    # box-speed attribution (VERDICT r10 item 2): the "cal" figures are
+    # constant synthetic work per regime, so new_cal / best-recorded-cal
+    # is the session's box factor for that regime. Total ratio within the
+    # worst regime factor -> the drift is environment; total ratio well
+    # beyond every regime factor -> the plans own the gap.
+    new_cal = _cal_dict(new.get("cal"))
+    cals = load_calibrations()
+    if new_cal and cals:
+        factors = {}
+        for regime, sec in new_cal.items():
+            hist = [c[regime] for c in cals.values() if regime in c]
+            if hist and min(hist) > 0:
+                factors[regime] = sec / min(hist)
+        if factors:
+            worst = max(factors.values())
+            shown = ", ".join(f"{r}={f:.2f}" for r, f in sorted(factors.items()))
+            print(f"# calibration: box factor per regime [{shown}]; total "
+                  f"ratio {tot_new / tot_old:.2f} is "
+                  f"{'within box regime drift' if tot_new / tot_old <= worst * 1.1 else 'NOT explained by box speed'}")
+        else:
+            print(f"# calibration: this session {new_cal} (no prior rounds "
+                  f"share a regime — baseline for future box attribution)")
+    elif new_cal:
+        print(f"# calibration: this session {new_cal} (first recorded "
+              f"round — baseline for future box attribution)")
     if n["regressed"]:
         print("# probe regressed queries interleaved before believing them "
               "(SCALE.md driver policy)", file=sys.stderr)

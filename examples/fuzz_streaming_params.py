@@ -19,6 +19,19 @@ r7 state soaks). What this fuzz adds is the parameter space: session-gap
 merge chains, non-divisor slides, minute-grain windows, per-key vs
 global grouping, multi-aggregate sets.
 
+The ``disorder`` family (VERDICT r10 item 6) additionally randomizes the
+ARRIVAL schedule: events are split into time-contiguous chunk files, a
+seeded fraction of rows is shifted 1..max_shift chunks later (bounded
+out-of-order arrival, each chunk one micro-batch via maxFilesPerTrigger),
+and the append-mode windowed aggregate runs against a pure-Python replay
+of the watermark protocol — per-batch watermark advance (max event time
+minus delay, monotonic), late contributions dropped when every window has
+closed, and only watermark-closed windows emitted. The replay IS the
+batch twin's predicate, so the watermark-drop set is asserted, not just
+the happy path. (Session windows are excluded from this family: replaying
+merge-with-late-data semantics would re-implement the operator under
+test; the fixed-schedule families above cover session parameter space.)
+
     python examples/fuzz_streaming_params.py [--n 24] [--seed 7007]
                                              [--sf-dir /root/testdata/sf0.01]
                                              [--out fuzz_streaming_last.json]
@@ -62,7 +75,21 @@ def _normalize_fn():
 def gen_config(seed: int) -> dict:
     """Same seed -> same config, independent of draw order elsewhere."""
     rng = random.Random(seed)
-    op = rng.choice(["tumbling", "sliding", "session", "interval"])
+    op = rng.choice(["tumbling", "sliding", "session", "interval", "disorder"])
+    if op == "disorder":
+        w = rng.choice([1, 3, 5, 10])
+        return {
+            "seed": seed, "op": op,
+            "window": f"{w} minutes",
+            # half the configs slide (non-divisor slides included via w//2)
+            "slide": f"{max(1, w // 2)} minutes" if rng.random() < 0.5 else None,
+            "key": rng.choice(KEYS),
+            "agg": rng.choice(AGGS),
+            "watermark": f"{rng.choice([5, 15, 60])} minutes",
+            "n_batches": rng.choice([3, 5, 8]),
+            "p_late": rng.choice([0.05, 0.2]),
+            "max_shift": rng.choice([1, 2]),
+        }
     if op == "interval":
         pt, it = rng.sample(EVENT_TYPES, 2)
         return {
@@ -149,7 +176,7 @@ def _interval_shapes(ev, cfg):
     return points, intervals
 
 
-def _run_interval(spark, cfg, events_stream, batch_events, name):
+def _run_interval(spark, cfg, events_stream, batch_events, name, phase_box):
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.interval import (
         interval_join,
     )
@@ -164,14 +191,170 @@ def _run_interval(spark, cfg, events_stream, batch_events, name):
     ).select("user_id", "point_id", "interval_id")
     q = (out.writeStream.outputMode("append").format("memory")
          .queryName(name).trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        # stop the query before raising: a leaked running query would keep
+        # competing with every subsequent config (ADVICE r10)
+        q.stop()
+        raise TimeoutError("interval stream did not finish in 180s")
     got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    phase_box["phase"] = "batch"
     b_pts, b_ivs = _interval_shapes(batch_events, cfg)
     want = interval_join(
         b_pts, b_ivs, bucket_seconds=cfg["bucket_sec"], point_time="ts",
         on="user_id",
     ).select("user_id", "point_id", "interval_id").toPandas()
     return got, want
+
+
+def _minutes(spec: str | None) -> int:
+    return int(spec.split()[0]) if spec else 0
+
+
+def _window_starts_us(ts_us: int, w_us: int, s_us: int) -> list[int]:
+    """Epoch-aligned window starts containing ts (Spark's window() grid:
+    starts at multiples of slide since the epoch, UTC session tz)."""
+    st = (ts_us // s_us) * s_us
+    out = []
+    while st > ts_us - w_us:
+        out.append(st)
+        st -= s_us
+    return out
+
+
+def simulate_disorder(pdf, cfg) -> tuple:
+    """Pure-Python replay of the watermark protocol over the arrival
+    schedule in pdf['_b'] — the batch twin's PREDICATE for the disorder
+    family, pinned against Spark 4.1 by three targeted experiments
+    (r11): with wm_eff[k] = max event time through batch k-1 minus delay
+    (monotonic; the watermark IN EFFECT during batch k),
+
+    * the LATE-DATA FILTER in batch k uses wm_eff[k-1] — one batch more
+      lag than eviction: a row whose window closed only in the previous
+      batch still merges into state (measured: a days-late row was
+      aggregated and its expired window emitted the same batch);
+    * EVICTION/EMISSION at the end of batch k uses wm_eff[k]: groups with
+      window end <= wm_eff[k] are emitted once and removed;
+    * availableNow's trailing no-data batch flushes with the final
+      watermark, so the emitted set is exactly {windows: end <= final wm}.
+
+    The filter/eviction stagger makes re-opened windows IMPOSSIBLE (a
+    window evicted in batch j had end <= wm_eff[j] <= wm_eff[k-1] for any
+    later batch k, so its stragglers are always filtered) — which the
+    replay inherits by construction rather than tracking eviction state.
+
+    Boundary conventions (end > wm to keep, end <= wm to emit) are
+    untestable on this data by construction: window ends sit on minute
+    multiples while the watermark inherits the max event time's
+    microsecond entropy, so exact ties are measure-zero.
+
+    Returns (expected_df, n_dropped, n_open_windows)."""
+    import pandas as pd
+
+    w_us = _minutes(cfg["window"]) * 60_000_000
+    s_us = (_minutes(cfg["slide"]) or _minutes(cfg["window"])) * 60_000_000
+    delay_us = _minutes(cfg["watermark"]) * 60_000_000
+    key = cfg["key"]
+    contribs: dict = {}
+    wm_prev = 0  # wm_eff[k-1]: the late-data filter's watermark
+    wm = 0       # wm_eff[k]:   the eviction watermark
+    max_ts = 0
+    n_dropped = 0
+    for b in range(cfg["n_batches"]):
+        batch = pdf[pdf["_b"] == b]
+        keys = batch[key] if key else [None] * len(batch)
+        for ts, kv, val in zip(batch["ts"], keys, batch["value"]):
+            ts_us = pd.Timestamp(ts).value // 1000
+            kept = [st for st in _window_starts_us(ts_us, w_us, s_us)
+                    if st + w_us > wm_prev]
+            if not kept:
+                n_dropped += 1
+            for st in kept:
+                contribs.setdefault((st, kv), []).append(val)
+        if len(batch):
+            max_ts = max(max_ts, pd.Timestamp(batch["ts"].max()).value // 1000)
+        wm_prev = wm
+        wm = max(wm, max_ts - delay_us)
+    rows = []
+    n_open = 0
+    for (st, kv), vals in sorted(contribs.items(), key=lambda x: str(x[0])):
+        if st + w_us > wm:
+            n_open += 1
+            continue
+        row = {"w_start": pd.Timestamp(st, unit="us"),
+               "w_end": pd.Timestamp(st + w_us, unit="us")}
+        if key:
+            row[key] = kv
+        if cfg["agg"] in ("count", "count_sum"):
+            row["n_events"] = len(vals)
+        if cfg["agg"] in ("sum", "count_sum"):
+            row["total_value"] = round(sum(vals), 6)
+        if cfg["agg"] == "min_max":
+            row["min_value"] = round(min(vals), 6)
+            row["max_value"] = round(max(vals), 6)
+        rows.append(row)
+    cols = ["w_start", "w_end"] + ([key] if key else []) + {
+        "count": ["n_events"], "sum": ["total_value"],
+        "min_max": ["min_value", "max_value"],
+        "count_sum": ["n_events", "total_value"]}[cfg["agg"]]
+    return pd.DataFrame(rows, columns=cols), n_dropped, n_open
+
+
+def _run_disorder(spark, cfg, batch_events, name, phase_box):
+    """Bounded out-of-order arrival: time-contiguous chunk files with a
+    seeded fraction of rows shifted 1..max_shift chunks later, streamed
+    one file per micro-batch (strictly increasing mtimes pin the batch
+    order), append-mode windowed aggregate vs simulate_disorder."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F401  (spec reuse below)
+
+    rng = random.Random(cfg["seed"] ^ 0x5EED)
+    pdf = (batch_events.select("event_id", "ts", "user_id", "event_type",
+                               "value")
+           .toPandas().sort_values("ts").reset_index(drop=True))
+    nb = cfg["n_batches"]
+    n = len(pdf)
+    base = [i * nb // n for i in range(n)]
+    pdf["_b"] = [
+        min(nb - 1, b + (rng.randint(1, cfg["max_shift"])
+                         if rng.random() < cfg["p_late"] else 0))
+        for b in base
+    ]
+
+    d = tempfile.mkdtemp(prefix="fzdisorder")
+    try:
+        for k in range(nb):
+            path = os.path.join(d, f"chunk-{k:03d}.parquet")
+            # coerce to microsecond timestamps: pandas writes ns by
+            # default, which Spark reads back as BIGINT, not TIMESTAMP
+            pdf[pdf["_b"] == k].drop(columns=["_b"]).to_parquet(
+                path, index=False, coerce_timestamps="us",
+                allow_truncated_timestamps=True)
+            os.utime(path, (1_700_000_000 + 100 * k,) * 2)
+        schema = spark.read.parquet(d).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(d)
+                  # pyarrow wrote tz-naive (TIMESTAMP_NTZ); watermarks
+                  # require TIMESTAMP — the cast reads the naive value in
+                  # the session tz (UTC), identical epoch to the source
+                  .withColumn("ts", F.col("ts").cast("timestamp"))
+                  .withWatermark("ts", cfg["watermark"]))
+        wcfg = {"op": "sliding" if cfg["slide"] else "tumbling",
+                "window": cfg["window"], "slide": cfg["slide"],
+                "key": cfg["key"], "agg": cfg["agg"]}
+        out = _windowed(stream, wcfg, streaming=False)  # watermark applied above
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError("disorder stream did not finish in 240s")
+        got = spark.sql(f"SELECT * FROM {name}").toPandas()
+        phase_box["phase"] = "batch"
+        want, n_dropped, n_open = simulate_disorder(pdf, cfg)
+        return got, want, {"n_dropped": n_dropped, "n_open_windows": n_open}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def run_configs(spark, sf_dir: str, seeds: list[int], log=print) -> list[dict]:
@@ -189,26 +372,47 @@ def run_configs(spark, sf_dir: str, seeds: list[int], log=print) -> list[dict]:
         cfg = gen_config(seed)
         rec = dict(cfg)
         name = "fz" + uuid.uuid4().hex[:12]
+        # which side raised: the runners flip this to "batch" after the
+        # stream side completes, so a batch-twin failure is never
+        # mislabeled stream_err (ADVICE r10)
+        phase_box = {"phase": "stream"}
+        extra: dict = {}
         try:
             if cfg["op"] == "interval":
                 got, want = _run_interval(
                     spark, cfg, read_events_stream(spark, sf_dir),
-                    batch_events, name)
+                    batch_events, name, phase_box)
+            elif cfg["op"] == "disorder":
+                got, want, extra = _run_disorder(
+                    spark, cfg, batch_events, name, phase_box)
             else:
                 stream = _windowed(read_events_stream(spark, sf_dir), cfg,
                                    streaming=True)
                 q = (stream.writeStream.outputMode("complete")
                      .format("memory").queryName(name)
                      .trigger(availableNow=True).start())
-                q.awaitTermination(180)
+                if not q.awaitTermination(180):
+                    # partial memory-sink contents must not be diffed, and
+                    # the still-running query must not leak into the next
+                    # config's session (ADVICE r10)
+                    q.stop()
+                    raise TimeoutError("stream did not finish in 180s")
                 got = spark.sql(f"SELECT * FROM {name}").toPandas()
+                phase_box["phase"] = "batch"
                 want = _windowed(batch_events, cfg,
                                  streaming=False).toPandas()
+        except TimeoutError as e:
+            rec["status"] = "timeout"
+            rec["error"] = str(e)
+            results.append(rec)
+            log(f"# [{i}] seed={seed}: TIMEOUT {rec['error']}")
+            continue
         except Exception as e:
-            rec["status"] = "stream_err"
+            rec["status"] = f"{phase_box['phase']}_err"
             rec["error"] = str(e).split("\n")[0][:300]
             results.append(rec)
-            log(f"# [{i}] seed={seed}: STREAM ERROR {rec['error'][:120]}")
+            log(f"# [{i}] seed={seed}: {rec['status'].upper()} "
+                f"{rec['error'][:120]}")
             continue
         finally:
             spark.catalog.dropTempView(name) if name in [
@@ -216,6 +420,7 @@ def run_configs(spark, sf_dir: str, seeds: list[int], log=print) -> list[dict]:
         gc, gr = normalize(got)
         wc, wr = normalize(want)
         rec["rows"] = len(gr)
+        rec.update(extra)
         if gc == wc and gr == wr:
             rec["status"] = "ok"
         else:
@@ -249,13 +454,20 @@ def main() -> None:
     for r in results:
         counts[r["status"]] = counts.get(r["status"], 0) + 1
     bad = [r for r in results if r["status"] != "ok"]
+    # the disorder dimension is only evidence if it actually exercised
+    # watermark drops somewhere in the sweep — record the totals
+    n_disorder = sum(1 for r in results if r["op"] == "disorder")
+    n_dropped = sum(r.get("n_dropped", 0) for r in results)
     with open(args.out, "w") as f:
         json.dump({"summary": {"seed": args.seed, "n": len(results),
                                "sf_dir": args.sf_dir, "counts": counts,
+                               "disorder_configs": n_disorder,
+                               "watermark_dropped_rows": n_dropped,
                                "failures": bad},
                    "configs": results}, f, indent=1)
         f.write("\n")
-    print(json.dumps(counts))
+    print(json.dumps(dict(counts, disorder_configs=n_disorder,
+                          watermark_dropped_rows=n_dropped)))
     if bad:
         raise SystemExit(1)
 

@@ -34,6 +34,14 @@ def test_config_generator_is_seed_deterministic_and_constrained():
         if cfg["op"] == "interval":
             assert cfg["point_type"] != cfg["interval_type"]
             assert cfg["bucket_sec"] > 0 and cfg["len_min"] > 0
+        if cfg["op"] == "disorder":
+            # bounded disorder, never sessions (the replay would have to
+            # re-implement session merge-with-late-data to check it)
+            assert 1 <= cfg["max_shift"] <= 2
+            assert cfg["n_batches"] >= 3
+            if cfg["slide"]:
+                assert (int(cfg["slide"].split()[0])
+                        <= int(cfg["window"].split()[0]))
 
 
 def test_small_live_batch(spark, sf_dir):
@@ -45,10 +53,45 @@ def test_small_live_batch(spark, sf_dir):
     assert not bad, f"stream/batch divergence: {bad}"
 
 
+def test_disorder_config_live(spark, sf_dir):
+    """One out-of-order arrival config per session: chunked file stream
+    with shifted rows, append-mode windowed agg vs the pure-Python
+    watermark replay — and the schedule must actually drop something,
+    or the invariant is vacuously true."""
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.sources import (
+        load_table,
+    )
+
+    # shift=1 can NEVER drop (the late-data filter lags the eviction
+    # watermark by one batch — simulate_disorder's pinned semantics), so a
+    # dropping schedule needs max_shift=2 with a high late fraction
+    for seed in range(9_920_000, 9_920_200):
+        cfg = fzs.gen_config(seed)
+        if cfg["op"] == "disorder" and cfg["p_late"] == 0.2 \
+                and cfg["max_shift"] == 2 and cfg["n_batches"] >= 5 \
+                and cfg["watermark"] != "60 minutes":
+            break
+    else:
+        raise AssertionError("no dropping disorder seed in range")
+    phase_box = {"phase": "stream"}
+    got, want, extra = fzs._run_disorder(
+        spark, cfg, load_table(spark, sf_dir, "events"), "fzdis_live",
+        phase_box)
+    spark.catalog.dropTempView("fzdis_live")
+    normalize = fzs._normalize_fn()
+    gc, gr = normalize(got)
+    wc, wr = normalize(want)
+    assert gc == wc and gr == wr, (
+        f"disorder divergence (cfg {cfg}): {len(gr)} vs {len(wr)} rows")
+    assert extra["n_dropped"] > 0, f"vacuous schedule: {extra}"
+
+
 def test_streaming_fuzz_artifact_is_clean():
     with open(os.path.join(_REPO, "fuzz_streaming_last.json")) as f:
         d = json.load(f)
     assert d["summary"]["n"] >= 24
     assert d["summary"]["failures"] == []
     ops = {r["op"] for r in d["configs"]}
-    assert ops == {"tumbling", "sliding", "session", "interval"}
+    assert ops >= {"tumbling", "sliding", "session", "interval"}
+    if "disorder" in ops:  # r11+ sweeps: the drop set must be non-vacuous
+        assert d["summary"].get("watermark_dropped_rows", 0) > 0
