@@ -42,6 +42,10 @@ Invariants asserted (violations -> exit 1, recorded per seed):
    J~0.7 where theory itself misses ~1%); and no component ever spans
    two different planted families (cross-family true Jaccard ~0, so a
    merge is a real false positive, not noise).
+5. SimHash determinism on clones: planted exact copies have IDENTICAL
+   32-bit signatures, so `simhash_near_dup_pairs` must emit every
+   within-group pair with hamming == 0 — no banding luck involved
+   (identical signatures share all bands by construction).
 
     python examples/fuzz_dedup_planted.py [--seeds 20] [--out fuzz_dedup_last.json]
 
@@ -185,7 +189,9 @@ def check_corpus(spark, seed: int) -> dict:
     )
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
         exact_dedup,
+        md5_hash32,
         minhash_dedup_pairs,
+        simhash_near_dup_pairs,
         unpersist_inputs,
     )
 
@@ -303,12 +309,33 @@ def check_corpus(spark, seed: int) -> dict:
                 f"{sorted(owners)}"
             )
 
+    # 5. SimHash determinism on clones: identical docs -> identical
+    # signatures -> banded together with hamming exactly 0, always
+    sh_df = simhash_near_dup_pairs(
+        df, max_hamming=6, bits=32, hash_col_fn=md5_hash32
+    )
+    sh0 = {
+        (min(r["id1"], r["id2"]), max(r["id1"], r["id2"]))
+        for r in sh_df.collect() if r["hamming"] == 0
+    }
+    unpersist_inputs(sh_df)
+    for g in corpus["exact_groups"]:
+        ids = sorted(g)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if (ids[i], ids[j]) not in sh0:
+                    violations.append(
+                        f"simhash: exact pair ({ids[i]},{ids[j]}) not "
+                        f"detected at hamming 0"
+                    )
+
     return {
         "seed": seed,
         "n_docs": n_docs,
         "n_planted_pairs": len(planted),
         "lsh_hits": hits,
         "lsh_theory_floor": round(floor, 2),
+        "n_simhash_zero_pairs": len(sh0),
         "violations": violations,
     }
 

@@ -9,13 +9,15 @@ seconds): heavy oracles are recorded as ``skipped_oracle_budget`` instead
 of blocking the other 138, so "does the whole registry still agree at 10x
 the driver's data?" gets an answer in minutes.
 
-Round-9 record (``parity_sf01_r9.json``): **138/141 oracles verified
-bit-for-bit at sf0.1, zero mismatches**; skipped on budget: exactly the
-components family (``doc_dedup_keep_best``, ``doc_dedup_survivors``,
-``doc_dup_clusters``) — whose sf0.1 cross-engine parity was established
-separately by the round-7 artifact (SCALE.md). The skip is the ORACLE's
-cost (DuckDB replaying iterative connected components in SQL), not the
-engine's: the Spark side of all three completes in seconds.
+Round-11 record (``parity_sf01_r11.json``): **141/141 oracles verified
+bit-for-bit at sf0.1, zero mismatches, ZERO budget-skips** — the
+components family's oracles were rewritten in r11 from the recursive
+``reach`` CTE (working set sum(|component|^2), hours at sf0.1) to a
+bounded chain of materialized min-label flood layers
+(``plans/clusters.py:_closure_sql``) that DuckDB executes in ~1.4s.
+Historical context: the r9/r10 sweeps (``parity_sf01_r9.json``) verified
+138/141 with exactly those three budget-skipped and covered separately
+(SCALE.md, ``components_sf01_last.json``).
 
     python examples/parity_sweep.py [--sf-dir DIR] [--budget 75]
                                     [--out parity_sweep_last.json]

@@ -2,10 +2,12 @@
 (examples/fuzz_dedup_planted.py, VERDICT r10 item 5): seeded corpora with
 KNOWN exact groups and near-dup families; exact_dedup must recover the
 groups exactly, MinHash-LSH recall must meet its banding-theory bound,
-the est_jaccard filter must be sound vs TRUE Jaccard, and connected
+the est_jaccard filter must be sound vs TRUE Jaccard, connected
 components must reassemble every tight planted cluster without ever
-merging two distinct ones. The full 20-seed sweep records
-fuzz_dedup_last.json; this runs a 3-seed slice inside the suite."""
+merging two distinct ones, and SimHash must pair every planted clone at
+hamming 0 (identical signatures — deterministic, no banding luck). The
+full 20-seed sweep records fuzz_dedup_last.json; this runs a 3-seed
+slice inside the suite."""
 
 import importlib.util
 import os
