@@ -46,6 +46,21 @@ Invariants asserted (violations -> exit 1, recorded per seed):
    32-bit signatures, so `simhash_near_dup_pairs` must emit every
    within-group pair with hamming == 0 — no banding luck involved
    (identical signatures share all bands by construction).
+6. Exact n-gram Jaccard (`ngram_jaccard_pairs`, no LSH in the path):
+   every planted pair with true J comfortably above the threshold must
+   appear with jaccard == round(true J, 6) exactly; every exact-group
+   pair scores 1.0; and EVERY emitted pair's score must equal the
+   Python-recomputed truth — the inverted-index join is exact or it is
+   wrong, there is no probabilistic excuse.
+7. `line_dedup` vs a Python first-occurrence oracle: a boilerplate line
+   appended to a seeded subset of docs (plus the clones' naturally
+   repeated content lines) must be kept only at its global first
+   (doc_id, line_idx) occurrence; reassembled text, n_lines, and
+   n_removed are compared per doc against the replayed rule.
+8. Winnowing guarantee (Schleimer et al.): two fresh-alphabet docs
+   sharing a planted 30-token run (>> k + w - 1 chars) must share >= 1
+   fingerprint — the theorem, not a probability — and planted clones
+   must have IDENTICAL fingerprint sets.
 
     python examples/fuzz_dedup_planted.py [--seeds 20] [--out fuzz_dedup_last.json]
 
@@ -189,10 +204,13 @@ def check_corpus(spark, seed: int) -> dict:
     )
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.dedup import (
         exact_dedup,
+        line_dedup,
         md5_hash32,
         minhash_dedup_pairs,
+        ngram_jaccard_pairs,
         simhash_near_dup_pairs,
         unpersist_inputs,
+        winnowing_fingerprints,
     )
 
     corpus = gen_corpus(seed)
@@ -329,6 +347,111 @@ def check_corpus(spark, seed: int) -> dict:
                         f"detected at hamming 0"
                     )
 
+    # 6. exact n-gram Jaccard: completeness above threshold, clone pairs
+    # at exactly 1.0, and every emitted score == the recomputed truth
+    nj_df = ngram_jaccard_pairs(df, shingle_n=3, threshold=0.3)
+    nj = {
+        (min(r["id1"], r["id2"]), max(r["id1"], r["id2"])): r["jaccard"]
+        for r in nj_df.collect()
+    }
+    unpersist_inputs(nj_df)
+    for id1, id2, eps, s in planted:
+        if s < 0.31:  # margin past the rounded-threshold boundary
+            continue
+        key = (min(id1, id2), max(id1, id2))
+        got = nj.get(key)
+        if got is None or abs(got - round(s, 6)) > 1e-9:
+            violations.append(
+                f"ngram: planted pair {key} jaccard {got} want {round(s, 6)}"
+            )
+    for g in corpus["exact_groups"]:
+        ids = sorted(g)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if nj.get((ids[i], ids[j])) != 1.0:
+                    violations.append(
+                        f"ngram: clone pair ({ids[i]},{ids[j]}) jaccard "
+                        f"{nj.get((ids[i], ids[j]))} != 1.0"
+                    )
+    for (id1, id2), got in nj.items():
+        want = round(true_jaccard(text_of[id1], text_of[id2]), 6)
+        if abs(got - want) > 1e-9:
+            violations.append(
+                f"ngram: emitted ({id1},{id2}) jaccard {got} vs truth {want}"
+            )
+
+    # 7. line_dedup vs a Python first-occurrence replay: boilerplate
+    # planted into a seeded doc subset + the clones' repeated content lines
+    rng2 = random.Random(seed ^ 0xB011)
+    boiler = "boilerplate " + " ".join(
+        f"b{rng2.randrange(100):02d}" for _ in range(10)
+    )
+    with_boiler = set(rng2.sample(sorted(text_of), 8))
+    lined = [
+        (i, text_of[i] + ("\n" + boiler if i in with_boiler else ""))
+        for i in sorted(text_of)
+    ]
+    seen_lines: set = set()
+    expect = {}
+    for i, t in lined:  # ascending doc_id, lines in order == global
+        kept_parts, removed = [], 0  # first-occurrence (doc_id, line_idx)
+        for line in t.split("\n"):
+            if len(line.strip()) >= 1:
+                if line in seen_lines:
+                    removed += 1
+                else:
+                    seen_lines.add(line)
+                    kept_parts.append(line)
+            else:
+                kept_parts.append(line)
+        expect[i] = ("\n".join(kept_parts), len(t.split("\n")), removed)
+    ld = line_dedup(
+        spark.createDataFrame(lined, ["doc_id", "text"]).repartition(8),
+        dedup_key="text",
+    )
+    for r in ld.collect():
+        want_text, want_lines, want_removed = expect[r["doc_id"]]
+        if (r["text"], r["n_lines"], r["n_removed"]) != (
+            want_text, want_lines, want_removed
+        ):
+            violations.append(
+                f"line_dedup: doc {r['doc_id']} "
+                f"(n_lines {r['n_lines']} vs {want_lines}, "
+                f"n_removed {r['n_removed']} vs {want_removed}, "
+                f"text_match {r['text'] == want_text})"
+            )
+
+    # 8. winnowing: the k+w-1 guarantee on a planted shared run, and
+    # fingerprint-set identity on clones
+    x_toks = [f"x{rng2.randrange(10**6):06d}" for _ in range(60)]
+    y_toks = (
+        [f"y{rng2.randrange(10**6):06d}" for _ in range(25)]
+        + x_toks[10:40]
+        + [f"y{rng2.randrange(10**6):06d}" for _ in range(15)]
+    )
+    wdf = spark.createDataFrame(
+        [(900001, " ".join(x_toks)), (900002, " ".join(y_toks))],
+        ["doc_id", "text"],
+    )
+    wp: dict = {}
+    for r in winnowing_fingerprints(wdf, k=8, w=4).collect():
+        wp.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    if not (wp.get(900001, set()) & wp.get(900002, set())):
+        violations.append(
+            "winnowing: planted 30-token shared run produced no shared "
+            "fingerprint (violates the k+w-1 guarantee)"
+        )
+    g0 = min(corpus["exact_groups"], key=lambda g: min(g))
+    cf: dict = {}
+    for r in winnowing_fingerprints(
+        df.filter(F.col("doc_id").isin([int(i) for i in g0])), k=8, w=4
+    ).collect():
+        cf.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    if len({frozenset(v) for v in cf.values()}) != 1 or len(cf) != len(g0):
+        violations.append(
+            f"winnowing: clone group {sorted(g0)} fingerprint sets differ"
+        )
+
     return {
         "seed": seed,
         "n_docs": n_docs,
@@ -336,6 +459,10 @@ def check_corpus(spark, seed: int) -> dict:
         "lsh_hits": hits,
         "lsh_theory_floor": round(floor, 2),
         "n_simhash_zero_pairs": len(sh0),
+        "n_ngram_pairs": len(nj),
+        "line_dedup_docs_touched": sum(
+            1 for i in expect if expect[i][2] > 0
+        ),
         "violations": violations,
     }
 
