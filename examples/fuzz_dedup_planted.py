@@ -61,6 +61,10 @@ Invariants asserted (violations -> exit 1, recorded per seed):
    sharing a planted 30-token run (>> k + w - 1 chars) must share >= 1
    fingerprint — the theorem, not a probability — and planted clones
    must have IDENTICAL fingerprint sets.
+9. `span_dedup` vs a Python first-occurrence replay over 50-token
+   windows: clones' spans all repeat (non-first clones empty to husks),
+   variants share exactly the windows their substitutions missed;
+   reassembled text, n_spans, and n_removed compared per doc.
 
     python examples/fuzz_dedup_planted.py [--seeds 20] [--out fuzz_dedup_last.json]
 
@@ -209,6 +213,7 @@ def check_corpus(spark, seed: int) -> dict:
         minhash_dedup_pairs,
         ngram_jaccard_pairs,
         simhash_near_dup_pairs,
+        span_dedup,
         unpersist_inputs,
         winnowing_fingerprints,
     )
@@ -452,6 +457,34 @@ def check_corpus(spark, seed: int) -> dict:
             f"winnowing: clone group {sorted(g0)} fingerprint sets differ"
         )
 
+    # 9. span_dedup vs a Python first-occurrence replay over 50-token
+    # windows (clones repeat every span; variants share the untouched ones)
+    span_expect = {}
+    seen_spans: set = set()
+    for i in sorted(text_of):
+        toks = text_of[i].split()
+        spans = [" ".join(toks[k : k + 50]) for k in range(0, len(toks), 50)]
+        kept_spans, removed = [], 0
+        for sp in spans:
+            if sp in seen_spans:
+                removed += 1
+            else:
+                seen_spans.add(sp)
+                kept_spans.append(sp)
+        span_expect[i] = (" ".join(kept_spans), len(spans), removed)
+    sd = span_dedup(df, span_tokens=50, dedup_key="text")
+    for r in sd.collect():
+        want_text, want_spans, want_removed = span_expect[r["doc_id"]]
+        if (r["text"], r["n_spans"], r["n_removed"]) != (
+            want_text, want_spans, want_removed
+        ):
+            violations.append(
+                f"span_dedup: doc {r['doc_id']} "
+                f"(n_spans {r['n_spans']} vs {want_spans}, "
+                f"n_removed {r['n_removed']} vs {want_removed}, "
+                f"text_match {r['text'] == want_text})"
+            )
+
     return {
         "seed": seed,
         "n_docs": n_docs,
@@ -462,6 +495,9 @@ def check_corpus(spark, seed: int) -> dict:
         "n_ngram_pairs": len(nj),
         "line_dedup_docs_touched": sum(
             1 for i in expect if expect[i][2] > 0
+        ),
+        "span_dedup_docs_touched": sum(
+            1 for i in span_expect if span_expect[i][2] > 0
         ),
         "violations": violations,
     }
