@@ -436,6 +436,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=24)
     ap.add_argument("--seed", type=int, default=7007)
+    ap.add_argument("--ops", nargs="*", default=None,
+                    help="restrict to these op families (e.g. --ops disorder "
+                         "session): seeds are scanned in order and kept only "
+                         "when their generated config matches, so a targeted "
+                         "sweep still reproduces from (seed, n, ops) alone")
     ap.add_argument("--sf-dir",
                     default=os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
                                            "/root/testdata/sf0.01"))
@@ -447,7 +452,16 @@ def main() -> None:
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark import get_spark
 
     spark = get_spark(app_name="vlds-fuzz-streaming", shuffle_partitions=8)
-    seeds = [args.seed * 1000 + i for i in range(args.n)]
+    if args.ops:
+        wanted = set(args.ops)
+        seeds, i = [], 0
+        while len(seeds) < args.n and i < args.n * 1000:
+            seed = args.seed * 1000 + i
+            if gen_config(seed)["op"] in wanted:
+                seeds.append(seed)
+            i += 1
+    else:
+        seeds = [args.seed * 1000 + i for i in range(args.n)]
     results = run_configs(spark, args.sf_dir, seeds,
                           log=lambda m: print(m, file=sys.stderr))
     counts: dict = {}
