@@ -56,14 +56,23 @@ def _closure_sql(depth: int = _FLOOD_DEPTH) -> str:
             f"SELECT e.b AS id, l.lbl FROM l{k - 1} l "
             f"JOIN edges e ON e.a = l.id) u GROUP BY id)"
         )
+    # The error() must fire for EVERY consumer of comp, not just those that
+    # read cluster_id: DuckDB 1.0 prunes unreferenced projection columns, so
+    # the r11 formulation (error() inside a CASE on cluster_id) verified
+    # nothing for e.g. `SELECT count(*) FROM comp` (ADVICE r11). Putting the
+    # error inside conv's aggregate output AND gating comp's ROWS on conv.n
+    # makes the check prune-proof — a WHERE predicate determines cardinality,
+    # so any consumer (count(*) included) must evaluate conv.n, which
+    # evaluates the CASE, which raises when the fixed point wasn't reached.
     parts.append(
-        f"conv AS (SELECT count(*) AS n FROM l{depth} a "
+        f"conv AS (SELECT CASE WHEN count(*) = 0 THEN 0 "
+        f"ELSE error('components closure: flood depth {depth} "
+        f"did not converge') END AS n FROM l{depth} a "
         f"JOIN l{depth + 1} b USING (id) WHERE a.lbl <> b.lbl)"
     )
     parts.append(
-        f"comp AS (SELECT id AS doc_id, CASE WHEN (SELECT n FROM conv) = 0 "
-        f"THEN lbl ELSE error('components closure: flood depth {depth} "
-        f"did not converge') END AS cluster_id FROM l{depth + 1})"
+        f"comp AS (SELECT id AS doc_id, lbl AS cluster_id "
+        f"FROM l{depth + 1} CROSS JOIN conv WHERE conv.n = 0)"
     )
     return ",\n".join(parts)
 
