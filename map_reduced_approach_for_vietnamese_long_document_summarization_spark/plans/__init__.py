@@ -21,70 +21,71 @@ from . import tpch_extra as _tpch_extra  # noqa: F401  (registers its queries)
 # Rounds of CORRECTNESS artifacts this window's staleness ranking was
 # computed from (CORRECTNESS_r01..r{N}.json). Bump when re-rotating so the
 # policy test re-derives the expected window from the same evidence.
-ROTATION_BASIS_ROUNDS = 10
+ROTATION_BASIS_ROUNDS = 11
 
 _PRIORITY = [
-    # ROUND-11 ROTATION — STALENESS REFRESH (VERDICT r10 item 3). Basis =
-    # CORRECTNESS_r01..r10. The 45 non-flagship slots retire the lone
-    # remaining r7 oracle (source_name_sanitize) and the 44 stalest of the
-    # r8 vintage by name (judge/BERTScore/ROUGE-per-doc/dedup-md5
-    # families); after r11 goes green no oracle's most recent driver row
-    # is older than r8. tests/test_registry_window.py::
-    # test_window_prefers_stalest re-derives this exact set from the
-    # artifacts; examples/rotate_window.py 10 printed this block.
+    # ROUND-12 ROTATION — STALENESS REFRESH (VERDICT r11 item 2). Basis =
+    # CORRECTNESS_r01..r11. The 45 non-flagship slots retire the lone
+    # remaining r8 oracle (simhash_md5_near_dups) and the 44 stalest of
+    # the r9 vintage by name (the relational/TPC-H silhouette and
+    # doc-stats families refreshed in r9); after r12 goes green no
+    # oracle's most recent driver row is older than r9.
+    # tests/test_registry_window.py::test_window_prefers_stalest
+    # re-derives this exact set from the artifacts;
+    # examples/rotate_window.py 11 printed this block.
     # flagships (always in)
     "pipeline_mapreduce_mock",
     "pipeline_iterative_mock",
     "pipeline_critique_mock",
     "pipeline_hierarchical_mock",
     "pipeline_truncated_mock",
-    # -- last green r7 --
-    "source_name_sanitize",
     # -- last green r8 --
-    "ann_recall_at3",
-    "bertscore_mock_pairs",
-    "bm25_search_top10",
-    "corpus_diff_status",
-    "corpus_mixture_rates",
-    "corpus_pack_512",
-    "corpus_top_bigrams",
-    "doc_bloom_skip_existing",
-    "doc_chunk_fixed100",
-    "doc_contamination_top20",
-    "doc_dedup_keep_best",
-    "doc_dup_clusters",
-    "doc_exact_dedup",
-    "doc_greedy_buckets",
-    "doc_length_iqr_outliers",
-    "doc_line_dedup",
-    "doc_pii_redact",
-    "doc_quality_classifier_fixed",
-    "doc_quality_report",
-    "doc_repetition_stats",
-    "doc_script_ratios",
-    "doc_span_dedup",
-    "doc_split_assign",
-    "doc_text_normalize",
-    "doc_winnow_fingerprints",
-    "embedding_ann_lsh_top3",
-    "embedding_knn_top3",
-    "events_click_in_purchase_window",
-    "events_sessionization",
-    "events_tumbling_10min",
-    "hybrid_search_top10",
-    "llm_judge_mock_scores",
-    "media_ahash_near_dups",
-    "minhash_md5_dedup",
-    "minhash_md5_incremental_dedup",
-    "minhash_md5_star_dedup",
-    "mock_collapse_loop",
-    "multimodal_decode_features",
-    "ngram_jaccard_top20",
-    "order_priority_exists_late",
-    "purchase_click_attribution",
-    "q9_product_profit",
-    "rouge1_moments_by_lang",
-    "rouge1_per_doc",
+    "simhash_md5_near_dups",
+    # -- last green r9 --
+    "best_source_by_quality",
+    "cheapest_parts",
+    "customer_first_last_order",
+    "customer_order_full_outer",
+    "customer_running_spend",
+    "customers_with_orders",
+    "customers_without_orders",
+    "doc_clean_thinking",
+    "doc_collapse_buckets",
+    "doc_dedup_survivors",
+    "doc_keyword_mentions",
+    "doc_language_id",
+    "doc_quality_scores",
+    "doc_stats_by_lang",
+    "doc_truncate_first50",
+    "events_json_key_counts",
+    "events_json_props",
+    "events_sliding_10m_5m",
+    "events_user_pivot",
+    "lang_source_roster",
+    "late_shipment_counts",
+    "local_supplier_volume_q5",
+    "monthly_order_volume",
+    "nation_foreign_regions",
+    "nation_top_customer",
+    "order_gap_days",
+    "orders_in_trailing_90d",
+    "part_both_flags_all",
+    "part_heavy_and_light",
+    "part_heavy_only",
+    "price_histogram",
+    "pricing_summary",
+    "priority_distinct_customers",
+    "priority_slices_union",
+    "region_customer_stats",
+    "region_nation_rollup",
+    "returned_item_customers_q10",
+    "returnflag_cube",
+    "returnflag_metrics_unpivot",
+    "salted_priority_counts",
+    "scalar_function_showcase",
+    "segment_stats",
+    "shipping_priority_q3",
+    "top2_orders_per_customer",
 ]
 
 
