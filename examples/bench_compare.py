@@ -56,6 +56,20 @@ comparator therefore exits non-zero until every flag has either a fix or
 a recorded adjudication — the round-7 gap (guard fired, round closed with
 the flags unadjudicated) cannot recur silently.
 
+Since round 12 ``--baseline`` is additionally CAL-NORMALIZED (VERDICT r11
+item 1): bench.py records two fixed-cost box-speed probes per session
+("agg" = columnar scan+aggregate, "alloc" = string/allocation/GC — the r11
+interleaved probes showed the two regimes drift independently on this
+box). Each query belongs to one regime (``REGIME``); its all-rounds best
+is rescaled by this session's regime factor (session cal / best historical
+cal, clamped to [1, CAL_FACTOR_CAP], current round excluded from the
+history per ADVICE r11) before the threshold applies. A query slow against
+its raw best but within the regime-adjusted level is class ``box`` —
+measured environment drift, clean exit, printed with the factor so the
+attribution is a number, not prose. Beyond the adjusted level the row is a
+plan question exactly as before. ``accepted_best`` adjudication levels are
+regime-scaled the same way.
+
     python examples/bench_compare.py BENCH_r05.json [--threshold 1.5]
                                                     [--spread 1.5]
     python examples/bench_compare.py --baseline
@@ -76,6 +90,92 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # baseline spread by this factor (ADVICE r6: a fixed threshold left 22/69
 # inherently-jittery queries permanently unflaggable).
 SPREAD_EXCESS = 1.25
+
+# Regime factors above this cap stop widening the gate: a box claiming to be
+# >3x slower than its best round is a broken session, not a gate excuse —
+# real regressions must not hide behind a melting box.
+CAL_FACTOR_CAP = 3.0
+
+# Box-speed regime per headline query (VERDICT r11 item 1): "agg" tracks the
+# columnar scan + numeric aggregate/join/window calibration probe; "alloc"
+# tracks the string/array allocation probe (tokenization, explode, HOFs,
+# md5/regex, Arrow pandas UDFs). Assignment follows the r11 interleaved-probe
+# evidence: pricing_summary-shaped plans reproduced their bests while every
+# alloc-heavy shape drifted together 1.3-1.8x. Queries absent here (or with
+# no factor computed) gate with the CONSERVATIVE factor — min across regimes
+# — so an unmapped query never gets the wider excuse.
+# tests/test_bench_compare.py pins this map to bench.py's HEADLINE list.
+REGIME = {
+    "pricing_summary": "agg",
+    "shipping_priority_q3": "agg",
+    "local_supplier_volume_q5": "agg",
+    "returned_item_customers_q10": "agg",
+    "top_revenue_orders": "agg",
+    "late_shipment_counts": "agg",
+    "top2_orders_per_customer": "agg",
+    "customer_running_spend": "agg",
+    "events_sessionization": "agg",
+    "events_tumbling_10min": "agg",
+    "events_resample_1h_ffill": "agg",
+    "events_trailing_24h_stats": "agg",
+    "events_sliding_10m_5m": "agg",
+    "events_click_in_purchase_window": "agg",
+    "purchase_click_attribution": "agg",
+    "order_priority_exists_late": "agg",
+    "q9_product_profit": "agg",
+    "q13_customer_distribution": "agg",
+    "q21_latest_shipper": "agg",
+    "doc_length_iqr_outliers": "agg",
+    "doc_bloom_skip_existing": "agg",
+    "doc_stats_by_lang": "alloc",
+    "doc_chunk_fixed100": "alloc",
+    "doc_exact_dedup": "alloc",
+    "doc_span_dedup": "alloc",
+    "ngram_jaccard_top20": "alloc",
+    "minhash_lsh_dedup": "alloc",
+    "rouge1_per_doc": "alloc",
+    "embedding_knn_top3": "alloc",
+    "embedding_ann_lsh_top3": "alloc",
+    "simhash_near_dups": "alloc",
+    "pipeline_truncated_mock": "alloc",
+    "pipeline_mapreduce_mock": "alloc",
+    "pipeline_iterative_mock": "alloc",
+    "pipeline_critique_mock": "alloc",
+    "pipeline_hierarchical_mock": "alloc",
+    "bertscore_mock_pairs": "alloc",
+    "bpe_token_counts": "alloc",
+    "doc_winnow_fingerprints": "alloc",
+    "doc_winnow_fast": "alloc",
+    "ann_recall_at3": "alloc",
+    "multimodal_decode_features": "alloc",
+    "doc_dup_clusters": "alloc",
+    "doc_contamination_top20": "alloc",
+    "corpus_pack_512": "alloc",
+    "corpus_pack_greedy_512": "alloc",
+    "doc_split_assign": "alloc",
+    "doc_repetition_stats": "alloc",
+    "doc_pii_redact": "alloc",
+    "bm25_search_top10": "alloc",
+    "corpus_top_bigrams": "alloc",
+    "doc_epoch_upsample": "alloc",
+    "doc_char_entropy": "alloc",
+    "doc_tfidf_top3": "alloc",
+    "doc_unigram_logprob": "alloc",
+    "doc_feature_hash_embed": "alloc",
+    "doc_quality_report": "alloc",
+    "doc_source_quota": "alloc",
+    "embedding_split_contamination": "alloc",
+    "embedding_semantic_dedup": "alloc",
+    "doc_line_dedup": "alloc",
+    "minhash_md5_star_dedup": "alloc",
+    "minhash_md5_incremental_dedup": "alloc",
+    "hybrid_search_top10": "alloc",
+    "doc_text_normalize": "alloc",
+    "media_ahash_near_dups": "alloc",
+    "doc_compression_ratio": "alloc",
+    "minhash_star_fast": "alloc",
+    "minhash_incremental_fast": "alloc",
+}
 
 
 def spread_of(reps) -> float:
@@ -159,10 +259,17 @@ def _cal_dict(raw) -> dict:
     return {}
 
 
-def load_calibrations() -> dict:
+def load_calibrations(exclude_cal: dict | None = None) -> dict:
     """round-file -> {regime: calibration seconds} ("cal" key, bench.py's
     fixed-cost box-speed probes, recorded since r11). Earlier rounds have
-    none."""
+    none.
+
+    ``exclude_cal`` drops any round whose cal dict EQUALS it — the round
+    being compared (ADVICE r11: once the session's own BENCH_r{N}.json is
+    committed, its cal would enter the historical min and pin the box
+    factor to 1.0, comparing the session against itself). Cal values are
+    millisecond-resolution timings of constant work, so exact equality
+    identifies the same run, never a coincidental second session."""
     cals = {}
     for path in sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json"))):
         with open(path) as f:
@@ -170,9 +277,36 @@ def load_calibrations() -> dict:
         if "parsed" in d:
             d = d["parsed"] or {}
         c = _cal_dict(d.get("cal"))
-        if c:
+        if c and c != exclude_cal:
             cals[os.path.basename(path)] = c
     return cals
+
+
+def regime_factors(new_cal: dict, cals: dict) -> tuple[dict, list]:
+    """Per-regime box factor for the gate, plus human-readable attribution.
+
+    factor[regime] = this session's cal / the best (min) historical cal for
+    that regime, clamped to [1, CAL_FACTOR_CAP]: a faster-than-ever box
+    never WIDENS the gate (the raw classify stays the floor), and a >cap
+    box is a broken session that must not hide real regressions. The
+    attribution lines report the RAW ratio vs the all-rounds best and vs
+    the most recent prior round — the measured line VERDICT r11 item 1
+    requires in place of adjudication prose."""
+    factors, attribution = {}, []
+    for regime, sec in sorted(new_cal.items()):
+        hist = {f: c[regime] for f, c in cals.items() if regime in c}
+        if not hist or min(hist.values()) <= 0:
+            continue
+        raw = sec / min(hist.values())
+        factors[regime] = min(max(raw, 1.0), CAL_FACTOR_CAP)
+        latest = max(hist)  # zero-padded names sort by round
+        m = re.search(r"_r(\d+)", latest)
+        label = f"r{int(m.group(1))}" if m else latest
+        attribution.append(
+            f"{regime} regime x{raw:.2f} vs all-rounds best, "
+            f"x{sec / hist[latest]:.2f} vs {label}"
+        )
+    return factors, attribution
 
 
 def load_adjudications() -> dict:
@@ -238,14 +372,41 @@ def main() -> None:
         new = json.load(f)
     new_q, reps = new["queries"], new.get("reps", {})
 
+    # Cal-normalized regime gate (VERDICT r11 item 1), --baseline only: the
+    # per-regime box factor rescales each query's all-rounds best before the
+    # threshold applies. A query slower than threshold x its RAW best but
+    # within threshold x its regime-adjusted best is class "box" — measured
+    # environment drift, clean exit. Beyond the adjusted level it is a plan
+    # question exactly as before.
+    new_cal = _cal_dict(new.get("cal"))
+    factors: dict = {}
+    attribution: list = []
+    if args.baseline and new_cal:
+        factors, attribution = regime_factors(
+            new_cal, load_calibrations(exclude_cal=new_cal))
+
+    def gate_factor(name: str) -> float:
+        # unmapped query or missing regime -> the conservative (smallest)
+        # factor: never the wider excuse
+        f = factors.get(REGIME.get(name))
+        return f if f is not None else min(factors.values(), default=1.0)
+
     adjudications = load_adjudications() if args.baseline else {}
     rows = []
     for name in sorted(set(old_q) & set(new_q)):
         cls = classify(old_q[name], new_q[name], reps.get(name), args.threshold,
                        args.spread, args.floor, old_spreads.get(name))
-        if cls != "ok" and name in adjudications:
+        f = gate_factor(name)
+        if cls != "ok" and f > 1.0 and classify(
+                old_q[name] * f, new_q[name], reps.get(name), args.threshold,
+                args.spread, args.floor, old_spreads.get(name)) == "ok":
+            cls = "box"
+        if cls in ("noisy", "regressed") and name in adjudications:
+            # adjudication re-baselines at accepted_best, itself regime-
+            # scaled (VERDICT r11 item 1c): an accepted level recorded in a
+            # faster box regime is compared in today's regime units
             accepted = adjudications[name].get("accepted_best")
-            if accepted is not None and new_q[name] <= accepted * args.threshold:
+            if accepted is not None and new_q[name] <= accepted * f * args.threshold:
                 cls = "adjudicated"
         rows.append((cls, name, old_q[name], new_q[name], reps.get(name)))
     if not rows:
@@ -256,9 +417,9 @@ def main() -> None:
         )
         raise SystemExit(1)
 
-    order = {"regressed": 0, "noisy": 1, "adjudicated": 2, "ok": 3}
+    order = {"regressed": 0, "noisy": 1, "box": 2, "adjudicated": 3, "ok": 4}
     rows.sort(key=lambda r: (order[r[0]], -(r[3] / max(r[2], 1e-3))))
-    n = {"ok": 0, "noisy": 0, "regressed": 0, "adjudicated": 0}
+    n = {"ok": 0, "noisy": 0, "regressed": 0, "adjudicated": 0, "box": 0}
     for cls, name, old, best, rep in rows:
         n[cls] += 1
         if cls == "adjudicated":
@@ -266,41 +427,27 @@ def main() -> None:
             print(f"{cls.upper():11s} {name:35s} {old:6.2f}s -> {best:6.2f}s"
                   f"  accepted_best={adj.get('accepted_best')} "
                   f"(r{adj.get('round')}: {adj.get('note', '')[:60]})")
+        elif cls == "box":
+            print(f"{cls.upper():11s} {name:35s} {old:6.2f}s -> {best:6.2f}s"
+                  f"  within {REGIME.get(name, '(unmapped)')} cal drift "
+                  f"x{gate_factor(name):.2f}")
         elif cls != "ok":
             print(f"{cls.upper():11s} {name:35s} {old:6.2f}s -> {best:6.2f}s"
-                  f"  reps={rep}  base_spread={old_spreads.get(name)}")
+                  f"  reps={rep}  base_spread={old_spreads.get(name)}"
+                  f"  regime_factor=x{gate_factor(name):.2f}")
     tot_old = sum(r[2] for r in rows)
     tot_new = sum(r[3] for r in rows)
     print(f"# {len(rows)} common queries vs {label}: "
           f"{tot_old:.1f}s -> {tot_new:.1f}s "
           f"(ratio {tot_new / tot_old:.2f}); "
-          f"{n['ok']} ok, {n['adjudicated']} adjudicated, "
+          f"{n['ok']} ok, {n['box']} box, {n['adjudicated']} adjudicated, "
           f"{n['noisy']} noisy, {n['regressed']} regressed")
-    # box-speed attribution (VERDICT r10 item 2): the "cal" figures are
-    # constant synthetic work per regime, so new_cal / best-recorded-cal
-    # is the session's box factor for that regime. Total ratio within the
-    # worst regime factor -> the drift is environment; total ratio well
-    # beyond every regime factor -> the plans own the gap.
-    new_cal = _cal_dict(new.get("cal"))
-    cals = load_calibrations()
-    if new_cal and cals:
-        factors = {}
-        for regime, sec in new_cal.items():
-            hist = [c[regime] for c in cals.values() if regime in c]
-            if hist and min(hist) > 0:
-                factors[regime] = sec / min(hist)
-        if factors:
-            worst = max(factors.values())
-            shown = ", ".join(f"{r}={f:.2f}" for r, f in sorted(factors.items()))
-            print(f"# calibration: box factor per regime [{shown}]; total "
-                  f"ratio {tot_new / tot_old:.2f} is "
-                  f"{'within box regime drift' if tot_new / tot_old <= worst * 1.1 else 'NOT explained by box speed'}")
-        else:
-            print(f"# calibration: this session {new_cal} (no prior rounds "
-                  f"share a regime — baseline for future box attribution)")
+    if attribution:
+        print(f"# calibration: {'; '.join(attribution)} "
+              f"(gate factors clamped to [1, {CAL_FACTOR_CAP}])")
     elif new_cal:
-        print(f"# calibration: this session {new_cal} (first recorded "
-              f"round — baseline for future box attribution)")
+        print(f"# calibration: this session {new_cal} (no prior round shares "
+              f"a regime — baseline for future box attribution)")
     if n["regressed"]:
         print("# probe regressed queries interleaved before believing them "
               "(SCALE.md driver policy)", file=sys.stderr)

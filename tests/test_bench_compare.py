@@ -150,6 +150,122 @@ def test_adjudication_reclassifies_within_accepted_level(tmp_path, monkeypatch, 
     assert run(3.5) == 1
 
 
+def test_regime_map_covers_headline():
+    """REGIME must stay in lockstep with bench.py's HEADLINE list — an
+    unmapped query silently falls back to the conservative factor, which
+    is safe but defeats the attribution; a stale entry is a typo."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(_REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert set(bc.REGIME) == set(bench.HEADLINE)
+    assert set(bc.REGIME.values()) == {"agg", "alloc"}
+
+
+def test_calibration_excludes_compared_round(tmp_path, monkeypatch):
+    """ADVICE r11: a committed BENCH file carrying the SAME cal as the
+    session being compared is the session's own record — it must not enter
+    the historical min (factor would pin to 1.0, comparing the session
+    against itself)."""
+    import json
+
+    monkeypatch.setattr(bc, "_REPO", str(tmp_path))
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"parsed": {"queries": {}, "cal": {"agg": 1.0, "alloc": 1.0}}})
+    )
+    own = {"agg": 0.4, "alloc": 0.4}  # faster than history: would become min
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"parsed": {"queries": {}, "cal": own}})
+    )
+    cals = bc.load_calibrations(exclude_cal=own)
+    assert list(cals) == ["BENCH_r01.json"]
+    factors, attribution = bc.regime_factors(own, cals)
+    # raw 0.4/1.0 = 0.4 clamps to 1.0 for the gate; attribution names r1
+    assert factors == {"agg": 1.0, "alloc": 1.0}
+    assert any("vs r1" in a for a in attribution)
+
+
+def test_regime_factor_clamped_to_cap():
+    factors, _ = bc.regime_factors(
+        {"alloc": 10.0}, {"BENCH_r01.json": {"alloc": 1.0}}
+    )
+    assert factors == {"alloc": bc.CAL_FACTOR_CAP}
+
+
+def test_box_class_within_regime_drift(tmp_path, monkeypatch, capsys):
+    """A query 2x its all-rounds best, in a session whose alloc cal also ran
+    2x its historical best, is class 'box' (clean exit) — while an agg
+    query with the same ratio stays regressed (its regime didn't drift),
+    and an UNMAPPED query gets the conservative (smaller) factor."""
+    import json
+
+    monkeypatch.setattr(bc, "_REPO", str(tmp_path))
+    monkeypatch.setattr(
+        bc, "REGIME", {"a_alloc": "alloc", "a_agg": "agg"}, raising=True
+    )
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps({"parsed": {
+        "queries": {"a_alloc": 2.0, "a_agg": 2.0, "unmapped": 2.0},
+        "cal": {"agg": 0.5, "alloc": 0.5},
+    }}))
+    new = tmp_path / "bench_last.json"
+    new.write_text(json.dumps({
+        "queries": {"a_alloc": 4.0, "a_agg": 4.0, "unmapped": 4.0},
+        "reps": {"a_alloc": [4.0, 4.0], "a_agg": [4.0, 4.0],
+                 "unmapped": [4.0, 4.0]},
+        "cal": {"agg": 0.5, "alloc": 1.0},
+    }))
+    monkeypatch.setattr(
+        bc.sys, "argv", ["bench_compare.py", "--baseline", "--new", str(new)]
+    )
+    try:
+        bc.main()
+        code = 0
+    except SystemExit as e:
+        code = e.code
+    assert code == 1  # a_agg (and unmapped) still regressed
+    out = capsys.readouterr().out
+    assert "BOX" in out and "a_alloc" in out.split("BOX")[1].splitlines()[0]
+    assert "REGRESSED" in out
+    assert "alloc regime x2.00" in out
+
+
+def test_adjudicated_accepted_best_is_regime_scaled(tmp_path, monkeypatch):
+    """VERDICT r11 item 1c: an accepted_best recorded in a faster regime is
+    compared in today's regime units — accepted 2.0 with alloc factor 1.6
+    admits a 4.5s best under threshold 1.5 (2.0*1.6*1.5=4.8)."""
+    import json
+
+    monkeypatch.setattr(bc, "_REPO", str(tmp_path))
+    monkeypatch.setattr(bc, "REGIME", {"a": "alloc", "big": "agg"}, raising=True)
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps({"parsed": {
+        "queries": {"a": 1.0, "big": 1.0}, "cal": {"agg": 0.5, "alloc": 0.5},
+    }}))
+    (tmp_path / "BENCH_ADJUDICATIONS.json").write_text(
+        json.dumps({"a": {"round": 8, "accepted_best": 2.0,
+                          "note": "t", "verdict": "accepted",
+                          "control": {"big": {"min": 1.0,
+                                              "ratio_vs_best": 1.0}}}})
+    )
+    new = tmp_path / "bench_last.json"
+    new.write_text(json.dumps({
+        "queries": {"a": 4.5, "big": 1.0},
+        "reps": {"a": [4.5, 4.5], "big": [1.0, 1.0]},
+        "cal": {"agg": 0.5, "alloc": 0.8},
+    }))
+    monkeypatch.setattr(
+        bc.sys, "argv", ["bench_compare.py", "--baseline", "--new", str(new)]
+    )
+    try:
+        bc.main()
+        code = 0
+    except SystemExit as e:
+        code = e.code
+    assert code == 0  # 4.5 <= 2.0 * 1.6 * 1.5
+
+
 def test_adjudication_ignored_outside_baseline_mode(tmp_path, monkeypatch):
     import json
 
