@@ -26,8 +26,17 @@ The audit runs at the FIXED sf0.001 dir regardless of the test-session
 env override: join-strategy selection depends on size estimates, so the
 snapshot is only meaningful against the sf it was recorded at.
 
+Because join selection is size-dependent, the sf0.001 snapshot alone is
+blind to flips that only manifest at scale — at sf0.001 Catalyst's size
+estimates make EVERYTHING broadcastable (VERDICT r11 item 3). A second
+snapshot at sf0.1 (the bench's own scale) is therefore recorded for the
+SENTINELS subset; tests/test_plan_audit.py pins the cross-sf shape
+differences to a reviewed expectation and re-derives the cheap
+join-sensitive sentinels live at sf0.1.
+
     python examples/plan_audit.py [--out plan_audit_last.json]
                                   [--sf-dir /root/testdata/sf0.001]
+                                  [--names sentinels|name1,name2,...]
 
 Regenerate the snapshot (and review the diff!) after deliberate plan
 changes; exit 1 if any query errors or contains a CartesianProduct.
@@ -44,6 +53,45 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 AUDIT_SF_DIR = "/root/testdata/sf0.001"
+SF01_DIR = "/root/testdata/sf0.1"
+
+# One representative per family: scan-agg, window, each pipeline, dedup
+# (pairs + components), ANN (brute/LSH/IVF), retrieval, packing, sampling,
+# streaming batch-twins, TPC-H join shapes. The sf0.1 snapshot
+# (plan_audit_sf01.json) covers exactly this set; tests/test_plan_audit.py
+# imports it for both guards.
+SENTINELS = [
+    "pricing_summary",
+    "top2_orders_per_customer",
+    "pipeline_mapreduce_mock",
+    "pipeline_iterative_mock",
+    "pipeline_critique_mock",
+    "pipeline_hierarchical_mock",
+    "pipeline_truncated_mock",
+    "doc_exact_dedup",
+    "minhash_md5_star_dedup",
+    "doc_dup_clusters",
+    "simhash_md5_near_dups",
+    "ngram_jaccard_top20",
+    "doc_winnow_fingerprints",
+    "embedding_knn_top3",
+    "embedding_ann_lsh_top3",
+    "embedding_ivf_fixed_top3",
+    "ann_recall_at3",
+    "bm25_search_top10",
+    "hybrid_search_top10",
+    "corpus_pack_greedy_512",
+    "doc_stratified_sample",
+    "events_sessionization",
+    "events_trailing_24h_stats",
+    "q9_product_profit",
+    "q21_latest_shipper",
+    "doc_tfidf_top3",
+    "doc_feature_hash_embed",
+    "embedding_semantic_dedup",
+    "doc_pii_redact",
+    "doc_quality_report",
+]
 
 _PATTERNS = {
     "shuffle": re.compile(r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)"),
@@ -95,14 +143,23 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plan_audit_last.json"))
+    ap.add_argument("--names", default=None,
+                    help="'sentinels' or a comma-separated query subset "
+                         "(default: the full registry)")
     args = ap.parse_args()
+    names = None
+    if args.names == "sentinels":
+        names = set(SENTINELS)
+    elif args.names:
+        names = set(args.names.split(","))
 
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark import (
         get_spark,
     )
 
     spark = get_spark(app_name="vlds-plan-audit", shuffle_partitions=32)
-    counts = audit(spark, args.sf_dir, log=lambda m: print(m, file=sys.stderr))
+    counts = audit(spark, args.sf_dir, names=names,
+                   log=lambda m: print(m, file=sys.stderr))
     errors = sorted(n for n, c in counts.items() if "error" in c)
     cartesians = sorted(
         n for n, c in counts.items() if c.get("cartesian", 0) > 0
