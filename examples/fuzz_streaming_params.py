@@ -28,9 +28,33 @@ of the watermark protocol — per-batch watermark advance (max event time
 minus delay, monotonic), late contributions dropped when every window has
 closed, and only watermark-closed windows emitted. The replay IS the
 batch twin's predicate, so the watermark-drop set is asserted, not just
-the happy path. (Session windows are excluded from this family: replaying
-merge-with-late-data semantics would re-implement the operator under
-test; the fixed-schedule families above cover session parameter space.)
+the happy path.
+
+Round 12 (VERDICT r11 item 4) extends disorder to the remaining stateful
+families:
+
+* ``disorder_session`` — same chunked schedule through a streaming
+  ``session_window`` aggregate vs an exact replay of the session
+  protocol, pinned by six targeted experiments against Spark 4.1
+  (``simulate_session_disorder``): the late filter drops a row iff its
+  initial session END (ts+gap) <= wm_eff[k-1] (one-batch lag, tie
+  drops); merges are boundary-INCLUSIVE (an event exactly at a session's
+  end extends it); eviction at the end of batch k emits sessions with
+  end <= wm_eff[k] (tie evicts); and an evicted session never merges
+  back — a kept straggler adjacent to one forms a NEW session, so
+  OVERLAPPING emitted sessions are legal streaming output that the
+  all-at-once batch twin would merge (the replay tracks eviction state
+  to reproduce exactly this).
+* ``disorder_interval`` — the chunked schedule through
+  ``interval_join_stream`` (stream-stream join). An exact replay would
+  re-implement the join-state eviction derivation, so the oracle is the
+  sound SANDWICH Spark documents for watermarked stream-stream inner
+  joins: every pair whose two rows were both on-time (watermark column
+  strictly above the replayed global watermark — the min over both
+  sides' max-minus-delay nodes — at their arrival batch) MUST be
+  emitted, and every emitted pair MUST be in the batch twin's result
+  (multiset compare, so duplicate emission also fails). Pairs involving
+  a late row may legally go either way and are only counted.
 
     python examples/fuzz_streaming_params.py [--n 24] [--seed 7007]
                                              [--sf-dir /root/testdata/sf0.01]
@@ -75,7 +99,8 @@ def _normalize_fn():
 def gen_config(seed: int) -> dict:
     """Same seed -> same config, independent of draw order elsewhere."""
     rng = random.Random(seed)
-    op = rng.choice(["tumbling", "sliding", "session", "interval", "disorder"])
+    op = rng.choice(["tumbling", "sliding", "session", "interval", "disorder",
+                     "disorder_session", "disorder_interval"])
     if op == "disorder":
         w = rng.choice([1, 3, 5, 10])
         return {
@@ -87,6 +112,34 @@ def gen_config(seed: int) -> dict:
             "agg": rng.choice(AGGS),
             "watermark": f"{rng.choice([5, 15, 60])} minutes",
             "n_batches": rng.choice([3, 5, 8]),
+            "p_late": rng.choice([0.05, 0.2]),
+            "max_shift": rng.choice([1, 2]),
+        }
+    if op == "disorder_session":
+        return {
+            "seed": seed, "op": op,
+            "gap": f"{rng.choice([2, 5, 10, 30])} minutes",
+            "key": rng.choice(KEYS[1:]),  # streaming sessions require a key
+            "agg": rng.choice(AGGS),
+            "watermark": f"{rng.choice([5, 15, 60])} minutes",
+            "n_batches": rng.choice([3, 5, 8]),
+            "p_late": rng.choice([0.05, 0.2]),
+            "max_shift": rng.choice([1, 2]),
+        }
+    if op == "disorder_interval":
+        pt, it = rng.sample(EVENT_TYPES, 2)
+        return {
+            "seed": seed, "op": op,
+            "point_type": pt, "interval_type": it,
+            # moderate bucket replication only (len/bucket <= 12): the
+            # multi-batch state store pays per batch, unlike the one-shot
+            # fixed-schedule interval family
+            "len_min": rng.choice([5, 30, 60]),
+            "bucket_sec": rng.choice([300, 1800, 3600]),
+            "direction": rng.choice(["lookback", "lookahead"]),
+            "point_watermark": f"{rng.choice([5, 15, 60])} minutes",
+            "interval_watermark": f"{rng.choice([5, 15, 60])} minutes",
+            "n_batches": rng.choice([3, 5]),
             "p_late": rng.choice([0.05, 0.2]),
             "max_shift": rng.choice([1, 2]),
         }
@@ -299,16 +352,10 @@ def simulate_disorder(pdf, cfg) -> tuple:
     return pd.DataFrame(rows, columns=cols), n_dropped, n_open
 
 
-def _run_disorder(spark, cfg, batch_events, name, phase_box):
-    """Bounded out-of-order arrival: time-contiguous chunk files with a
-    seeded fraction of rows shifted 1..max_shift chunks later, streamed
-    one file per micro-batch (strictly increasing mtimes pin the batch
-    order), append-mode windowed aggregate vs simulate_disorder."""
-    import shutil
-    import tempfile
-
-    from pyspark.sql import functions as F  # noqa: F401  (spec reuse below)
-
+def _disorder_schedule(batch_events, cfg):
+    """events as pandas, sorted by ts, with the seeded arrival batch in
+    '_b': time-contiguous chunks, a p_late fraction shifted 1..max_shift
+    chunks later (bounded out-of-order arrival)."""
     rng = random.Random(cfg["seed"] ^ 0x5EED)
     pdf = (batch_events.select("event_id", "ts", "user_id", "event_type",
                                "value")
@@ -321,25 +368,48 @@ def _run_disorder(spark, cfg, batch_events, name, phase_box):
                          if rng.random() < cfg["p_late"] else 0))
         for b in base
     ]
+    return pdf
 
+
+def _write_chunks(pdf, d: str, nb: int) -> None:
+    """One parquet file per arrival batch; strictly increasing mtimes pin
+    the micro-batch order under maxFilesPerTrigger=1."""
+    for k in range(nb):
+        path = os.path.join(d, f"chunk-{k:03d}.parquet")
+        # coerce to microsecond timestamps: pandas writes ns by default,
+        # which Spark reads back as BIGINT, not TIMESTAMP
+        pdf[pdf["_b"] == k].drop(columns=["_b"]).to_parquet(
+            path, index=False, coerce_timestamps="us",
+            allow_truncated_timestamps=True)
+        os.utime(path, (1_700_000_000 + 100 * k,) * 2)
+
+
+def _chunked_stream(spark, d: str, watermark: str | None = None):
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(d).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(d)
+              # pyarrow wrote tz-naive (TIMESTAMP_NTZ); watermarks require
+              # TIMESTAMP — the cast reads the naive value in the session
+              # tz (UTC), identical epoch to the source
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    if watermark:
+        stream = stream.withWatermark("ts", watermark)
+    return stream
+
+
+def _run_disorder(spark, cfg, batch_events, name, phase_box):
+    """Bounded out-of-order arrival through the append-mode windowed
+    aggregate vs simulate_disorder."""
+    import shutil
+    import tempfile
+
+    pdf = _disorder_schedule(batch_events, cfg)
     d = tempfile.mkdtemp(prefix="fzdisorder")
     try:
-        for k in range(nb):
-            path = os.path.join(d, f"chunk-{k:03d}.parquet")
-            # coerce to microsecond timestamps: pandas writes ns by
-            # default, which Spark reads back as BIGINT, not TIMESTAMP
-            pdf[pdf["_b"] == k].drop(columns=["_b"]).to_parquet(
-                path, index=False, coerce_timestamps="us",
-                allow_truncated_timestamps=True)
-            os.utime(path, (1_700_000_000 + 100 * k,) * 2)
-        schema = spark.read.parquet(d).schema
-        stream = (spark.readStream.schema(schema)
-                  .option("maxFilesPerTrigger", "1").parquet(d)
-                  # pyarrow wrote tz-naive (TIMESTAMP_NTZ); watermarks
-                  # require TIMESTAMP — the cast reads the naive value in
-                  # the session tz (UTC), identical epoch to the source
-                  .withColumn("ts", F.col("ts").cast("timestamp"))
-                  .withWatermark("ts", cfg["watermark"]))
+        _write_chunks(pdf, d, cfg["n_batches"])
+        stream = _chunked_stream(spark, d, watermark=cfg["watermark"])
         wcfg = {"op": "sliding" if cfg["slide"] else "tumbling",
                 "window": cfg["window"], "slide": cfg["slide"],
                 "key": cfg["key"], "agg": cfg["agg"]}
@@ -355,6 +425,243 @@ def _run_disorder(spark, cfg, batch_events, name, phase_box):
         return got, want, {"n_dropped": n_dropped, "n_open_windows": n_open}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def simulate_session_disorder(pdf, cfg) -> tuple:
+    """Exact replay of the streaming session-window protocol over the
+    arrival schedule in pdf['_b'] — the batch twin's predicate for the
+    disorder_session family, pinned against Spark 4.1 by six targeted
+    experiments (r12): with wm_eff[k] = max event time through batch k-1
+    minus delay (monotonic; the watermark IN EFFECT during batch k),
+
+    * LATE FILTER in batch k: a row is dropped iff its initial session
+      END (ts + gap) <= wm_eff[k-1] — same one-batch lag as the windowed
+      aggregate, and the tie DROPS (a row with ts+gap exactly equal to
+      the filter watermark was measured dropped);
+    * MERGE is boundary-INCLUSIVE: an event exactly at an open session's
+      end extends it (batch session_window agrees), so two sessions merge
+      iff start2 <= end1 and start1 <= end2;
+    * EVICTION at the end of batch k emits sessions with end <= wm_eff[k]
+      and removes them from state; the tie EVICTS (a session whose end
+      equaled the eviction watermark was measured emitted, and a later
+      adjacent straggler did NOT merge into it);
+    * an evicted session never merges back: a kept straggler adjacent to
+      one starts a NEW session — OVERLAPPING emitted sessions are legal
+      streaming output (measured: [10:00,10:10) emitted, then straggler
+      10:09 emitted separately as [10:09,10:19)) that the all-at-once
+      batch twin would merge, which is WHY the replay tracks eviction
+      state instead of reusing the batch operator;
+    * availableNow's trailing no-data batch flushes sessions with
+      end <= the final watermark.
+
+    Returns (expected_df, n_dropped, n_open_sessions)."""
+    import pandas as pd
+
+    gap_us = _minutes(cfg["gap"]) * 60_000_000
+    delay_us = _minutes(cfg["watermark"]) * 60_000_000
+    key = cfg["key"]
+    state: dict = {}  # key -> list of open [start, end, vals]
+    emitted: list = []  # (start, end, key, vals)
+    wm_prev = 0  # wm_eff[k-1]: the late-data filter's watermark
+    wm = 0       # wm_eff[k]:   the eviction watermark
+    max_ts = 0
+    n_dropped = 0
+    for b in range(cfg["n_batches"]):
+        batch = pdf[pdf["_b"] == b]
+        for ts, kv, val in zip(batch["ts"], batch[key], batch["value"]):
+            ts_us = pd.Timestamp(ts).value // 1000
+            if ts_us + gap_us <= wm_prev:
+                n_dropped += 1
+                continue
+            start, end, vals = ts_us, ts_us + gap_us, [val]
+            keep = []
+            for s0, e0, v0 in state.get(kv, []):
+                if s0 <= end and start <= e0:  # inclusive overlap
+                    start, end = min(start, s0), max(end, e0)
+                    vals = vals + v0
+                else:
+                    keep.append([s0, e0, v0])
+            keep.append([start, end, vals])
+            state[kv] = keep
+        if len(batch):
+            max_ts = max(max_ts, pd.Timestamp(batch["ts"].max()).value // 1000)
+        for kv, sess in state.items():
+            still = []
+            for s0, e0, v0 in sess:
+                if e0 <= wm:
+                    emitted.append((s0, e0, kv, v0))
+                else:
+                    still.append([s0, e0, v0])
+            state[kv] = still
+        wm_prev = wm
+        wm = max(wm, max_ts - delay_us)
+    n_open = 0
+    for kv, sess in state.items():  # trailing no-data batch: final wm
+        for s0, e0, v0 in sess:
+            if e0 <= wm:
+                emitted.append((s0, e0, kv, v0))
+            else:
+                n_open += 1
+    rows = []
+    for s0, e0, kv, vals in sorted(emitted, key=lambda x: (x[0], str(x[2]))):
+        row = {"w_start": pd.Timestamp(s0, unit="us"),
+               "w_end": pd.Timestamp(e0, unit="us"), key: kv}
+        if cfg["agg"] in ("count", "count_sum"):
+            row["n_events"] = len(vals)
+        if cfg["agg"] in ("sum", "count_sum"):
+            row["total_value"] = round(sum(vals), 6)
+        if cfg["agg"] == "min_max":
+            row["min_value"] = round(min(vals), 6)
+            row["max_value"] = round(max(vals), 6)
+        rows.append(row)
+    cols = ["w_start", "w_end", key] + {
+        "count": ["n_events"], "sum": ["total_value"],
+        "min_max": ["min_value", "max_value"],
+        "count_sum": ["n_events", "total_value"]}[cfg["agg"]]
+    return pd.DataFrame(rows, columns=cols), n_dropped, n_open
+
+
+def _run_disorder_session(spark, cfg, batch_events, name, phase_box):
+    """Chunked out-of-order arrival through the append-mode streaming
+    session_window aggregate vs simulate_session_disorder."""
+    import shutil
+    import tempfile
+
+    pdf = _disorder_schedule(batch_events, cfg)
+    d = tempfile.mkdtemp(prefix="fzdissess")
+    try:
+        _write_chunks(pdf, d, cfg["n_batches"])
+        stream = _chunked_stream(spark, d, watermark=cfg["watermark"])
+        wcfg = {"op": "session", "gap": cfg["gap"],
+                "key": cfg["key"], "agg": cfg["agg"]}
+        out = _windowed(stream, wcfg, streaming=False)  # watermark applied above
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError("disorder-session stream did not finish in 240s")
+        got = spark.sql(f"SELECT * FROM {name}").toPandas()
+        phase_box["phase"] = "batch"
+        want, n_dropped, n_open = simulate_session_disorder(pdf, cfg)
+        return got, want, {"n_dropped": n_dropped, "n_open_sessions": n_open}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def simulate_interval_watermark(pdf, cfg) -> tuple:
+    """Replay the GLOBAL watermark of the disorder_interval join — the min
+    over its two watermark nodes (points' ts minus point_watermark,
+    intervals' start_ts minus interval_watermark), each node the running
+    max of its column, global monotone — and classify every row:
+    safe = its watermark column strictly above the global watermark IN
+    EFFECT during its arrival batch (computed from batches strictly
+    before it — the value Spark plans batch k with; no one-batch filter
+    lag credited), so a safe row is one Spark's contract guarantees is
+    never treated as late. Returns (safe_point_ids, safe_interval_ids,
+    n_unsafe_rows)."""
+    import pandas as pd
+
+    len_us = cfg["len_min"] * 60_000_000
+    d_pt = _minutes(cfg["point_watermark"]) * 60_000_000
+    d_iv = _minutes(cfg["interval_watermark"]) * 60_000_000
+    iv_off = len_us if cfg["direction"] == "lookback" else 0
+    pts = pdf[pdf["event_type"] == cfg["point_type"]]
+    ivs = pdf[pdf["event_type"] == cfg["interval_type"]]
+    safe_pt: set = set()
+    safe_iv: set = set()
+    n_unsafe = 0
+    wm = 0
+    pt_max = iv_max = None
+    for b in range(cfg["n_batches"]):
+        bp = pts[pts["_b"] == b]
+        bi = ivs[ivs["_b"] == b]
+        # classify against the watermark in effect DURING batch b (maxima
+        # from batches < b only) ...
+        for eid, ts in zip(bp["event_id"], bp["ts"]):
+            if pd.Timestamp(ts).value // 1000 > wm:
+                safe_pt.add(eid)
+            else:
+                n_unsafe += 1
+        for eid, ts in zip(bi["event_id"], bi["ts"]):
+            if pd.Timestamp(ts).value // 1000 - iv_off > wm:
+                safe_iv.add(eid)
+            else:
+                n_unsafe += 1
+        # ... then advance the nodes with this batch's maxima
+        if len(bp):
+            m = pd.Timestamp(bp["ts"].max()).value // 1000
+            pt_max = m if pt_max is None else max(pt_max, m)
+        if len(bi):
+            m = pd.Timestamp(bi["ts"].max()).value // 1000 - iv_off
+            iv_max = m if iv_max is None else max(iv_max, m)
+        node_pt = (pt_max - d_pt) if pt_max is not None else 0
+        node_iv = (iv_max - d_iv) if iv_max is not None else 0
+        wm = max(wm, min(node_pt, node_iv))
+    return safe_pt, safe_iv, n_unsafe
+
+
+def _run_disorder_interval(spark, cfg, batch_events, name, phase_box):
+    """Chunked out-of-order arrival through interval_join_stream, checked
+    against the sound stream-stream-join SANDWICH (module docstring):
+    sure_pairs (both rows safe per simulate_interval_watermark) must all
+    be emitted, and every emitted pair must be in the batch twin's result
+    — both as MULTISETS, so duplicate emission fails too. Returns
+    (ok, detail, extra)."""
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.interval import (
+        interval_join,
+    )
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.streaming.events import (
+        interval_join_stream,
+    )
+
+    pdf = _disorder_schedule(batch_events, cfg)
+    d = tempfile.mkdtemp(prefix="fzdisiv")
+    try:
+        _write_chunks(pdf, d, cfg["n_batches"])
+        ev = _chunked_stream(spark, d)  # interval_join_stream adds watermarks
+        s_pts, s_ivs = _interval_shapes(ev, cfg)
+        out = interval_join_stream(
+            s_pts, s_ivs, bucket_seconds=cfg["bucket_sec"],
+            max_interval=f"{cfg['len_min']} minutes", on="user_id",
+            point_watermark=cfg["point_watermark"],
+            interval_watermark=cfg["interval_watermark"],
+        ).select("user_id", "point_id", "interval_id")
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError("disorder-interval stream did not finish in 240s")
+        got = spark.sql(f"SELECT * FROM {name}").toPandas()
+        phase_box["phase"] = "batch"
+        b_pts, b_ivs = _interval_shapes(batch_events, cfg)
+        want = interval_join(
+            b_pts, b_ivs, bucket_seconds=cfg["bucket_sec"], point_time="ts",
+            on="user_id",
+        ).select("user_id", "point_id", "interval_id").toPandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    safe_pt, safe_iv, n_unsafe = simulate_interval_watermark(pdf, cfg)
+    cols = ["user_id", "point_id", "interval_id"]
+    got_ms = Counter(got[cols].itertuples(index=False, name=None))
+    want_ms = Counter(want[cols].itertuples(index=False, name=None))
+    sure_ms = Counter(t for t in want_ms.elements()
+                      if t[1] in safe_pt and t[2] in safe_iv)
+    missing = sure_ms - got_ms   # guaranteed pairs the stream failed to emit
+    fabricated = got_ms - want_ms  # pairs (or duplicates) batch never produced
+    ok = not missing and not fabricated
+    detail = ("" if ok else
+              f"missing {sum(missing.values())} sure pairs, "
+              f"fabricated {sum(fabricated.values())} pairs "
+              f"(e.g. {list(missing)[:3]} / {list(fabricated)[:3]})")
+    extra = {"n_pairs": int(sum(got_ms.values())),
+             "n_batch_pairs": int(sum(want_ms.values())),
+             "n_sure_pairs": int(sum(sure_ms.values())),
+             "n_unsafe_rows": int(n_unsafe)}
+    return ok, detail, extra
 
 
 def run_configs(spark, sf_dir: str, seeds: list[int], log=print) -> list[dict]:
@@ -385,6 +692,19 @@ def run_configs(spark, sf_dir: str, seeds: list[int], log=print) -> list[dict]:
             elif cfg["op"] == "disorder":
                 got, want, extra = _run_disorder(
                     spark, cfg, batch_events, name, phase_box)
+            elif cfg["op"] == "disorder_session":
+                got, want, extra = _run_disorder_session(
+                    spark, cfg, batch_events, name, phase_box)
+            elif cfg["op"] == "disorder_interval":
+                ok, detail, extra = _run_disorder_interval(
+                    spark, cfg, batch_events, name, phase_box)
+                rec.update(extra)
+                rec["status"] = "ok" if ok else "diff"
+                if not ok:
+                    rec["detail"] = detail
+                    log(f"# [{i}] seed={seed} {cfg['op']}: DIFF {detail}")
+                results.append(rec)
+                continue  # sandwich-checked above; skip the exact compare
             else:
                 stream = _windowed(read_events_stream(spark, sf_dir), cfg,
                                    streaming=True)
@@ -468,20 +788,23 @@ def main() -> None:
     for r in results:
         counts[r["status"]] = counts.get(r["status"], 0) + 1
     bad = [r for r in results if r["status"] != "ok"]
-    # the disorder dimension is only evidence if it actually exercised
-    # watermark drops somewhere in the sweep — record the totals
-    n_disorder = sum(1 for r in results if r["op"] == "disorder")
+    # the disorder dimensions are only evidence if they actually exercised
+    # lateness somewhere in the sweep — record the totals
+    n_disorder = sum(1 for r in results if r["op"].startswith("disorder"))
     n_dropped = sum(r.get("n_dropped", 0) for r in results)
+    n_unsafe = sum(r.get("n_unsafe_rows", 0) for r in results)
     with open(args.out, "w") as f:
         json.dump({"summary": {"seed": args.seed, "n": len(results),
                                "sf_dir": args.sf_dir, "counts": counts,
                                "disorder_configs": n_disorder,
                                "watermark_dropped_rows": n_dropped,
+                               "interval_unsafe_rows": n_unsafe,
                                "failures": bad},
                    "configs": results}, f, indent=1)
         f.write("\n")
     print(json.dumps(dict(counts, disorder_configs=n_disorder,
-                          watermark_dropped_rows=n_dropped)))
+                          watermark_dropped_rows=n_dropped,
+                          interval_unsafe_rows=n_unsafe)))
     if bad:
         raise SystemExit(1)
 
