@@ -21,6 +21,12 @@ shuffle-partition config):
 * ``smj/bhj/bnlj/cartesian`` — join strategy nodes; a CartesianProduct
   anywhere is a hard error (none is ever expected), and bhj->smj flips
   show up as snapshot diffs.
+* ``scans/scan_cols/scans_with_pushdown`` (round 12) — parquet scan
+  count, TOTAL columns read across them, and scans carrying at least one
+  pushed-down filter, extracted by a JVM plan-tree walk (the plan string
+  truncates ReadSchema). Column pruning and predicate pushdown are the
+  scan-side half of the 100 TB story; a query that silently starts
+  reading whole rows now diffs against the snapshot.
 
 The audit runs at the FIXED sf0.001 dir regardless of the test-session
 env override: join-strategy selection depends on size estimates, so the
@@ -103,9 +109,42 @@ _PATTERNS = {
 }
 
 
+def scan_profile(df) -> dict:
+    """Scan-shape profile via a JVM plan-tree walk: how many parquet file
+    scans the plan has, the TOTAL number of columns they read, and how
+    many of them carry at least one pushed-down filter. This is the
+    column-pruning / predicate-pushdown leg of the 100 TB story — a scan
+    reading 16 columns for a 2-column projection is a real regression the
+    exchange counts can't see. The tree walk (not the plan string) is
+    deliberate: toString() TRUNCATES ReadSchema past ~100 chars, so
+    regex-counting columns from it would lie on wide tables."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        # AQE wraps the whole tree and exposes NO children to
+        # collectLeaves; the pre-execution rule-based plan is the member
+        plan = plan.initialPlan()
+    leaves = plan.collectLeaves()
+    n_scans = n_cols = n_pushed = 0
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if node.getClass().getSimpleName() != "FileSourceScanExec":
+            continue  # LocalTableScan / driver literals: no file read
+        n_scans += 1
+        n_cols += node.output().size()
+        meta = node.metadata()
+        if meta.contains("PushedFilters"):
+            pf = meta.apply("PushedFilters")
+            if pf and pf != "[]":
+                n_pushed += 1
+    return {"scans": n_scans, "scan_cols": n_cols,
+            "scans_with_pushdown": n_pushed}
+
+
 def plan_counts(df) -> dict:
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    return {k: len(p.findall(plan)) for k, p in _PATTERNS.items()}
+    plan_str = df._jdf.queryExecution().executedPlan().toString()
+    out = {k: len(p.findall(plan_str)) for k, p in _PATTERNS.items()}
+    out.update(scan_profile(df))
+    return out
 
 
 def audit(spark, sf_dir: str = AUDIT_SF_DIR, names=None, log=print) -> dict:
@@ -169,6 +208,7 @@ def main() -> None:
         "n_queries": len(counts),
         "total_shuffles": sum(c.get("shuffle", 0) for c in counts.values()),
         "total_broadcasts": sum(c.get("broadcast", 0) for c in counts.values()),
+        "total_scan_cols": sum(c.get("scan_cols", 0) for c in counts.values()),
         "errors": errors,
         "cartesians": cartesians,
         "queries": counts,

@@ -97,6 +97,45 @@ def test_sentinel_plans_match_snapshot(spark):
     )
 
 
+def test_scan_profiler_reports_pruning_and_pushdown(spark):
+    """The r12 scan leg of the audit must tell the truth: a 1-column
+    projection over the lineitem parquet reads exactly 1 column
+    (pruning), a filtered scan reports a pushed filter, and an unfiltered
+    full-width read reports the full width and no pushdown."""
+    pa = _mod()
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.sources import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, pa.AUDIT_SF_DIR, "lineitem")
+    width = len(li.columns)
+    narrow = li.select("l_quantity").groupBy().sum("l_quantity")
+    p = pa.scan_profile(narrow)
+    assert p == {"scans": 1, "scan_cols": 1, "scans_with_pushdown": 0}, p
+    filtered = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    p = pa.scan_profile(filtered)
+    assert p["scans"] == 1 and p["scan_cols"] == 2
+    assert p["scans_with_pushdown"] == 1, p
+    full = li  # no projection, no filter
+    p = pa.scan_profile(full)
+    assert p == {"scans": 1, "scan_cols": width, "scans_with_pushdown": 0}, p
+    # non-file plans report zero scans rather than lying
+    local = spark.range(5).groupBy().count()
+    assert pa.scan_profile(local)["scans"] == 0
+
+
+def test_snapshot_carries_scan_profile():
+    """Every recorded query must carry the scan-shape keys, and the
+    registry must actually prune: the grand total of columns read should
+    sit far below every-query-reads-everything (150 queries x 16-col
+    lineitem alone would dwarf it)."""
+    snap = _snapshot()
+    assert "total_scan_cols" in snap
+    for name, c in snap["queries"].items():
+        assert {"scans", "scan_cols", "scans_with_pushdown"} <= set(c), name
+
+
 def _sf01_snapshot():
     with open(os.path.join(_REPO, "plan_audit_sf01.json")) as f:
         return json.load(f)
