@@ -379,17 +379,23 @@ def main() -> None:
     # environment drift, clean exit. Beyond the adjusted level it is a plan
     # question exactly as before.
     new_cal = _cal_dict(new.get("cal"))
-    factors: dict = {}
     attribution: list = []
-    if args.baseline and new_cal:
-        factors, attribution = regime_factors(
+    all_factors: dict = {}
+    if new_cal:  # attribution is printed in BOTH modes (it describes the box)
+        all_factors, attribution = regime_factors(
             new_cal, load_calibrations(exclude_cal=new_cal))
+    # ... but the GATE only rescales in --baseline mode: a single-round diff
+    # stays a strict like-for-like comparison
+    factors = all_factors if args.baseline else {}
 
     def gate_factor(name: str) -> float:
-        # unmapped query or missing regime -> the conservative (smallest)
-        # factor: never the wider excuse
-        f = factors.get(REGIME.get(name))
-        return f if f is not None else min(factors.values(), default=1.0)
+        regime = REGIME.get(name)
+        if regime is not None:
+            # a query whose OWN regime has no measured factor gates at 1.0 —
+            # never another regime's (possibly wider) drift
+            return factors.get(regime, 1.0)
+        # unmapped query: the conservative (smallest) measured factor
+        return min(factors.values(), default=1.0)
 
     adjudications = load_adjudications() if args.baseline else {}
     rows = []
@@ -443,8 +449,9 @@ def main() -> None:
           f"{n['ok']} ok, {n['box']} box, {n['adjudicated']} adjudicated, "
           f"{n['noisy']} noisy, {n['regressed']} regressed")
     if attribution:
-        print(f"# calibration: {'; '.join(attribution)} "
-              f"(gate factors clamped to [1, {CAL_FACTOR_CAP}])")
+        gate_note = (f"gate factors clamped to [1, {CAL_FACTOR_CAP}]"
+                     if args.baseline else "informational in single-round mode")
+        print(f"# calibration: {'; '.join(attribution)} ({gate_note})")
     elif new_cal:
         print(f"# calibration: this session {new_cal} (no prior round shares "
               f"a regime — baseline for future box attribution)")

@@ -179,9 +179,11 @@ def audit(spark, sf_dir: str = AUDIT_SF_DIR, names=None, log=print) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=AUDIT_SF_DIR)
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plan_audit_last.json"))
+    ap.add_argument("--out", default=None,
+                    help="snapshot path (default: the full-registry "
+                         "plan_audit_last.json; REQUIRED when --names is "
+                         "set, so a subset run can never silently "
+                         "overwrite the full-registry baseline)")
     ap.add_argument("--names", default=None,
                     help="'sentinels' or a comma-separated query subset "
                          "(default: the full registry)")
@@ -191,6 +193,13 @@ def main() -> None:
         names = set(SENTINELS)
     elif args.names:
         names = set(args.names.split(","))
+    if args.out is None:
+        if names is not None:
+            ap.error("--names audits a SUBSET; pass an explicit --out so it "
+                     "cannot overwrite the full-registry plan_audit_last.json")
+        args.out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "plan_audit_last.json")
 
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark import (
         get_spark,

@@ -232,6 +232,56 @@ def test_box_class_within_regime_drift(tmp_path, monkeypatch, capsys):
     assert "alloc regime x2.00" in out
 
 
+def test_missing_own_regime_factor_never_borrows_the_other(tmp_path, monkeypatch):
+    """A session whose cal carries only the agg probe (legacy scalar shape)
+    must NOT let alloc-mapped queries gate on the agg factor — a mapped
+    query with no factor for its OWN regime gates at 1.0 and a genuine
+    regression stays regressed."""
+    import json
+
+    monkeypatch.setattr(bc, "_REPO", str(tmp_path))
+    monkeypatch.setattr(bc, "REGIME", {"a_alloc": "alloc"}, raising=True)
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps({"parsed": {
+        "queries": {"a_alloc": 1.0}, "cal": 0.5,  # legacy scalar -> agg only
+    }}))
+    new = tmp_path / "bench_last.json"
+    new.write_text(json.dumps({
+        "queries": {"a_alloc": 2.0}, "reps": {"a_alloc": [2.0, 2.0]},
+        "cal": 1.0,  # agg factor 2.0; no alloc factor exists
+    }))
+    monkeypatch.setattr(
+        bc.sys, "argv", ["bench_compare.py", "--baseline", "--new", str(new)]
+    )
+    try:
+        bc.main()
+        code = 0
+    except SystemExit as e:
+        code = e.code
+    assert code == 1  # regressed — the agg drift is not an alloc excuse
+
+
+def test_attribution_prints_in_single_round_mode(tmp_path, monkeypatch, capsys):
+    """The calibration attribution describes the BOX and prints in both
+    modes; only the gate is baseline-only (review finding r12)."""
+    import json
+
+    monkeypatch.setattr(bc, "_REPO", str(tmp_path))
+    old = tmp_path / "BENCH_r01.json"
+    old.write_text(json.dumps({"parsed": {
+        "queries": {"a": 1.0}, "cal": {"agg": 0.5, "alloc": 0.5}}}))
+    new = tmp_path / "bench_last.json"
+    new.write_text(json.dumps({
+        "queries": {"a": 1.0}, "cal": {"agg": 1.0, "alloc": 0.5}}))
+    monkeypatch.setattr(
+        bc.sys, "argv", ["bench_compare.py", str(old), "--new", str(new)]
+    )
+    bc.main()
+    out = capsys.readouterr().out
+    assert "agg regime x2.00" in out
+    assert "informational in single-round mode" in out
+    assert "no prior round shares" not in out
+
+
 def test_adjudicated_accepted_best_is_regime_scaled(tmp_path, monkeypatch):
     """VERDICT r11 item 1c: an accepted_best recorded in a faster regime is
     compared in today's regime units — accepted 2.0 with alloc factor 1.6

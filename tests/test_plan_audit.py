@@ -131,9 +131,12 @@ def test_snapshot_carries_scan_profile():
     sit far below every-query-reads-everything (150 queries x 16-col
     lineitem alone would dwarf it)."""
     snap = _snapshot()
-    assert "total_scan_cols" in snap
     for name, c in snap["queries"].items():
         assert {"scans", "scan_cols", "scans_with_pushdown"} <= set(c), name
+    # the registry must actually prune: 150 queries reading every harness
+    # column would total well past 1,500; the recorded figure is ~590.
+    # Both bounds bite — zero would mean the profiler stopped seeing scans.
+    assert 100 < snap["total_scan_cols"] < 1000, snap["total_scan_cols"]
 
 
 def _sf01_snapshot():
@@ -183,6 +186,6 @@ def test_join_sensitive_sentinels_match_sf01_snapshot(spark):
     }
     assert not diffs, (
         "sf0.1 plan shape drifted — if intentional, regenerate via "
-        f"examples/plan_audit.py --sf-dir {pa.SF01_DIR} --names sentinels: "
-        f"{diffs}"
+        f"examples/plan_audit.py --sf-dir {pa.SF01_DIR} --names sentinels "
+        f"--out plan_audit_sf01.json: {diffs}"
     )
