@@ -29,7 +29,7 @@ def compute_window(basis: int):
     expected_stalest_window, parameterized by basis round (a test pins the
     two in lockstep for the current basis)."""
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark.plans import ORACLES
-    from tests.test_registry_window import FLAGSHIPS, R12_PROMOTIONS, WINDOW
+    from tests.test_registry_window import FLAGSHIPS, R13_PROMOTIONS, WINDOW
 
     files = sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
     last = {}
@@ -42,7 +42,7 @@ def compute_window(basis: int):
                 if row.get("err") is None and row.get("hash_match"):
                     last[name] = max(rnd, last.get(name, 0))
 
-    pinned = list(FLAGSHIPS) + [n for n in R12_PROMOTIONS if n not in FLAGSHIPS]
+    pinned = list(FLAGSHIPS) + [n for n in R13_PROMOTIONS if n not in FLAGSHIPS]
     pool = sorted(
         (n for n in ORACLES if n not in pinned),
         key=lambda n: (last.get(n, 0), n),
@@ -51,7 +51,7 @@ def compute_window(basis: int):
 
 
 def main() -> None:
-    from tests.test_registry_window import FLAGSHIPS, R12_PROMOTIONS
+    from tests.test_registry_window import FLAGSHIPS, R13_PROMOTIONS
 
     files = sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
     rounds = [int(re.search(r"_r(\d+)\.json$", f).group(1)) for f in files]
@@ -63,9 +63,9 @@ def main() -> None:
     print("    # flagships (always in)")
     for n in FLAGSHIPS:
         print(f'    "{n}",')
-    if R12_PROMOTIONS:
+    if R13_PROMOTIONS:
         print("    # promotions (first driver row pending)")
-        for n in R12_PROMOTIONS:
+        for n in R13_PROMOTIONS:
             if n not in FLAGSHIPS:
                 print(f'    "{n}",')
     cur = None

@@ -21,71 +21,71 @@ from . import tpch_extra as _tpch_extra  # noqa: F401  (registers its queries)
 # Rounds of CORRECTNESS artifacts this window's staleness ranking was
 # computed from (CORRECTNESS_r01..r{N}.json). Bump when re-rotating so the
 # policy test re-derives the expected window from the same evidence.
-ROTATION_BASIS_ROUNDS = 11
+ROTATION_BASIS_ROUNDS = 12
 
 _PRIORITY = [
-    # ROUND-12 ROTATION — STALENESS REFRESH (VERDICT r11 item 2). Basis =
-    # CORRECTNESS_r01..r11. The 45 non-flagship slots retire the lone
-    # remaining r8 oracle (simhash_md5_near_dups) and the 44 stalest of
-    # the r9 vintage by name (the relational/TPC-H silhouette and
-    # doc-stats families refreshed in r9); after r12 goes green no
-    # oracle's most recent driver row is older than r9.
+    # ROUND-13 ROTATION — STALENESS REFRESH (VERDICT r12 item 4). Basis =
+    # CORRECTNESS_r01..r12. The 45 non-flagship slots retire the lone
+    # remaining r9 oracle (tree_file_hierarchical) and the 44 stalest of
+    # the r10 vintage by name (the training-data curation, embedding, and
+    # TPC-H silhouette families refreshed in r10); after r13 goes green no
+    # oracle's most recent driver row is older than r10.
     # tests/test_registry_window.py::test_window_prefers_stalest
     # re-derives this exact set from the artifacts;
-    # examples/rotate_window.py 11 printed this block.
+    # examples/rotate_window.py 12 printed this block.
     # flagships (always in)
     "pipeline_mapreduce_mock",
     "pipeline_iterative_mock",
     "pipeline_critique_mock",
     "pipeline_hierarchical_mock",
     "pipeline_truncated_mock",
-    # -- last green r8 --
-    "simhash_md5_near_dups",
     # -- last green r9 --
-    "best_source_by_quality",
-    "cheapest_parts",
-    "customer_first_last_order",
-    "customer_order_full_outer",
-    "customer_running_spend",
-    "customers_with_orders",
-    "customers_without_orders",
-    "doc_clean_thinking",
-    "doc_collapse_buckets",
-    "doc_dedup_survivors",
-    "doc_keyword_mentions",
-    "doc_language_id",
-    "doc_quality_scores",
-    "doc_stats_by_lang",
-    "doc_truncate_first50",
-    "events_json_key_counts",
-    "events_json_props",
-    "events_sliding_10m_5m",
-    "events_user_pivot",
-    "lang_source_roster",
-    "late_shipment_counts",
-    "local_supplier_volume_q5",
-    "monthly_order_volume",
-    "nation_foreign_regions",
-    "nation_top_customer",
-    "order_gap_days",
-    "orders_in_trailing_90d",
-    "part_both_flags_all",
-    "part_heavy_and_light",
-    "part_heavy_only",
-    "price_histogram",
-    "pricing_summary",
-    "priority_distinct_customers",
-    "priority_slices_union",
-    "region_customer_stats",
-    "region_nation_rollup",
-    "returned_item_customers_q10",
-    "returnflag_cube",
-    "returnflag_metrics_unpivot",
-    "salted_priority_counts",
-    "scalar_function_showcase",
-    "segment_stats",
-    "shipping_priority_q3",
-    "top2_orders_per_customer",
+    "tree_file_hierarchical",
+    # -- last green r10 --
+    "big_order_customers",
+    "brand_small_qty_revenue",
+    "corpus_pack_greedy_512",
+    "customer_balance_ranks",
+    "doc_char_entropy",
+    "doc_epoch_upsample",
+    "doc_feature_hash_embed",
+    "doc_source_quota",
+    "doc_stratified_sample",
+    "doc_tfidf_top3",
+    "doc_unigram_logprob",
+    "dormant_rich_customers",
+    "embedding_cosine_pairs_exact",
+    "embedding_int8_roundtrip",
+    "embedding_ivf_fixed_top3",
+    "embedding_label_centroids",
+    "embedding_near_dups_lsh",
+    "embedding_semantic_dedup",
+    "embedding_split_contamination",
+    "estimated_chunk_counts",
+    "events_click_purchase_pairs",
+    "events_dedup_first_per_minute",
+    "events_resample_1h_ffill",
+    "events_trailing_24h_stats",
+    "forecast_revenue_q6",
+    "lineitem_grouping_sets",
+    "mock_collapse_level",
+    "multimodal_decode_dims",
+    "nation_supplier_scalars",
+    "promo_revenue_q14",
+    "q11_important_inventory",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q21_latest_shipper",
+    "q2_min_cost_supplier",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "returnflag_except_all",
+    "rouge1_histogram",
+    "rouge2_per_doc",
+    "segment_price_percentiles",
 ]
 
 

@@ -44,7 +44,7 @@ FLAGSHIPS = [
 # be rotated into the NEXT window for their first driver row. Kept empty
 # unless a genuinely new oracled query lands (VERDICT r5 item 6: freshness
 # beats growth). The orphan test exempts exactly this list.
-R12_PROMOTIONS: list = []
+R13_PROMOTIONS: list = []
 
 
 def _green_rows_by_round(max_round):
@@ -82,7 +82,7 @@ def expected_stalest_window():
     query with NO green row ever ranks first (round 0) — never-verified
     beats stale."""
     last = _green_rows_by_round(ROTATION_BASIS_ROUNDS)
-    pinned = list(FLAGSHIPS) + [n for n in R12_PROMOTIONS if n not in FLAGSHIPS]
+    pinned = list(FLAGSHIPS) + [n for n in R13_PROMOTIONS if n not in FLAGSHIPS]
     pool = sorted(
         (n for n in ORACLES if n not in pinned),
         key=lambda n: (last.get(n, 0), n),
@@ -122,11 +122,11 @@ def test_every_oracled_query_has_a_driver_row_somewhere():
     """Window-capacity hygiene: no oracled query may sit outside EVERY
     window — it must have a green row in a past round's CORRECTNESS file,
     be inside the current first-50 (so the coming round checks it), or be
-    explicitly queued in R12_PROMOTIONS for the next rotation. A new
+    explicitly queued in R13_PROMOTIONS for the next rotation. A new
     oracled query registered anywhere else fails here immediately, so the
     rotation chore can never silently backlog."""
     window = set(list(QUERIES)[:WINDOW])
-    covered = _driver_checked_names() | window | set(R12_PROMOTIONS)
+    covered = _driver_checked_names() | window | set(R13_PROMOTIONS)
     orphans = sorted(set(ORACLES) - covered)
     assert not orphans, f"oracled queries never driver-checked: {orphans}"
 
@@ -135,7 +135,7 @@ def test_promotion_candidates_are_oracled():
     """Every promotion candidate must exist and carry an oracle — and once
     one gains a green driver row, the next rotation drops it from the
     promotions list so the orphan exemption doesn't outlive its purpose."""
-    for n in R12_PROMOTIONS:
+    for n in R13_PROMOTIONS:
         assert n in QUERIES, f"promotion candidate {n} not registered"
         assert n in ORACLES, f"promotion candidate {n} has no oracle"
 
