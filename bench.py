@@ -217,11 +217,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-        # box-speed probes, start AND end of the run: min per regime is
-        # the session's calibration figure, the start/end pair exposes
-        # within-session degradation (a box that heats up mid-run shows
-        # end >> start). Constant work — comparable across rounds.
-        "cal": {k: min(cal_start[k] + cal_end[k]) for k in cal_start},
+        # box-speed probes, start AND end of the run. The session figure is
+        # the WORSE of the two phase minima per regime (VERDICT r12 finding
+        # 1: a load spike can hit the early queries and pass before the
+        # end-of-run probe — min over all reps under-reported the contention
+        # those queries saw; the driver's r12 artifact proved it). Constant
+        # work — comparable across rounds; historical mins stay the
+        # best-box denominator in bench_compare.
+        "cal": {k: round(max(min(cal_start[k]), min(cal_end[k])), 3)
+                for k in cal_start},
         "cal_reps": {"start": cal_start, "end": cal_end},
         "load_avg": {"start": load_start, "end": load_end},
         # per-rep times make phantom regressions self-diagnosing: best-of-N

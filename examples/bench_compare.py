@@ -259,27 +259,70 @@ def _cal_dict(raw) -> dict:
     return {}
 
 
-def load_calibrations(exclude_cal: dict | None = None) -> dict:
+def load_calibrations(exclude_path: str | None = None,
+                      exclude_run: dict | None = None) -> dict:
     """round-file -> {regime: calibration seconds} ("cal" key, bench.py's
     fixed-cost box-speed probes, recorded since r11). Earlier rounds have
     none.
 
-    ``exclude_cal`` drops any round whose cal dict EQUALS it — the round
-    being compared (ADVICE r11: once the session's own BENCH_r{N}.json is
-    committed, its cal would enter the historical min and pin the box
-    factor to 1.0, comparing the session against itself). Cal values are
-    millisecond-resolution timings of constant work, so exact equality
-    identifies the same run, never a coincidental second session."""
+    Exclusion identifies the round being COMPARED so its own cal never
+    enters the historical min (ADVICE r11: a committed copy of the session
+    under comparison would pin the box factor to 1.0, comparing the session
+    against itself) — by FILENAME (``exclude_path``: the --new file itself
+    may be a BENCH_r{N}.json) or by RUN IDENTITY (``exclude_run``: a
+    history file whose per-query timing dict AND cal both equal the new
+    run's is a verbatim copy of it). ADVICE r12 dropped the old
+    cal-value-equality heuristic: committed cals are rounded to 3 decimals,
+    so two distinct sessions on a stable box can collide on cal alone and a
+    genuine historical round would be silently dropped; also colliding on
+    the full ms-resolution query timing dict cannot happen."""
+    exclude_base = os.path.basename(exclude_path) if exclude_path else None
     cals = {}
     for path in sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json"))):
+        if exclude_base and os.path.basename(path) == exclude_base:
+            continue
         with open(path) as f:
             d = json.load(f)
         if "parsed" in d:
             d = d["parsed"] or {}
+        if (exclude_run
+                and d.get("queries") == exclude_run.get("queries")
+                and d.get("cal") == exclude_run.get("cal")):
+            continue
         c = _cal_dict(d.get("cal"))
-        if c and c != exclude_cal:
+        if c:
             cals[os.path.basename(path)] = c
     return cals
+
+
+def session_cal(new: dict) -> dict:
+    """The CONSERVATIVE box-speed figure for the session under comparison
+    (VERDICT r12 finding 1): when the run recorded per-phase probe reps
+    (``cal_reps.start/end``), gate on the WORSE of the two phase minima per
+    regime — a load spike that hit the early queries and passed before the
+    end-of-run probe must still widen the gate. Falls back to the flat
+    ``cal`` scalar/dict for records without phase detail (driver artifacts
+    strip ``cal_reps``; bench.py's own ``cal`` is now already the
+    conservative max, so both paths agree on new records)."""
+    phases = new.get("cal_reps")
+    if isinstance(phases, dict):
+        start = {k: min(v) for k, v in (phases.get("start") or {}).items()
+                 if isinstance(v, list) and v}
+        end = {k: min(v) for k, v in (phases.get("end") or {}).items()
+               if isinstance(v, list) and v}
+        if start or end:
+            return {k: max(start.get(k, 0.0), end.get(k, 0.0))
+                    for k in set(start) | set(end)}
+    return _cal_dict(new.get("cal"))
+
+
+def _round_number(filename: str) -> int:
+    """Numeric round of a BENCH_r{N}.json name; -1 when unparseable. Sorting
+    by this (not the raw filename) keeps the 'vs latest round' attribution
+    correct past round 99 (ADVICE r12: BENCH_r100 sorts before BENCH_r99
+    lexicographically)."""
+    m = re.search(r"_r(\d+)", filename)
+    return int(m.group(1)) if m else -1
 
 
 def regime_factors(new_cal: dict, cals: dict) -> tuple[dict, list]:
@@ -299,9 +342,9 @@ def regime_factors(new_cal: dict, cals: dict) -> tuple[dict, list]:
             continue
         raw = sec / min(hist.values())
         factors[regime] = min(max(raw, 1.0), CAL_FACTOR_CAP)
-        latest = max(hist)  # zero-padded names sort by round
-        m = re.search(r"_r(\d+)", latest)
-        label = f"r{int(m.group(1))}" if m else latest
+        latest = max(hist, key=_round_number)  # numeric round, not lexicographic
+        n = _round_number(latest)
+        label = f"r{n}" if n >= 0 else latest
         attribution.append(
             f"{regime} regime x{raw:.2f} vs all-rounds best, "
             f"x{sec / hist[latest]:.2f} vs {label}"
@@ -378,12 +421,13 @@ def main() -> None:
     # within threshold x its regime-adjusted best is class "box" — measured
     # environment drift, clean exit. Beyond the adjusted level it is a plan
     # question exactly as before.
-    new_cal = _cal_dict(new.get("cal"))
+    new_cal = session_cal(new)  # conservative worse-of-start/end (VERDICT r12)
     attribution: list = []
     all_factors: dict = {}
     if new_cal:  # attribution is printed in BOTH modes (it describes the box)
         all_factors, attribution = regime_factors(
-            new_cal, load_calibrations(exclude_cal=new_cal))
+            new_cal, load_calibrations(exclude_path=args.new,
+                                       exclude_run=new))
     # ... but the GATE only rescales in --baseline mode: a single-round diff
     # stays a strict like-for-like comparison
     factors = all_factors if args.baseline else {}

@@ -267,6 +267,16 @@ def check_corpus(spark, seed: int) -> dict:
         violations.append(f"rrf: got != replay, first diffs {diffs}")
 
     dual = {i for i, _ in bm_ranks} & {i for i, _ in leg2_ranks}
+    # ADVICE r12: a dual doc pushed out of the top-k entirely would be
+    # invisible to the rank comparison below — require every dual doc to be
+    # IN the fused output first (legs are depth 20 with k=60, so the worst
+    # dual score 2/(60+20) beats the best single score 1/(60+1); the fused
+    # top-k must hold all dual docs up to its capacity).
+    fused_ids = {i for i, _, _ in fused}
+    if len(dual & fused_ids) != min(len(dual), BM25_K):
+        violations.append(
+            f"rrf dual-presence theorem: {sorted(dual - fused_ids)} "
+            f"dual-leg docs missing from the fused top-{BM25_K}")
     worst_dual_rank = max((rnk for i, _, rnk in fused if i in dual), default=0)
     best_single_rank = min((rnk for i, _, rnk in fused if i not in dual),
                            default=10**9)

@@ -166,26 +166,95 @@ def test_regime_map_covers_headline():
 
 
 def test_calibration_excludes_compared_round(tmp_path, monkeypatch):
-    """ADVICE r11: a committed BENCH file carrying the SAME cal as the
-    session being compared is the session's own record — it must not enter
-    the historical min (factor would pin to 1.0, comparing the session
-    against itself)."""
+    """ADVICE r11 + r12: the round being compared must not enter the
+    historical min (factor would pin to 1.0, comparing the session against
+    itself) — identified by FILENAME or by verbatim-copy run identity
+    (identical queries dict), never by cal-value equality: rounded cals can
+    collide across genuinely distinct sessions on a stable box."""
     import json
 
     monkeypatch.setattr(bc, "_REPO", str(tmp_path))
+    own_q = {"a": 1.234, "b": 5.678}
+    own_cal = {"agg": 0.4, "alloc": 0.4}  # faster than history: would become min
     (tmp_path / "BENCH_r01.json").write_text(
         json.dumps({"parsed": {"queries": {}, "cal": {"agg": 1.0, "alloc": 1.0}}})
     )
-    own = {"agg": 0.4, "alloc": 0.4}  # faster than history: would become min
+    # r2: a DISTINCT session whose rounded cal happens to equal the session's
+    # — the old equality heuristic dropped it; it must stay in history
     (tmp_path / "BENCH_r02.json").write_text(
-        json.dumps({"parsed": {"queries": {}, "cal": own}})
+        json.dumps({"parsed": {"queries": {"a": 9.0}, "cal": dict(own_cal)}})
     )
-    cals = bc.load_calibrations(exclude_cal=own)
-    assert list(cals) == ["BENCH_r01.json"]
-    factors, attribution = bc.regime_factors(own, cals)
-    # raw 0.4/1.0 = 0.4 clamps to 1.0 for the gate; attribution names r1
+    # r3: the driver's verbatim copy of the session being compared
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"parsed": {"queries": own_q, "cal": dict(own_cal)}})
+    )
+    own_run = {"queries": own_q, "cal": dict(own_cal)}
+    cals = bc.load_calibrations(
+        exclude_path=str(tmp_path / "bench_last.json"), exclude_run=own_run
+    )
+    assert sorted(cals) == ["BENCH_r01.json", "BENCH_r02.json"]
+    # comparing a BENCH_r{N}.json directly: excluded by its own filename
+    cals = bc.load_calibrations(
+        exclude_path=str(tmp_path / "BENCH_r03.json"), exclude_run=own_run
+    )
+    assert sorted(cals) == ["BENCH_r01.json", "BENCH_r02.json"]
+    factors, attribution = bc.regime_factors(own_cal, cals)
+    # r2's colliding cal 0.4 is now legitimately the historical best: the
+    # session's 0.4 is a same-speed box, factor 1.0; attribution names r2
     assert factors == {"agg": 1.0, "alloc": 1.0}
-    assert any("vs r1" in a for a in attribution)
+    assert any("vs r2" in a for a in attribution)
+
+
+def test_latest_round_attribution_is_numeric_past_r99(tmp_path, monkeypatch):
+    """ADVICE r12: lexicographic max(hist) mislabels the 'vs latest round'
+    line once round numbers gain a digit (BENCH_r100 < BENCH_r99 as
+    strings) — the attribution must parse the round number."""
+    cals = {
+        "BENCH_r99.json": {"agg": 1.0},
+        "BENCH_r100.json": {"agg": 2.0},
+    }
+    factors, attribution = bc.regime_factors({"agg": 2.0}, cals)
+    assert factors == {"agg": 2.0}  # vs all-rounds best (r99's 1.0)
+    assert any("x1.00 vs r100" in a for a in attribution)
+
+
+def test_session_cal_gates_on_worse_phase(tmp_path, monkeypatch, capsys):
+    """VERDICT r12 finding 1: a load spike that hits the early queries and
+    passes before the end-of-run probe must still widen the gate — the
+    session figure is the WORSE of the start/end phase minima, taken from
+    cal_reps when present (a flat min-over-all 'cal' would report the quiet
+    end phase and classify the spike-hit query as regressed)."""
+    import json
+
+    # unit level: worse-of-phases, per regime
+    assert bc.session_cal({
+        "cal": {"agg": 0.5},  # legacy min-over-all — must be overridden
+        "cal_reps": {"start": {"agg": [1.0, 1.1], "alloc": [0.6]},
+                     "end": {"agg": [0.5, 0.5], "alloc": [0.8]}},
+    }) == {"agg": 1.0, "alloc": 0.8}
+    # records without phase detail (driver strips cal_reps) fall back flat
+    assert bc.session_cal({"cal": {"agg": 0.7}}) == {"agg": 0.7}
+    assert bc.session_cal({"cal": 0.7}) == {"agg": 0.7}
+
+    # end-to-end: query 2x its best + start-phase cal 2x history = box
+    monkeypatch.setattr(bc, "_REPO", str(tmp_path))
+    monkeypatch.setattr(bc, "REGIME", {"a": "agg"}, raising=True)
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps({"parsed": {
+        "queries": {"a": 2.0}, "cal": {"agg": 0.5},
+    }}))
+    new = tmp_path / "bench_last.json"
+    new.write_text(json.dumps({
+        "queries": {"a": 4.0}, "reps": {"a": [4.0, 4.0]},
+        "cal": {"agg": 0.5},  # min-over-all: quiet end phase
+        "cal_reps": {"start": {"agg": [1.0, 1.0, 1.0]},
+                     "end": {"agg": [0.5, 0.5, 0.5]}},
+    }))
+    monkeypatch.setattr(
+        bc.sys, "argv", ["bench_compare.py", "--baseline", "--new", str(new)]
+    )
+    bc.main()  # clean exit: class box, not regressed
+    out = capsys.readouterr().out
+    assert "BOX" in out and "REGRESSED" not in out
 
 
 def test_regime_factor_clamped_to_cap():

@@ -159,9 +159,13 @@ def test_sf01_shape_diffs_vs_sf001_are_reviewed():
     is reviewed and annotated."""
     s001 = _snapshot()["queries"]
     s01 = _sf01_snapshot()["queries"]
+    # ADVICE r12: diff over the UNION of keys — a metric recorded by only
+    # one snapshot (e.g. after a partial regeneration with newer plan_audit
+    # code) must surface here, not vanish from the reviewed-diff guard
     diffs = {
-        n: {k: (s001[n][k], s01[n][k]) for k in s001[n]
-            if s001[n][k] != s01[n].get(k)}
+        n: {k: (s001[n].get(k), s01[n].get(k))
+            for k in set(s001[n]) | set(s01[n])
+            if s001[n].get(k) != s01[n].get(k)}
         for n in SENTINELS
         if s001[n] != s01[n]
     }
