@@ -76,3 +76,55 @@ def ngram_contamination(
     # the consuming action via operators.unpersist_inputs(out).
     out._persisted_inputs = [tsh]
     return out
+
+
+def embedding_contamination(
+    test: DataFrame,
+    train: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Semantic decontamination: (test_id, train_id) for every test x train
+    vector pair whose cosine similarity clears ``threshold`` — the
+    embedding-space twin of ``ngram_contamination`` that catches
+    paraphrase-level leakage n-gram overlap misses.
+
+    Cosines are rounded to 6 decimals BEFORE thresholding (the repo-wide
+    cross-engine convention: a pair within an ulp of the threshold must not
+    flip between engines — so a raw cosine of 0.2999996 at threshold 0.3 IS
+    flagged). Zero vectors are dropped from both sides (no NaN ever reaches
+    the filter), and magnitudes are irrelevant by construction.
+
+    Scale: the test split is the small side by convention (e.g. 10% of an
+    80/10/10 split) and is broadcast; the train side never shuffles. Each
+    side is unit-normalized ONCE per vector before the pair stage — the
+    naive cosine-per-pair form re-evaluates both norms (interpreted HOF
+    aggregates) once per PAIR, 5 aggregates a pair instead of 1.
+    """
+
+    def _unit(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        v = df.select(
+            F.col(id_col).alias(out_id),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+        )
+        dot_self = F.aggregate(
+            F.zip_with("_v", "_v", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+        )
+        return (
+            v.withColumn("_n", F.sqrt(dot_self))
+            .filter(F.col("_n") > 0)
+            .select(out_id, F.transform("_v", lambda x: x / F.col("_n")).alias(out_vec))
+        )
+
+    t = _unit(test, "test_id", "tu")
+    r = _unit(train, "train_id", "ru")
+    dot = F.aggregate(
+        F.zip_with("tu", "ru", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+    )
+    return (
+        F.broadcast(t)
+        .crossJoin(r)
+        .filter(F.round(dot, 6) >= threshold)
+        .select("test_id", "train_id")
+    )

@@ -365,44 +365,21 @@ def embedding_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     broadcast; the train side never shuffles (the same plan as
     cosine_topk's broadcast-queries design). Ids only, so float noise
     can't touch the driver's hash."""
+    from ..operators.contamination import embedding_contamination
     from ..operators.sampling import assign_split
 
-    e = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 2000)
-        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    )
-    # pre-normalize PER VECTOR: the naive cosine-per-pair form re-evaluates
-    # both norms (interpreted HOF aggregates) once per PAIR — 5 aggregates
-    # a pair instead of 1; unit vectors cut the pair stage to a single dot
-    dot_self = F.aggregate(
-        F.zip_with("v", "v", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
-    )
-    e = (
-        e.withColumn("_n", F.sqrt(dot_self))
-        .filter(F.col("_n") > 0)
-        .select("vec_id", F.transform("v", lambda x: x / F.col("_n")).alias("u"))
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000).select(
+        "vec_id", "embedding"
     )
     split = assign_split(e, "vec_id")
-    test = split.filter(F.col("split") == "test").select(
-        F.col("vec_id").alias("test_id"), F.col("u").alias("tu")
-    )
-    train = split.filter(F.col("split") == "train").select(
-        F.col("vec_id").alias("train_id"), F.col("u").alias("ru")
-    )
-    # round(6) before thresholding, the repo-wide cross-engine convention:
-    # DuckDB's list_dot_product need not be the same left-to-right fold as
-    # aggregate(zip_with(...)), and a pair landing within an ulp of the
-    # threshold must not flip between engines
-    dot = F.aggregate(
-        F.zip_with("tu", "ru", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
-    )
-    return (
-        F.broadcast(test)
-        .crossJoin(train)
-        .filter(F.round(dot, 6) >= 0.3)
-        .select("test_id", "train_id")
-    )
+    test = split.filter(F.col("split") == "test").select("vec_id", "embedding")
+    train = split.filter(F.col("split") == "train").select("vec_id", "embedding")
+    # the operator pre-normalizes once per vector and rounds cosines to 6
+    # decimals before thresholding — the repo-wide cross-engine convention
+    # (DuckDB's list_dot_product need not be the same left-to-right fold as
+    # aggregate(zip_with(...)); a pair within an ulp of the threshold must
+    # not flip between engines)
+    return embedding_contamination(test, train, threshold=0.3)
 
 
 _DUCK_QUOTA_R = _duck_uniform_r("doc_id", "quota")
