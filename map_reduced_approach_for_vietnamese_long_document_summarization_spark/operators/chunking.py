@@ -51,44 +51,15 @@ def _split_on(text: str, sep: str) -> list[str]:
     return out
 
 
-def recursive_split_text(
-    text: str,
-    chunk_size: int,
-    chunk_overlap: int = 0,
-    separators: tuple[str, ...] = DEFAULT_SEPARATORS,
-    length_fn=ws_len,
+def _merge_pieces(
+    pieces: list[str], chunk_size: int, chunk_overlap: int, length_fn
 ) -> list[str]:
-    """Recursive character split with token-budget merge and overlap.
-
-    Semantics mirror the reference's splitter (same separator hierarchy,
-    size measured by ``length_fn``, greedy merge of adjacent pieces up to
-    ``chunk_size`` with ``chunk_overlap`` tokens of lookback): split on the
-    coarsest separator; any piece still over budget is split recursively with
-    the next separator; adjacent small pieces are re-merged greedily.
-
-    Known divergence: merged pieces are re-joined with ``' '`` and stripped,
-    so chunk TEXT can differ byte-wise from langchain's
-    RecursiveCharacterTextSplitter (which preserves original separator
-    placement); token budgets, chunk ordering, and counts match. Preserve the
-    source separators on re-join if byte-level chunk parity ever matters.
-    """
-    if length_fn(text) <= chunk_size:
-        t = text.strip()
-        return [t] if t else []
-
-    sep = separators[0] if separators else ""
-    rest = separators[1:] if len(separators) > 1 else ("",)
-    pieces: list[str] = []
-    for part in _split_on(text, sep):
-        if length_fn(part) > chunk_size and sep != "":
-            pieces.extend(recursive_split_text(part, chunk_size, 0, rest, length_fn))
-        else:
-            p = part.strip() if sep != "" else part
-            if p:
-                pieces.append(p)
-
-    # Greedy merge of adjacent pieces into chunks <= chunk_size, carrying
-    # `chunk_overlap` tokens of trailing context into the next chunk.
+    """Greedy merge of adjacent pieces into chunks <= chunk_size, carrying
+    ``chunk_overlap`` tokens of trailing context into the next chunk —
+    langchain ``_merge_splits`` semantics (flush on would-overflow, retain a
+    maximal trailing suffix within the overlap, then shed retained overlap
+    until the INCOMING piece fits the budget too; without the shed, overlap
+    + piece could exceed chunk_size by up to chunk_overlap tokens)."""
     chunks: list[str] = []
     cur: list[str] = []
     cur_len = 0
@@ -106,11 +77,6 @@ def recursive_split_text(
                         break
                     keep.insert(0, prev)
                     klen += pl
-                # langchain _merge_splits parity: shed retained overlap
-                # until the INCOMING piece fits the budget too — without
-                # this, overlap + piece could exceed chunk_size by up to
-                # chunk_overlap tokens (the flush only fires on the piece
-                # AFTER), overflowing the context window the budget guards
                 while keep and klen + plen > chunk_size:
                     klen -= length_fn(keep.pop(0))
                 cur, cur_len = keep, klen
@@ -120,6 +86,81 @@ def recursive_split_text(
         cur_len += plen
     if cur:
         chunks.append(" ".join(cur).strip())
+    return [c for c in chunks if c]
+
+
+def recursive_split_text(
+    text: str,
+    chunk_size: int,
+    chunk_overlap: int = 0,
+    separators: tuple[str, ...] = DEFAULT_SEPARATORS,
+    length_fn=ws_len,
+) -> list[str]:
+    """Recursive character split with token-budget merge and overlap.
+
+    Semantics mirror the reference's splitter (langchain
+    RecursiveCharacterTextSplitter via run_full_evaluation_pipeline.py:
+    356-361) at the token level, in the three ways the round-13 planted
+    pipeline fuzzer pins:
+
+    * the active separator is the FIRST one actually PRESENT in the text
+      (absent separators are skipped, not recursed through);
+    * ``chunk_overlap`` applies at EVERY merge level, including inside the
+      recursion for oversized pieces (the pre-r13 engine passed overlap 0
+      down, so long uniform text chunked with no overlap at all — the
+      planted closed form m = 1 + ceil((N-C)/(C-V)) caught it);
+    * an oversized piece's recursive sub-chunks are emitted IN PLACE,
+      never re-merged with sibling pieces (langchain extends
+      ``final_chunks`` directly), so a recursion tail can't absorb the
+      next sibling.
+
+    Known divergence: merged pieces are re-joined with ``' '`` and
+    stripped, and non-whitespace separators attach to the PRECEDING piece
+    (langchain keep_separator=True prepends to the following one), so
+    chunk TEXT can differ byte-wise and a ``". word"``-style piece counts
+    tokens differently in pathological spacing; token budgets, ordering,
+    and counts match on whitespace-separated prose. Preserve the source
+    separators on re-join if byte-level chunk parity ever matters.
+    """
+    if length_fn(text) <= chunk_size:
+        t = text.strip()
+        return [t] if t else []
+
+    # first separator PRESENT in the text; "" (char split) is the fallback
+    sep = ""
+    rest: tuple[str, ...] = ()
+    for i, s in enumerate(separators):
+        if s == "":
+            break
+        if s in text:
+            sep = s
+            rest = separators[i + 1 :]
+            break
+
+    chunks: list[str] = []
+    good: list[str] = []
+
+    def flush() -> None:
+        if good:
+            chunks.extend(_merge_pieces(good, chunk_size, chunk_overlap, length_fn))
+            good.clear()
+
+    for part in _split_on(text, sep):
+        piece = part.strip() if sep != "" else part
+        if not piece:
+            continue
+        if length_fn(piece) <= chunk_size:
+            good.append(piece)
+        elif not rest:
+            # unsplittable oversized piece: emit as-is (own chunk)
+            flush()
+            chunks.append(piece)
+        else:
+            flush()
+            chunks.extend(
+                recursive_split_text(piece, chunk_size, chunk_overlap, rest, length_fn)
+            )
+    flush()
     return [c for c in chunks if c]
 
 
