@@ -198,6 +198,136 @@ def connected_components(
     return out
 
 
+def connected_components_altstar(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_rounds: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    round-13 head-to-head EXPERIMENT arm against the default flooding
+    implementation (VERDICT r12 item 6). MEASURED AND REJECTED as
+    default — SCALE.md "Alternating large-star/small-star" records the
+    interleaved quiet-box probe (examples/probe_components_altstar.py):
+    flooding wins both the real sf0.1 near-dup graph (~1.5x) AND the
+    adversarial 50k-node chain (~1.6x), because the per-round constant
+    (two shuffled rewrites + distinct + fingerprint vs one label
+    exchange) dominates while the round counts stay comparable (17 vs
+    ~16). Kept as the equality-tested, rerunnable experiment arm.
+
+    Per round, two edge-rewrites, each one groupBy-min + join + distinct:
+
+    * large-star: for every node u, connect each STRICTLY LARGER neighbor
+      to m(u) = min(Γ(u) ∪ {u}) — emits (v, m) for v > u;
+    * small-star: orient edges (big, small); for every node u, connect its
+      smaller neighbors AND u itself to their minimum.
+
+    Both preserve connectivity and never raise a node's reachable min; at
+    the fixpoint the edge set is a star from each component's minimum node.
+    Convergence is O(log n) rounds on ANY graph shape (the provable-bound
+    arm), where flooding+path-halving is O(log d) on diameter d — so this
+    variant can only win on graphs whose diameter stays large after star
+    contraction; near-dup graphs are dense and tiny-diameter, which is why
+    flooding is the default. Fixpoint detection compares an order-free edge
+    fingerprint (count + sum of per-edge hashes) between rounds — one
+    map-side-combinable aggregate per round, no edge-set self-join.
+
+    Same output contract as ``connected_components``: (id_col, component)
+    with component = min node id; ``nodes`` contributes singletons. Pass
+    ``stats`` to receive {"rounds": n}.
+    """
+    sc = edges.sparkSession.sparkContext
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    _pids0 = _persistent_rdd_ids(sc)
+    cur = e.distinct().localCheckpoint(eager=True)
+    prev_ids = _persistent_rdd_ids(sc) - _pids0
+
+    def _fingerprint(d: DataFrame) -> tuple:
+        row = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def _large_star(d: DataFrame) -> DataFrame:
+        sym = d.union(d.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        return (
+            sym.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _small_star(d: DataFrame) -> DataFrame:
+        # orient (big, small): large-star output is already (v, m) with
+        # m < v, but re-orient defensively so the op is standalone-correct
+        o = d.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).filter(F.col("a") != F.col("b"))
+        m = o.groupBy("a").agg(F.min("b").alias("m"))  # all b < a, so min(Γ⁻)
+        joined = o.join(m, "a")
+        # connect each smaller neighbor to the min, and u itself to the min
+        out = joined.select(F.col("b").alias("a"), F.col("m").alias("b")).union(
+            joined.select(F.col("a").alias("a"), F.col("m").alias("b"))
+        )
+        return out.filter(F.col("a") != F.col("b")).distinct()
+
+    fp = _fingerprint(cur)
+    rounds = 0
+    for _ in range(max_rounds):
+        _pids_round = _persistent_rdd_ids(sc)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        nfp = _fingerprint(nxt)  # materializes the round's checkpoint
+        _release_rdds(sc, prev_ids)
+        prev_ids = _persistent_rdd_ids(sc) - _pids_round
+        cur = nxt
+        rounds += 1
+        if nfp == fp:
+            break
+        fp = nfp
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_altstar did not converge within "
+            f"max_rounds={max_rounds}; components may be under-merged",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    # at fixpoint cur is (member, root) star edges; roots/isolated nodes
+    # label themselves
+    labels = cur.select(
+        F.greatest("a", "b").alias("id"), F.least("a", "b").alias("component")
+    ).groupBy("id").agg(F.min("component").alias("component"))
+    members = e.select(F.col("a").alias("id")).union(
+        e.select(F.col("b").alias("id"))
+    )
+    if nodes is not None:
+        members = members.union(nodes.select(F.col(id_col).alias("id")))
+    out = (
+        members.distinct()
+        .join(labels, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("component", F.col("id")).alias("component"),
+        )
+    )
+    return out
+
+
 def dedup_keep_best(
     docs: DataFrame,
     pairs: DataFrame,

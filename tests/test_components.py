@@ -116,3 +116,41 @@ def test_chain_converges_with_contraction(spark):
     comp = connected_components(edges).collect()
     assert len(comp) == 64
     assert {r.component for r in comp} == {0}
+
+
+def test_altstar_equals_flooding_on_planted_graphs(spark):
+    """Round-13 experiment arm (VERDICT r12 item 6): the alternating
+    large-star/small-star variant must produce the identical
+    (id, component) labeling as the default flooding implementation on
+    every planted shape — chain, disjoint cliques, hub star, random
+    Erdos-Renyi with isolated nodes — with a rounds stat reported."""
+    import random
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.components import (
+        connected_components_altstar,
+    )
+
+    rng = random.Random(13)
+    er_nodes = list(range(300, 340))
+    er_edges = [tuple(rng.sample(er_nodes, 2)) for _ in range(25)]
+    cases = [
+        # (edges, nodes)
+        ([(i, i + 1) for i in range(15)], None),                       # chain
+        ([(a, b) for a in range(20, 25) for b in range(a + 1, 25)]
+         + [(c, d) for c in range(30, 33) for d in range(c + 1, 33)],
+         None),                                                        # cliques
+        ([(100, v) for v in range(101, 120)], None),                   # hub star
+        (er_edges, er_nodes + [999]),                                  # random + isolated
+        ([(5, 5), (5, 6), (6, 5)], None),                              # self-loop/dup
+    ]
+    for edges, nodes in cases:
+        e = spark.createDataFrame(edges, "id1 long, id2 long")
+        n = (spark.createDataFrame([(i,) for i in nodes], "doc_id long")
+             if nodes else None)
+        want = {r["doc_id"]: r["component"]
+                for r in connected_components(e, nodes=n).collect()}
+        stats: dict = {}
+        got = {r["doc_id"]: r["component"]
+               for r in connected_components_altstar(e, nodes=n, stats=stats).collect()}
+        assert got == want, (edges[:3], got, want)
+        assert stats["rounds"] >= 1
