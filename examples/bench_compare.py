@@ -316,6 +316,30 @@ def session_cal(new: dict) -> dict:
     return _cal_dict(new.get("cal"))
 
 
+def session_cal_phases(new: dict) -> dict:
+    """Which probe phase (start/end) produced each regime's gating value —
+    the companion attribution to ``session_cal`` so a reader can see
+    whether the widened gate came from a spike the EARLY queries saw
+    (start) or a late one (end). 'equal' when the phases tie; 'flat' for
+    records without phase detail."""
+    phases = new.get("cal_reps")
+    out: dict = {}
+    if isinstance(phases, dict):
+        start = {k: min(v) for k, v in (phases.get("start") or {}).items()
+                 if isinstance(v, list) and v}
+        end = {k: min(v) for k, v in (phases.get("end") or {}).items()
+               if isinstance(v, list) and v}
+        for k in set(start) | set(end):
+            s, e = start.get(k), end.get(k)
+            if s is None or (e is not None and e > s):
+                out[k] = "end"
+            elif e is None or s > e:
+                out[k] = "start"
+            else:
+                out[k] = "equal"
+    return out
+
+
 def _round_number(filename: str) -> int:
     """Numeric round of a BENCH_r{N}.json name; -1 when unparseable. Sorting
     by this (not the raw filename) keeps the 'vs latest round' attribution
@@ -325,7 +349,8 @@ def _round_number(filename: str) -> int:
     return int(m.group(1)) if m else -1
 
 
-def regime_factors(new_cal: dict, cals: dict) -> tuple[dict, list]:
+def regime_factors(new_cal: dict, cals: dict,
+                   phases: dict | None = None) -> tuple[dict, list]:
     """Per-regime box factor for the gate, plus human-readable attribution.
 
     factor[regime] = this session's cal / the best (min) historical cal for
@@ -345,9 +370,11 @@ def regime_factors(new_cal: dict, cals: dict) -> tuple[dict, list]:
         latest = max(hist, key=_round_number)  # numeric round, not lexicographic
         n = _round_number(latest)
         label = f"r{n}" if n >= 0 else latest
+        phase = (phases or {}).get(regime)
+        phase_note = f", gated by {phase} phase" if phase else ""
         attribution.append(
             f"{regime} regime x{raw:.2f} vs all-rounds best, "
-            f"x{sec / hist[latest]:.2f} vs {label}"
+            f"x{sec / hist[latest]:.2f} vs {label}{phase_note}"
         )
     return factors, attribution
 
@@ -427,7 +454,8 @@ def main() -> None:
     if new_cal:  # attribution is printed in BOTH modes (it describes the box)
         all_factors, attribution = regime_factors(
             new_cal, load_calibrations(exclude_path=args.new,
-                                       exclude_run=new))
+                                       exclude_run=new),
+            phases=session_cal_phases(new))
     # ... but the GATE only rescales in --baseline mode: a single-round diff
     # stays a strict like-for-like comparison
     factors = all_factors if args.baseline else {}

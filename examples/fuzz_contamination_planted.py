@@ -92,6 +92,9 @@ def _expected_containment(n_common: int, test_shingles: int) -> float:
 
 
 def check_ngram(spark, seed: int) -> tuple[dict, list[str]]:
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators import (
+        unpersist_inputs,
+    )
     from map_reduced_approach_for_vietnamese_long_document_summarization_spark.operators.contamination import (
         ngram_contamination,
     )
@@ -174,7 +177,11 @@ def check_ngram(spark, seed: int) -> tuple[dict, list[str]]:
     )
 
     def run(train, test, **kw):
-        rows = ngram_contamination(train, test, shingle_n=3, **kw).collect()
+        out = ngram_contamination(train, test, shingle_n=3, **kw)
+        rows = out.collect()
+        unpersist_inputs(out)  # release the per-call persisted shingle
+        # table (the operator's documented contract) — a 20-seed sweep
+        # otherwise accumulates ~7 persisted RDDs per seed in one session
         return {
             (r["test_id"], r["train_id"]): (
                 r["n_common"], r["test_shingles"], r["containment"])
@@ -217,7 +224,9 @@ def check_ngram(spark, seed: int) -> tuple[dict, list[str]]:
     # 6b. top_k replays the deterministic ordering (containment tie among
     # the boilerplate pairs is broken by test_id, train_id)
     k = rng.randint(3, min(8, len(want)))
-    rows = ngram_contamination(train_df, test_df, shingle_n=3, top_k=k).collect()
+    out_k = ngram_contamination(train_df, test_df, shingle_n=3, top_k=k)
+    rows = out_k.collect()
+    unpersist_inputs(out_k)
     got_order = [(r["test_id"], r["train_id"]) for r in rows]
     want_order = [
         key for key, _ in sorted(

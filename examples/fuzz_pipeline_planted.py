@@ -11,7 +11,14 @@ derived from the REFERENCE's documented semantics — the splitter contract
 token-budget merge, overlap carry + shed), the greedy packing / collapse
 recurrence (runners/run_summarization_ollama_mapreduce.py:119-154), the
 critique flow (CR:224-265: [PHẦN i] tagging, stop phrase, refine-once),
-and the tree walk (HI:232-313) — sharing no code with the engine.
+and the tree walk (HI:232-313). The replay is INDEPENDENTLY TYPED from
+the reference's documented semantics but structurally mirrors the same
+algorithm the engine implements, so a shared algorithmic misreading
+would pass both — the genuinely construction-independent anchors are the
+closed forms: the space-only chunk-count formula (family 1, which caught
+the real pre-r13 overlap bug) and the multi-separator paragraph plants
+(family 1b: exact-fit and pair-merge '\n\n' documents whose expected
+chunk strings are assembled literally from the construction).
 
 Per seeded corpus (deterministic ``random.Random(seed)``, config drawn per
 seed: chunk_size C, overlap V, mock width K, token_max X >= 2K):
@@ -430,6 +437,44 @@ def check_corpus(spark, seed: int) -> dict:
         # replay must agree with the closed form on this input class
         if py_recursive_split(text, C, V) != [" ".join(w) for w in want]:
             violations.append(f"replay/doc{doc_id}: py split != closed form")
+
+    # 1b. multi-separator closed form (the '\n\n' path) — expected chunk
+    # strings assembled literally from the paragraph construction, no
+    # replay involved (the replay mirrors the reference algorithm, so
+    # only construction-level plants are independent of it here):
+    # exact-fit paragraphs of exactly C tokens each occupy one chunk
+    # apiece for ANY overlap V < C (the C-token piece can never be
+    # retained as overlap); per the documented merge contract each split
+    # piece is stripped and merged chunks are space-joined
+    k_ex = rng.randint(2, 4)
+    paras_ex = [" ".join(vb.fresh(C)) for _ in range(k_ex)]
+    sep_docs = [(200, "\n\n".join(paras_ex))]
+    want_sep: dict[int, list[str]] = {200: list(paras_ex)}
+    # pair-merge paragraphs: W tokens with 2W <= C < 3W and W > V, so
+    # chunks are consecutive pairs space-joined "Pi Pj" (odd tail alone)
+    # — pieces are stripped of their separator and merged with ' ' per
+    # the splitter's documented merge convention
+    W = C // 2
+    if W > V:
+        k_pm = rng.randint(4, 6)
+        paras_pm = [" ".join(vb.fresh(W)) for _ in range(k_pm)]
+        sep_docs.append((201, "\n\n".join(paras_pm)))
+        pairs = [paras_pm[j:j + 2] for j in range(0, k_pm, 2)]
+        want_sep[201] = [" ".join(p) for p in pairs]
+    sep_df = spark.createDataFrame(sep_docs, "doc_id long, text string")
+    got_sep: dict[int, list[tuple[int, str, int]]] = {}
+    for r in chunk_documents(sep_df, C, V).collect():
+        got_sep.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk"], r["n_tokens"]))
+    for doc_id, want_list in want_sep.items():
+        got_list = [c for _, c, _ in sorted(got_sep.get(doc_id, []))]
+        if got_list != want_list:
+            violations.append(
+                f"chunk-sep/doc{doc_id}: got {got_list!r} != {want_list!r}")
+        for (_, c, nt) in sorted(got_sep.get(doc_id, [])):
+            if nt != len(c.split()):
+                violations.append(
+                    f"chunk-sep/doc{doc_id}: n_tokens {nt} != {len(c.split())}")
 
     fixed = {}
     for r in chunk_fixed_tokens(docs_df, C).collect():

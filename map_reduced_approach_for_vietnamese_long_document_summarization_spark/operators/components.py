@@ -308,12 +308,17 @@ def connected_components_altstar(
         stats["rounds"] = rounds
 
     # at fixpoint cur is (member, root) star edges; roots/isolated nodes
-    # label themselves
+    # label themselves. Members come from CUR (the checkpointed fixpoint —
+    # star rewrites never drop a node of a >=2-node component), not from
+    # the raw `e` plan: reading `e` here would re-run the upstream pair
+    # generation a second time, and a non-deterministic upstream could
+    # hand back a different node set than the one the labels were
+    # computed on.
     labels = cur.select(
         F.greatest("a", "b").alias("id"), F.least("a", "b").alias("component")
     ).groupBy("id").agg(F.min("component").alias("component"))
-    members = e.select(F.col("a").alias("id")).union(
-        e.select(F.col("b").alias("id"))
+    members = cur.select(F.col("a").alias("id")).union(
+        cur.select(F.col("b").alias("id"))
     )
     if nodes is not None:
         members = members.union(nodes.select(F.col(id_col).alias("id")))

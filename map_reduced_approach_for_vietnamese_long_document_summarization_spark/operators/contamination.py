@@ -98,23 +98,23 @@ def embedding_contamination(
 
     Scale: the test split is the small side by convention (e.g. 10% of an
     80/10/10 split) and is broadcast; the train side never shuffles. Each
-    side is unit-normalized ONCE per vector before the pair stage — the
-    naive cosine-per-pair form re-evaluates both norms (interpreted HOF
-    aggregates) once per PAIR, 5 aggregates a pair instead of 1.
+    side is unit-normalized ONCE per vector before the pair stage via the
+    ``functions/vectors`` array_repeat form — a ``withColumn("_n", ...)``
+    referenced inside the division lambda looks evaluated-once but is NOT:
+    CollapseProject inlines it into the lambda and the O(d) norm aggregate
+    re-runs per ELEMENT (the `_broadcast_scalar` trap, O(d^2) per vector
+    on the full train corpus). The naive cosine-per-pair form is worse
+    still: both norms re-evaluated once per PAIR.
     """
+    from ..functions.vectors import l2_norm, l2_normalize
 
     def _unit(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
         v = df.select(
             F.col(id_col).alias(out_id),
             F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
         )
-        dot_self = F.aggregate(
-            F.zip_with("_v", "_v", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
-        )
-        return (
-            v.withColumn("_n", F.sqrt(dot_self))
-            .filter(F.col("_n") > 0)
-            .select(out_id, F.transform("_v", lambda x: x / F.col("_n")).alias(out_vec))
+        return v.filter(l2_norm("_v") > 0).select(
+            out_id, l2_normalize("_v").alias(out_vec)
         )
 
     t = _unit(test, "test_id", "tu")

@@ -236,6 +236,17 @@ def test_session_cal_gates_on_worse_phase(tmp_path, monkeypatch, capsys):
     assert bc.session_cal({"cal": {"agg": 0.7}}) == {"agg": 0.7}
     assert bc.session_cal({"cal": 0.7}) == {"agg": 0.7}
 
+    # phase attribution: which phase produced each regime's gating value
+    # (printed in the calibration line so the gate's provenance is visible)
+    rec = {"cal_reps": {"start": {"agg": [1.0, 1.1], "alloc": [0.6]},
+                        "end": {"agg": [0.5, 0.5], "alloc": [0.8]}}}
+    assert bc.session_cal_phases(rec) == {"agg": "start", "alloc": "end"}
+    assert bc.session_cal_phases({"cal": {"agg": 0.7}}) == {}
+    _, attr = bc.regime_factors(
+        {"agg": 2.0}, {"BENCH_r01.json": {"agg": 1.0}},
+        phases={"agg": "start"})
+    assert any("gated by start phase" in a for a in attr)
+
     # end-to-end: query 2x its best + start-phase cal 2x history = box
     monkeypatch.setattr(bc, "_REPO", str(tmp_path))
     monkeypatch.setattr(bc, "REGIME", {"a": "agg"}, raising=True)

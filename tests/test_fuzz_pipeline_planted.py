@@ -57,8 +57,9 @@ def test_planted_invariants_live(spark):
         assert not rec["violations"], rec["violations"]
         cfg = rec["config"]
         assert cfg["X"] >= 2 * cfg["K"]  # convergence plant held
-        # both critic branches and the cap actually fired across the corpus
-        assert rec["critique_branches"]["capped"] >= 0
+        # the iteration cap actually fired across the corpus (both slice
+        # seeds plant cap-hitting configs: 26 and 13 capped docs)
+        assert rec["critique_branches"]["capped"] > 0
         assert sum(rec["critique_branches"].values()) > 0
         assert rec["collapse_rounds"] >= 1  # a multi-round doc was planted
 
@@ -70,6 +71,7 @@ def test_sweep_artifact_is_clean():
     assert s["seeds"] >= 20
     assert s["violations_total"] == 0 and s["failing_seeds"] == []
     assert s["max_collapse_rounds"] >= 2
-    # both critic branches occurred somewhere in the sweep
+    # all three critic branches occurred somewhere in the sweep
     assert s["critique_refined_total"] > 0
     assert s["critique_accepted_total"] > 0
+    assert s["critique_capped_total"] > 0
