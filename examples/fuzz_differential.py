@@ -151,6 +151,10 @@ class ShapeGen:
         # is pure ASCII while the engine's domain is Vietnamese)
         "join_chain3", "having_agg", "distinct_window", "setop_subquery",
         "unicode_lab",
+        # round-13 breadth extension: RANGE frames (value-bounded windows
+        # with peers-inclusive tie handling) — a physically different
+        # window-exec path from the ROWS frames window_frame covers
+        "range_frame",
     )
 
     def __init__(self, seed: int, prof: dict, kinds=None):
@@ -474,6 +478,50 @@ class ShapeGen:
         kl = ", ".join(f"t0.{x}" for x in sel)
         return (
             f"SELECT {kl}, {expr} AS wfn\nFROM {t} t0\n"
+            f"WHERE {self.pred(t, 't0')}"
+        )
+
+    def _range_frame(self) -> str:
+        """RANGE frames over a single sort key (round 13) — peer rows
+        (order-key ties) enter the frame TOGETHER, the classic
+        ROWS-vs-RANGE divergence surface, on a physically different
+        window-exec path (value-bounded frame scan). Numeric keys take
+        numeric offsets, timestamp keys INTERVAL '{k}' DAY; UNBOUNDED
+        PRECEDING exercises the peers-inclusive running aggregate. Frame
+        content is determined by the key VALUE, not row order, so the
+        result is deterministic WITHOUT a tiebreak. SUM sticks to integer
+        columns (exact under any accumulation order — a value-bounded
+        frame can span a whole partition, where a 3-decimal rounding of a
+        float sum no longer absorbs accumulation-order drift); float
+        columns are covered via exact MIN/MAX. No explicit NULLS clause:
+        the engines' ASC defaults differ, but these shapes run on the
+        NULL-free base tables (null injection is null_lab's job)."""
+        t = self.rng.choice([x for x in TABLES if x not in ("region", "nation")])
+        part = self.rng.choice(GROUPABLE[t])
+        oc = self.rng.choice([c for c, k in TABLES[t].items() if k in ("i", "t")])
+        k = self.rng.randint(1, 30)
+        off = f"INTERVAL '{k}' DAY" if TABLES[t][oc] == "t" else str(k)
+        frame = self.rng.choice([
+            f"RANGE BETWEEN {off} PRECEDING AND CURRENT ROW",
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            f"RANGE BETWEEN CURRENT ROW AND {off} FOLLOWING",
+        ])
+        fn = self.rng.choice(["sum", "min", "max", "count"])
+        if fn == "sum":
+            vals = [c for c, kk in TABLES[t].items() if kk == "i"]
+        elif fn == "count":
+            vals = [None]
+        else:
+            vals = [c for c, kk in TABLES[t].items() if kk in ("i", "f")]
+        c = self.rng.choice(vals)
+        body = "count(*)" if fn == "count" else f"{fn}(t0.{c})"
+        d = self.rng.choice(["ASC", "DESC"])
+        w = f"OVER (PARTITION BY t0.{part} ORDER BY t0.{oc} {d} {frame})"
+        keys_out = PK_EXTRA.get(t, [PK[t]])
+        sel = list(dict.fromkeys(keys_out + [part, oc]))
+        kl = ", ".join(f"t0.{x}" for x in sel)
+        return (
+            f"SELECT {kl}, {body} {w} AS wfn\nFROM {t} t0\n"
             f"WHERE {self.pred(t, 't0')}"
         )
 
