@@ -151,10 +151,12 @@ class ShapeGen:
         # is pure ASCII while the engine's domain is Vietnamese)
         "join_chain3", "having_agg", "distinct_window", "setop_subquery",
         "unicode_lab",
-        # round-13 breadth extension: RANGE frames (value-bounded windows
+        # round-13 breadth extensions: RANGE frames (value-bounded windows
         # with peers-inclusive tie handling) — a physically different
-        # window-exec path from the ROWS frames window_frame covers
-        "range_frame",
+        # window-exec path from the ROWS frames window_frame covers — and
+        # offset window functions (lead/lag with explicit defaults,
+        # first_value/last_value over explicit frames)
+        "range_frame", "offset_window",
     )
 
     def __init__(self, seed: int, prof: dict, kinds=None):
@@ -522,6 +524,47 @@ class ShapeGen:
         kl = ", ".join(f"t0.{x}" for x in sel)
         return (
             f"SELECT {kl}, {body} {w} AS wfn\nFROM {t} t0\n"
+            f"WHERE {self.pred(t, 't0')}"
+        )
+
+    def _offset_window(self) -> str:
+        """Offset window functions (round 13): lag/lead with EXPLICIT
+        defaults and without (the NULL-vs-default boundary at partition
+        edges), plus first_value/last_value over explicit ROWS frames —
+        none of the prior window kinds drew the offset-function exec
+        path. The _window_order total order makes any remaining ties
+        full-row-identical, so the output multiset is deterministic;
+        offset results are raw column values (no arithmetic), exact in
+        both engines."""
+        t = self.rng.choice([x for x in TABLES if x not in ("region", "nation")])
+        part = self.rng.choice(GROUPABLE[t])
+        order = self._window_order(t, "t0")
+        c = self.rng.choice([x for x in TABLES[t] if x != part])
+        dflt = {"i": "-1", "f": "-1.0", "s": "'~none~'",
+                "t": None}[TABLES[t][c]]
+        n = self.rng.randint(1, 3)
+        w = f"OVER (PARTITION BY t0.{part} ORDER BY {order})"
+        pick = self.rng.random()
+        if pick < 0.4 and dflt is not None:
+            fn = self.rng.choice(["lag", "lead"])
+            expr = f"{fn}(t0.{c}, {n}, {dflt}) {w}"
+        elif pick < 0.7:
+            fn = self.rng.choice(["lag", "lead"])
+            expr = f"{fn}(t0.{c}, {n}) {w}"  # NULL past the edge
+        else:
+            fv = self.rng.choice(["first_value", "last_value"])
+            frame = self.rng.choice([
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+                f"ROWS BETWEEN {n} PRECEDING AND CURRENT ROW",
+            ])
+            expr = (f"{fv}(t0.{c}) OVER (PARTITION BY t0.{part} "
+                    f"ORDER BY {order} {frame})")
+        keys = PK_EXTRA.get(t, [PK[t]])
+        sel = list(dict.fromkeys(keys + [part]))
+        kl = ", ".join(f"t0.{k}" for k in sel)
+        return (
+            f"SELECT {kl}, {expr} AS ofn\nFROM {t} t0\n"
             f"WHERE {self.pred(t, 't0')}"
         )
 
