@@ -170,7 +170,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle recomputes all three ratios from first principles."""
     from ..functions.textstats import repetition_stats_batch
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     out = repetition_stats_batch(docs)
     return out.select(
         "doc_id",
@@ -414,7 +414,7 @@ def doc_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the individual operators."""
     from ..operators.report import corpus_quality_report
 
-    out = corpus_quality_report(_t(spark, sf_dir, "documents"))
+    out = corpus_quality_report(_t(spark, sf_dir, "documents", spread=True))
     return out.select(
         "doc_id",
         "n_chars",

@@ -33,8 +33,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return _t_impl(spark, sf_dir, name)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    return _t_impl(spark, sf_dir, name, spread=spread)
 
 
 def query(name: str, oracle: str | None = None):
@@ -1305,7 +1307,7 @@ def embedding_knn_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     in array order so the oracle's summation matches bit-for-bit; only the
     (query_id, neighbor_id, rank) triple is returned so ulp-level float
     noise cannot touch the hash."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     vec = F.transform("embedding", lambda x: x.cast("double"))
     base = e.select("vec_id", vec.alias("v"))
     q = base.filter(F.col("vec_id") < 10).select(
@@ -1862,7 +1864,7 @@ def ngram_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard); the oracle applies the identical cap."""
     from ..operators.dedup import ngram_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return ngram_jaccard_pairs(d, top_k=20, max_doc_freq=64)
 
 
@@ -1874,7 +1876,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicates; hash family prevents a cross-engine oracle."""
     from ..operators.dedup import minhash_dedup_pairs
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return minhash_dedup_pairs(d, threshold=0.5)
 
 
@@ -1884,7 +1886,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     4x16-bit keys for the candidate join."""
     from ..operators.dedup import simhash_near_dup_pairs
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return simhash_near_dup_pairs(d, max_hamming=8)
 
 
@@ -2035,7 +2037,7 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram hashing, window-min selection, and the short-doc clamp exactly."""
     from ..operators.dedup import winnowing_fingerprints
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return winnowing_fingerprints(d, k=8, w=4, gram_hash="md5")
 
 
@@ -2124,7 +2126,7 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     per row by construction, not by codegen CSE)."""
     from ..functions.pii import redact_pii_with_counts
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     decorated = F.concat(
         F.coalesce(F.col("text"), F.lit("")),
         F.lit(" contact user"),
@@ -2153,7 +2155,7 @@ def doc_winnow_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan, normalization) in tests/test_dedup_similarity.py."""
     from ..operators.dedup import winnowing_fingerprints
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return winnowing_fingerprints(d, k=8, w=4)
 
 
@@ -2732,7 +2734,7 @@ def pipeline_truncated_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(64, n) tokens."""
     from ..summarize import MockSummarizer, truncated_summarize
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return truncated_summarize(d, MockSummarizer(64), max_input_tokens=16384)
 
 
@@ -2761,7 +2763,7 @@ def pipeline_mapreduce_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first-24 slice and fail parity loudly."""
     from ..summarize import MockSummarizer, mapreduce_summarize
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return mapreduce_summarize(
         d, MockSummarizer(24), chunk_size=60, chunk_overlap=10, token_max=80
     )
@@ -3082,7 +3084,7 @@ def bertscore_mock_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence-tested against this in tests/test_metrics.py)."""
     from ..metrics.bertscore import bertscore_hard_match
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     toks = tokenize_ws("text")
     pairs = d.select(
         "doc_id",
@@ -3109,7 +3111,7 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (lang, partial sums) shuffle."""
     from ..functions.text import bpe_token_count_udf
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     cnt = bpe_token_count_udf()
     per_doc = d.select(
         "lang",
@@ -3282,7 +3284,7 @@ def minhash_md5_star_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket window min, and the agreement filter bit-for-bit."""
     from ..operators.dedup import minhash_md5_pairs
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return minhash_md5_pairs(d, threshold=0.5, star=True)
 
 
@@ -3325,7 +3327,7 @@ def minhash_md5_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     touching a new doc, which is exactly what the oracle computes."""
     from ..operators.dedup import minhash_incremental_pairs, minhash_md5_signatures
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     sigs = minhash_md5_signatures(docs).persist()
     new = sigs.filter(F.col("doc_id") >= 400)
     corpus = sigs.filter(F.col("doc_id") < 400)
@@ -3350,7 +3352,7 @@ def minhash_star_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the oracle twin's md5 replayability tax."""
     from ..operators.dedup import minhash_dedup_pairs
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     out = minhash_dedup_pairs(d, threshold=0.5, star=True)
     sel = out.select("id1", "id2", F.round("est_jaccard", 6).alias("est_jaccard"))
     # .select() builds a NEW DataFrame — carry the unpersist hook over or
@@ -3371,7 +3373,7 @@ def minhash_incremental_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_incremental_pairs code path)."""
     from ..operators.dedup import minhash_incremental_pairs, minhash_signatures
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     sigs = minhash_signatures(docs, n_hashes=64).persist()
     new = sigs.filter(F.col("doc_id") >= 400)
     corpus = sigs.filter(F.col("doc_id") < 400)

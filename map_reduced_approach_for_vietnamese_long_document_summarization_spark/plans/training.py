@@ -145,7 +145,7 @@ def doc_contamination_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import assign_split
 
     docs = assign_split(
-        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id", salt="split"
+        _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text"), "doc_id", salt="split"
     )
     train = docs.filter(F.col("split") == "train").select("doc_id", "text")
     test = docs.filter(F.col("split") == "test").select("doc_id", "text")
@@ -180,7 +180,7 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays tokenization, gram building, and both aggregation levels."""
     from ..operators.vocab import top_ngrams
 
-    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+    return top_ngrams(_t(spark, sf_dir, "documents", spread=True), n=2, k=20)
 
 
 @query(
@@ -243,7 +243,7 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     both aggregation levels."""
     from ..functions.textstats import char_entropy_batch
 
-    return char_entropy_batch(_t(spark, sf_dir, "documents"))
+    return char_entropy_batch(_t(spark, sf_dir, "documents", spread=True))
 
 
 
@@ -330,7 +330,7 @@ def doc_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenization, bucketing, and normalization from scratch."""
     from ..operators.features import feature_hash_embed
 
-    return feature_hash_embed(_t(spark, sf_dir, "documents"), dims=64)
+    return feature_hash_embed(_t(spark, sf_dir, "documents", spread=True), dims=64)
 
 
 _DUCK_VEC_SPLIT_R = _duck_uniform_r("vec_id", "split")
@@ -368,7 +368,7 @@ def embedding_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..operators.contamination import embedding_contamination
     from ..operators.sampling import assign_split
 
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000).select(
+    e = _t(spark, sf_dir, "embeddings", spread=True).filter(F.col("vec_id") < 2000).select(
         "vec_id", "embedding"
     )
     split = assign_split(e, "vec_id")
@@ -517,7 +517,7 @@ def doc_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     codepoints on both sides."""
     from ..functions.text import normalize_text
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     messy = F.concat(
         F.lit("“Q’s”— "),
         F.col("text"),
