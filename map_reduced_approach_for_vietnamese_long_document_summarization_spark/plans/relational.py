@@ -3374,7 +3374,12 @@ def minhash_incremental_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_incremental_pairs, minhash_signatures
 
     docs = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
-    sigs = minhash_signatures(docs, n_hashes=64).persist()
+    # include_missing=False: minhash_incremental_pairs filters sentinel
+    # signatures on BOTH sides anyway, so the full-corpus-id left join that
+    # include_missing pays to ADD them is computed only to be discarded —
+    # same convention as minhash_dedup_pairs (result-identical: the
+    # downstream sentinel filter defines the surviving set either way)
+    sigs = minhash_signatures(docs, n_hashes=64, include_missing=False).persist()
     new = sigs.filter(F.col("doc_id") >= 400)
     corpus = sigs.filter(F.col("doc_id") < 400)
     out = minhash_incremental_pairs(
