@@ -176,9 +176,20 @@ def _collapse_level(
     chunk_size: int,
     chunk_overlap: int,
     token_max: int,
+    ckpt_bodies: bool = True,
 ) -> DataFrame:
     """Summarize every non-Paragraph node at ``depth`` and splice it back as
-    a Paragraph, dropping its subtree (D13/D14/D15)."""
+    a Paragraph, dropping its subtree (D13/D14/D15).
+
+    ``ckpt_bodies`` (default on; off exists for the A/B probe) checkpoints
+    the descendant-gather aggregate so it runs once per level: its three
+    consumers — the inner map-reduce's convergence count, the ``replaced``
+    join side, and the ``empty`` guard branch — would otherwise each
+    recompute the explode+join+collect_list subtree when the level
+    checkpoint materializes (measured ~35% of the query,
+    plans/r13/probe_hierarchical_stages.json). The lazy checkpoint
+    materializes under the inner loop's round-0 count, and the caller's
+    post-level ``release_rdds`` diff frees it with the level's other pins."""
     targets = nodes.filter(
         (F.col("depth") == depth) & (F.col("node_type") != "Paragraph")
     ).select(
@@ -219,6 +230,13 @@ def _collapse_level(
             ).alias("body")
         )
     )
+    if ckpt_bodies:
+        # lazy: the inner collapse loop's round-0 convergence count is the
+        # first action over this plan and materializes it; until then no job
+        # runs. On a failure before that count the unmaterialized checkpoint
+        # holds no executor memory (same exposure as the inner loop's own
+        # round-0 checkpoint).
+        bodies = bodies.localCheckpoint(eager=False)
 
     # empty-body guard (F8, HI:255-257): keep the bare title
     empty = bodies.filter(strip_ws("body") == "").select(
@@ -298,6 +316,7 @@ def hierarchical_summarize(
     json_col: str = "tree_json",
     id_col: str = "doc_id",
     polish: bool = True,
+    ckpt_aggregates: bool = True,
 ) -> DataFrame:
     """Bottom-up tree collapse (HI:296-313): levels min(max_depth, actual)
     down to 1, then a final map-reduce over each doc's remaining paragraphs
@@ -313,7 +332,10 @@ def hierarchical_summarize(
         actual = _max_depth(nodes)
         for d in range(min(max_depth, actual), 0, -1):
             before = persistent_rdd_ids(sc)
-            out = _collapse_level(nodes, d, summarizer, chunk_size, chunk_overlap, token_max)
+            out = _collapse_level(
+                nodes, d, summarizer, chunk_size, chunk_overlap, token_max,
+                ckpt_bodies=ckpt_aggregates,
+            )
             if out is nodes:  # empty level: nothing collapsed, keep the checkpoint
                 continue
             # rolling checkpoint: materializes the new level, then frees the old
@@ -344,6 +366,14 @@ def hierarchical_summarize(
             ).alias("doc_text")
         )
     )
+    if ckpt_aggregates:
+        # same single-evaluation trick for the final per-doc gather: its two
+        # consumers (the final map-reduce's convergence count and the
+        # retain-join id side materialized by the caller's action) would
+        # each recompute the collect_list aggregate. Lazy — materializes
+        # under the final collapse's round-0 count; stays live behind the
+        # returned DataFrame's plan, like the loop's final node checkpoint.
+        final_in = final_in.localCheckpoint(eager=False)
     final = mapreduce_summarize(
         final_in,
         summarizer,

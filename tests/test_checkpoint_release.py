@@ -117,3 +117,61 @@ def test_rolling_checkpoint_refuses_to_abandon_pending(spark):
     assert lazy.count() == 5
     rc.mark_materialized()
     rc.checkpoint(spark.range(6), eager=True)  # now fine
+
+
+def test_hierarchical_ckpt_aggregates_identical_and_bounded(spark):
+    """r13 optimization pin: ``ckpt_aggregates`` (single-evaluation
+    localCheckpoints of the per-level bodies gather and the final per-doc
+    gather) must not change results, the per-level bodies checkpoint must be
+    released with the level's other pins, and only the documented final
+    generations may stay live after the action."""
+    import json
+
+    from map_reduced_approach_for_vietnamese_long_document_summarization_spark.summarize import (
+        hierarchical_summarize,
+    )
+
+    _purge(spark)
+    sc = spark.sparkContext
+    tree = {
+        "type": "Document",
+        "text": "d",
+        "children": [
+            {
+                "type": "Header",
+                "text": "Part 1",
+                "children": [{"type": "Paragraph", "text": "alpha beta gamma delta " * 8}],
+            },
+            {
+                "type": "Header",
+                "text": "Part 2",
+                "children": [{"type": "Paragraph", "text": "one two three four " * 8}],
+            },
+            {"type": "Header", "text": "Empty", "children": []},
+        ],
+    }
+    trees = spark.createDataFrame(
+        [(f"d{i}", json.dumps(dict(tree, text=f"d{i}"))) for i in range(4)],
+        ["doc_id", "tree_json"],
+    )
+
+    def run(ckpt: bool) -> dict:
+        return {
+            r.doc_id: r.summary
+            for r in hierarchical_summarize(
+                trees, MockSummarizer(12), max_depth=1, chunk_size=60,
+                chunk_overlap=10, token_max=80, ckpt_aggregates=ckpt,
+            ).collect()
+        }
+
+    base = run(False)
+    _purge(spark)
+    out = run(True)
+    assert out == base  # byte-identical summaries either way
+    # live after the action: the loop's final node checkpoint, the final
+    # collapse generation, and the final_in checkpoint — never the per-level
+    # bodies checkpoints (released by the post-level diff) or superseded
+    # collapse rounds
+    leftover = len(persistent_rdd_ids(sc))
+    assert leftover <= 6, f"hierarchical leaked {leftover} checkpoint RDDs"
+    _purge(spark)
