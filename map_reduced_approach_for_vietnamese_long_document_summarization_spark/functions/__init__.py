@@ -23,6 +23,7 @@ from .text import (
 from .textstats import (
     char_count,
     char_entropy_batch,
+    char_entropy_expr,
     compression_ratio_udf,
     NULL_TEXT_FINGERPRINT,
     doc_fingerprint,
@@ -32,6 +33,7 @@ from .textstats import (
     repetition_stats,
     repetition_stats_batch,
     script_ratios,
+    tagged_token_counts,
     word_count,
 )
 from .vectors import (
@@ -50,6 +52,7 @@ __all__ = [
     "pii_counts",
     "redact_pii",
     "char_entropy_batch",
+    "char_entropy_expr",
     "bpe_token_count_udf",
     "bpe_truncate_udf",
     "hf_token_count_udf",
@@ -60,6 +63,7 @@ __all__ = [
     "sanitize_model_name",
     "repetition_stats",
     "repetition_stats_batch",
+    "tagged_token_counts",
     "compression_ratio_udf",
     "script_ratios",
     "int8_dequantize",

@@ -119,8 +119,47 @@ def repetition_stats(col: Column | str) -> Column:
     )
 
 
+def tagged_token_counts(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Shared explode for the token-statistics family: one pass over the
+    corpus producing ``(id_col, _k, _v, _c)`` — per-document counts of
+    case-folded tokens (``_k`` = 1, with multiplicity in ``_c``) and of
+    distinct bigram shingles (``_k`` = 2, ``_c`` = 1 each).
+
+    The ``_k`` = 1 rows ARE a term-postings table (``_v`` = term, ``_c`` =
+    tf), so one persisted frame feeds both ``repetition_stats_batch`` (via
+    ``counts=``) and ``unigram_logprob`` (via ``postings=``) —
+    ``corpus_quality_report`` shares it to scan and explode the corpus once
+    instead of once per signal (guide §2.4: don't recompute what you
+    already shuffled for).
+
+    Tokens are case-folded at the STRING level (``tokenize_ws(lower(text))``
+    — codegen) rather than per token (``transform(..., lower)`` — one
+    interpreted HOF pass per token); ``lower`` maps no codepoint to or from
+    whitespace, so the token stream is identical (SCALE.md). No scalar
+    column rides through the generator — project collapsing would
+    re-evaluate it per exploded row — and the bigram branch explodes in the
+    same pass as tagged values instead of a second corpus scan."""
+    from ..operators.dedup import shingles_expr
+
+    toks = tokenize_ws(F.lower(F.col(text_col)))
+    tagged = F.concat(
+        F.transform(toks, lambda t: F.struct(F.lit(1).alias("k"), t.alias("v"))),
+        F.transform(
+            shingles_expr(text_col, n=2), lambda s: F.struct(F.lit(2).alias("k"), s.alias("v"))
+        ),
+    )
+    ex = df.select(F.col(id_col), F.explode(tagged).alias("_e")).select(
+        id_col, F.col("_e.k").alias("_k"), F.col("_e.v").alias("_v")
+    )
+    return ex.groupBy(id_col, "_k", "_v").agg(F.count(F.lit(1)).alias("_c"))
+
+
 def repetition_stats_batch(
-    df, id_col: str = "doc_id", text_col: str = "text"
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    counts=None,
+    retain_missing: bool = True,
 ):
     """DataFrame twin of ``repetition_stats`` for uncapped corpora: the
     top-token count goes through explode + groupBy (hash aggregates, fully
@@ -132,30 +171,18 @@ def repetition_stats_batch(
     ``id_col`` must be unique: rows sharing an id would have their token
     pools merged by the groupBy (the per-row Column twin does not merge) —
     dedupe or add a surrogate key first.
-    """
-    from ..operators.dedup import shingles_expr
 
-    toks = F.transform(tokenize_ws(text_col), F.lower)
+    ``counts`` accepts a (persisted) ``tagged_token_counts`` frame to share
+    the corpus explode with other signals; ``retain_missing=False`` skips
+    the docs-id join that restores token-less documents as zero-ratio rows
+    — for callers (``corpus_quality_report``) that re-attach the frame with
+    their own retaining join anyway.
+    """
+    ex = counts if counts is not None else tagged_token_counts(df, id_col, text_col)
     zero = F.lit(0.0)
-    # single pass, single generator: tokens (kind 1, with multiplicity) and
-    # the already-distinct bigram shingles (kind 2) explode together as
-    # tagged values. No scalar column rides through the generator — project
-    # collapsing would re-evaluate it per exploded row — and no second scan
-    # of the corpus for a separate bigram branch.
-    tagged = F.concat(
-        F.transform(toks, lambda t: F.struct(F.lit(1).alias("k"), t.alias("v"))),
-        F.transform(
-            shingles_expr(text_col, n=2), lambda s: F.struct(F.lit(2).alias("k"), s.alias("v"))
-        ),
-    )
-    ex = df.select(F.col(id_col), F.explode(tagged).alias("_e")).select(
-        id_col, F.col("_e.k").alias("_k"), F.col("_e.v").alias("_v")
-    )
     tok = F.col("_k") == 1
     stats = (
-        ex.groupBy(id_col, "_k", "_v")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy(id_col)
+        ex.groupBy(id_col)
         .agg(
             F.sum(F.when(tok, F.col("_c"))).alias("_n"),
             F.sum(F.when(tok, 1)).alias("_nd"),
@@ -164,18 +191,18 @@ def repetition_stats_batch(
         )
     )
     # empty/NULL-text docs emit no tokens: restore them with zero ratios
-    return (
-        df.select(id_col)
-        .join(stats, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(1.0 - F.col("_nd") / F.col("_n"), zero).alias("dup_token_ratio"),
-            F.coalesce(
-                F.when(F.col("_n") > 1, 1.0 - F.coalesce("_ndbg", F.lit(0)) / (F.col("_n") - 1)),
-                zero,
-            ).alias("dup_bigram_ratio"),
-            F.coalesce(F.col("_topc") / F.col("_n"), zero).alias("top_token_ratio"),
-        )
+    # (the ratio expressions below coalesce the same way whether a row is
+    # NULL from the retaining left join or — with retain_missing=False —
+    # simply absent until the caller's own left join re-attaches it)
+    src = df.select(id_col).join(stats, id_col, "left") if retain_missing else stats
+    return src.select(
+        id_col,
+        F.coalesce(1.0 - F.col("_nd") / F.col("_n"), zero).alias("dup_token_ratio"),
+        F.coalesce(
+            F.when(F.col("_n") > 1, 1.0 - F.coalesce("_ndbg", F.lit(0)) / (F.col("_n") - 1)),
+            zero,
+        ).alias("dup_bigram_ratio"),
+        F.coalesce(F.col("_topc") / F.col("_n"), zero).alias("top_token_ratio"),
     )
 
 
@@ -203,6 +230,29 @@ def doc_fingerprint_nullsafe(col: Column | str) -> Column:
     variant when NULL-ness itself carries meaning (``corpus_diff`` keeps
     explicit presence markers instead)."""
     return F.coalesce(doc_fingerprint(col), F.lit(NULL_TEXT_FINGERPRINT))
+
+
+def char_entropy_expr(col: Column | str) -> Column:
+    """Column twin of ``char_entropy_batch`` — the same per-row run-length
+    arithmetic as one expression, for callers (``corpus_quality_report``)
+    that fuse entropy into an existing scan-side projection instead of
+    paying a second corpus scan plus an id join for it. All semantics
+    (NULL/empty -> 0.0, round(6), code-point counting) are the batch
+    function's; see its docstring for the design rationale and the
+    measured-rejected variants."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.coalesce(c, F.lit(""))
+    runs = F.regexp_extract_all(
+        F.array_join(F.array_sort(F.split(s, "")), ""),
+        F.lit(r"(?s)(.)\1*"),
+        0,
+    )
+    counts = F.transform(runs, lambda r: F.length(r).cast("double"))
+    clogc = F.aggregate(counts, F.lit(0.0), lambda a, x: a + x * F.log2(x))
+    n = F.length(s)
+    return (
+        F.when(n > 0, F.round(F.log2(n) - clogc / n, 6)).otherwise(F.lit(0.0))
+    )
 
 
 def char_entropy_batch(df, id_col: str = "doc_id", text_col: str = "text"):

@@ -153,6 +153,7 @@ def unigram_logprob(
     id_col: str = "doc_id",
     postings: DataFrame | None = None,
     broadcast_vocab: bool = True,
+    retain_missing: bool = True,
 ) -> DataFrame:
     """Per-document bits-per-token under the corpus's own unigram LM — the
     CCNet-style (arXiv 1911.00359) perplexity quality signal, with the
@@ -172,6 +173,12 @@ def unigram_logprob(
     persisted ``postings`` to reuse it), a per-term rollup for the LM
     (partial-agg'd, broadcast back; disable ``broadcast_vocab`` for
     web-scale vocabularies), a 1-row total, and one grouped sum per doc.
+
+    ``retain_missing=False`` skips the docs-id join that restores
+    token-less documents as ``(0, 0.0)`` rows — for callers
+    (``corpus_quality_report``) whose own retaining join re-attaches the
+    frame anyway; with it and a caller-provided ``postings``, ``docs`` is
+    never scanned at all.
     """
     from .retrieval import term_postings
 
@@ -189,14 +196,11 @@ def unigram_logprob(
             F.sum(F.col("tf") * (F.log2("t") - F.log2("c"))).alias("_bits"),
         )
     )
-    return (
-        docs.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_tokens"),
-            F.round(
-                F.coalesce(F.col("_bits") / F.col("_n"), F.lit(0.0)), 6
-            ).alias("bits_per_token"),
-        )
+    src = docs.select(id_col).join(per_doc, id_col, "left") if retain_missing else per_doc
+    return src.select(
+        id_col,
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(
+            F.coalesce(F.col("_bits") / F.col("_n"), F.lit(0.0)), 6
+        ).alias("bits_per_token"),
     )

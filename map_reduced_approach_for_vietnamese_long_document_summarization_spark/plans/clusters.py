@@ -415,7 +415,7 @@ def doc_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.report import corpus_quality_report
 
     out = corpus_quality_report(_t(spark, sf_dir, "documents", spread=True))
-    return out.select(
+    sel = out.select(
         "doc_id",
         "n_chars",
         "n_tokens",
@@ -428,6 +428,10 @@ def doc_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("top_token_ratio", 6).alias("top_token_ratio"),
         F.round("bits_per_token", 6).alias("bits_per_token"),
     )
+    # carry the report's unpersist hook across the projection (the hook
+    # rides the exact returned object — see embedding_semantic_dedup)
+    sel._persisted_inputs = getattr(out, "_persisted_inputs", [])
+    return sel
 
 
 @query(
