@@ -41,6 +41,17 @@ DEFAULT_CONF: dict[str, str] = {
     # SimHash) rely on wrap-around 64-bit multiply, which ANSI mode turns into
     # runtime errors. Engine expressions guard their own divisions/casts.
     "spark.sql.ansi.enabled": "false",
+    # The signature aggregates are WIDE on purpose (64 min/sum columns per
+    # doc — MinHash/SimHash partial aggregation), which overflows the
+    # default whole-stage-codegen field cap (100) and silently drops the
+    # hot agg loop to interpreted per-expression evaluation. 500 keeps
+    # those plans codegen'd (measured: 64-hash MinHash signature agg
+    # 1.91s -> 1.36s at sf0.1; debiased interleaved A/B -5..-12% across
+    # the minhash family, neutral on narrow plans). Expression-count
+    # dependent, not data- or core-count-dependent, so it holds at any
+    # scale; generated aggregate code is split per function by
+    # spark.sql.codegen.aggregate.splitAggregateFunc (default on).
+    "spark.sql.codegen.maxFields": "500",
 }
 
 
