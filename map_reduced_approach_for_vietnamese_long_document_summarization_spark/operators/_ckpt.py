@@ -57,16 +57,50 @@ def checkpoint_concurrently(dfs, max_workers: int = 4):
     concurrently created elsewhere: ``release_rdds`` id-diff bookkeeping
     assumes single-threaded snapshots, so callers must let this function
     RETURN before taking persistent-RDD snapshots (the pool is joined here,
-    so the call itself is safely bracketed). Job descriptions/groups are
-    thread-local and remain correct per subplan."""
+    so the call itself is safely bracketed — including on failure, see
+    below). Each worker runs under ``inheritable_thread_target`` so the
+    caller's JVM thread-local properties (job description/group, scheduler
+    pool) carry into the pooled jobs under PySpark's pinned-thread mode
+    (default since 3.2), where a plain pool thread would silently drop them
+    and ``cancelJobGroup`` could not reach the pooled jobs.
+
+    Failure path: if any subplan's materialization raises, the pool is
+    joined first (so no checkpoint is still registering), then every RDD
+    this call pinned — completed siblings included — is unpersisted before
+    the error propagates; nothing leaks for the session."""
     from concurrent.futures import ThreadPoolExecutor
 
     dfs = list(dfs)
     if len(dfs) <= 1:
         return [df.localCheckpoint(eager=True) for df in dfs]
-    with ThreadPoolExecutor(max_workers=min(max_workers, len(dfs))) as pool:
-        futs = [pool.submit(lambda d: d.localCheckpoint(eager=True), df) for df in dfs]
-        return [f.result() for f in futs]
+
+    def _materialize(d):
+        return d.localCheckpoint(eager=True)
+
+    session = dfs[0].sparkSession
+    try:
+        from pyspark import inheritable_thread_target
+
+        # wrap in the CALLER's thread: the wrapper captures the caller's
+        # JVM thread-local properties (and, given the session, its tags)
+        # now and re-applies them inside each worker thread
+        _materialize = inheritable_thread_target(session)(_materialize)
+    except (ImportError, TypeError):  # pragma: no cover - older PySpark
+        from pyspark import inheritable_thread_target
+
+        _materialize = inheritable_thread_target(_materialize)
+
+    sc = session.sparkContext
+    before = persistent_rdd_ids(sc)
+    try:
+        with ThreadPoolExecutor(max_workers=min(max_workers, len(dfs))) as pool:
+            futs = [pool.submit(_materialize, df) for df in dfs]
+            return [f.result() for f in futs]
+    except BaseException:
+        # the `with` joined the pool, so every sibling checkpoint finished
+        # (or failed) — the id-diff is stable and single-threaded again
+        release_rdds(sc, persistent_rdd_ids(sc) - before)
+        raise
 
 
 class RollingCheckpoint:

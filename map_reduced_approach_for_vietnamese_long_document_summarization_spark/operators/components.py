@@ -36,6 +36,8 @@ def connected_components(
     id_col: str = "doc_id",
     max_rounds: int = 20,
     contract: bool = True,
+    lazy_seed_ckpt: bool = False,
+    lazy_label_ckpt: bool = False,
 ) -> DataFrame:
     """Return (``id_col``, ``component``) where ``component`` is the minimum
     node id in each connected component.
@@ -49,6 +51,19 @@ def connected_components(
     graph — exposed so the two plans can be measured head-to-head (the
     contraction trades one up-front join+distinct for smaller per-round
     joins; see SCALE.md for the measured crossover).
+
+    ``lazy_seed_ckpt`` / ``lazy_label_ckpt`` mark the seed / round-0 label
+    checkpoints lazy so each materializes under the job that would read it
+    anyway (the contracted-edge checkpoint and round 1's convergence count)
+    instead of paying its own driver job. MEASURED AND REJECTED as defaults
+    (r14, plans/r14/probe_components_lazy.json, 6-round interleaved 4-arm
+    A/B on doc_dup_clusters, all arms result-identical): seed-lazy +15%,
+    label-lazy +6%, both +16% — an eager checkpoint hands AQE an exact-size
+    ``Scan ExistingRDD`` leaf for the downstream joins, while the lazy form
+    carries the whole subtree into the bigger plan and loses more to
+    planning/stats than the saved driver job is worth. Kept as rerunnable
+    experiment arms; the release bookkeeping is flag-insensitive (lazy
+    localCheckpoints register their RDD ids at marking time).
 
     Lifecycle note: the returned plan reads the seed and final-label
     localCheckpoints, so each call pins TWO node-sized checkpoint RDDs for
@@ -88,8 +103,9 @@ def connected_components(
             "id", F.least(F.col("id"), F.coalesce("mb", F.col("id"))).alias("s")
         )
         # reused by contraction + final compose; outlives the call (the
-        # returned plan reads it), so it is not release-tracked
-        seeds = seeds.localCheckpoint(eager=True)
+        # returned plan reads it), so it is not release-tracked. Eager on
+        # purpose (lazy_seed_ckpt records the measured rejection — docstring)
+        seeds = seeds.localCheckpoint(eager=not lazy_seed_ckpt)
         _pids_c = _persistent_rdd_ids(sc)
         # mapping a symmetric edge set through seeds yields a symmetric set
         # ((a,b) and (b,a) map to mirrored pairs), so no re-symmetrization —
@@ -112,10 +128,13 @@ def connected_components(
     # neighbor) — flooding round 0 as one map-side-combinable aggregate
     neigh_min = sym.groupBy("a").agg(F.min("b").alias("mb")).withColumnRenamed("a", "id")
     _pids1 = _persistent_rdd_ids(sc)
+    # eager on purpose (lazy_label_ckpt records the measured rejection —
+    # docstring): the loop's round-1 plan reads these labels twice, and the
+    # exact-size ExistingRDD leaf plans better than the inlined subtree
     labels = (
         vertices.join(neigh_min, "id", "left")
         .select("id", F.least(F.col("id"), F.coalesce("mb", F.col("id"))).alias("lbl"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=not lazy_label_ckpt)
     )
     # each round's checkpoint supersedes the previous one; release the old
     # RDD as soon as the new one has materialized, so a k-round run (or a

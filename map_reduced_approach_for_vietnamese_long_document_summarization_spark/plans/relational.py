@@ -2384,7 +2384,17 @@ def ann_recall_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole = knn + lsh + ivf, ~zero overlap). ``checkpoint_concurrently``
     materializes each top-3 set (≤30 rows) from its own driver thread so
     the chains overlap (guide §2.6) — measured 5.98s -> 3.65s at sf0.1
-    with bit-identical output (OPTIMIZATION_r13.md)."""
+    with bit-identical output (OPTIMIZATION_r13.md); re-confirmed r14 on
+    the driver's protocol, threaded wins 6/6 reps, -15%
+    (plans/r14/probe_ann_threaded.json).
+
+    Lifecycle note (same contract as ``connected_components``): each call
+    pins THREE tiny (≤30-row) localCheckpoint RDDs for the session — plan
+    construction runs three Spark jobs up front, and the returned plan
+    reads the checkpoints. A long-lived session making many calls can
+    reclaim them with ``operators._ckpt.release_rdds`` over a before/after
+    ``persistent_rdd_ids`` snapshot once its derived results are
+    materialized; the bench's blanket release does exactly that."""
     from ..operators._ckpt import checkpoint_concurrently
 
     exact, lsh, ivf = checkpoint_concurrently(
