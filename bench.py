@@ -255,16 +255,32 @@ def stdout_line(result: dict, target: int = 1995) -> str:
     (1995 = observed window minus trailing newline); break and fallback
     MUST share the constant or a line landing between two thresholds gets
     neither treatment. The per-rep arrays live in bench_last.json only —
-    the tail line stays best-only for the driver."""
+    the tail line stays best-only for the driver.
+
+    Numbers are emitted compactly (a value that rounds whole prints as an
+    int — ``1.0`` -> ``1``; still a JSON number) and the last rung also
+    trims the ``cal`` scalars to 2 decimals (box-speed ratios never need
+    more): at 69 queries the 1-decimal full map missed the window by 7
+    chars and dropped the cheapest query to the ``omitted`` fallback
+    (VERDICT r13 item 5); compaction reclaims full per-query visibility.
+    bench_last.json keeps every number at full precision regardless."""
     timings = result["queries"]
     total = result["value"]
+
+    def _num(v: float, nd: int):
+        r = round(v, nd)
+        i = int(r)
+        return i if r == i else r
+
     # rep arrays and load detail live in bench_last.json only; the scalar
     # "cal" box-speed figure stays on the line for the driver record
     base = {k: v for k, v in result.items()
             if k not in ("reps", "cal_reps", "load_avg")}
     for nd in (3, 2, 1):
-        slim = dict(base, queries={k: round(v, nd) for k, v in timings.items()},
-                    value=round(total, nd))
+        slim = dict(base, queries={k: _num(v, nd) for k, v in timings.items()},
+                    value=_num(total, nd))
+        if nd == 1 and isinstance(slim.get("cal"), dict):
+            slim["cal"] = {k: _num(v, 2) for k, v in slim["cal"].items()}
         line = json.dumps(slim, separators=(",", ":"))
         if len(line) <= target:
             return line
@@ -278,10 +294,12 @@ def stdout_line(result: dict, target: int = 1995) -> str:
     def _line_for(k: int) -> str:
         slim = dict(
             base,
-            queries={n: round(v, 1) for n, v in q[:k]},
-            value=round(total, 1),
+            queries={n: _num(v, 1) for n, v in q[:k]},
+            value=_num(total, 1),
             omitted=len(timings) - k,
         )
+        if isinstance(slim.get("cal"), dict):
+            slim["cal"] = {kk: _num(v, 2) for kk, v in slim["cal"].items()}
         return json.dumps(slim, separators=(",", ":"))
 
     lo, hi = 0, len(q) - 1  # full map already failed to fit above

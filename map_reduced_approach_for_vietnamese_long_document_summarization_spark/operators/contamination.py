@@ -33,6 +33,7 @@ def ngram_contamination(
     max_doc_freq: int | None = None,
     threshold: float | None = None,
     top_k: int | None = None,
+    pair_gen: str = "posting",
 ) -> DataFrame:
     """(test_id, train_id, n_common, test_shingles, containment) for every
     test×train pair sharing at least one shingle.
@@ -41,27 +42,53 @@ def ngram_contamination(
     shingles. ``threshold`` keeps pairs at or above a containment floor;
     ``top_k`` keeps the top pairs by (containment desc, test_id, train_id)
     — fully deterministic tiebreakers.
+
+    ``pair_gen`` picks the candidate-pair plan (identical output — pinned
+    by test): ``"posting"`` (default) is the posting-row equi-join;
+    ``"grouped"`` groups EACH side by shingle and joins one-row-per-shingle
+    posting lists (the shape that won -33% on the SELF-join in
+    ``ngram_jaccard_pairs``). MEASURED AND REJECTED as default here (r14,
+    plans/r14/probe_contamination_pairgen.json, 6-round interleaved A/B,
+    identical results): +6% — in the bipartite case the small test side
+    broadcasts, so the posting join is already shuffle-light and the
+    grouped arm only adds the per-side groupBy exchanges. Kept as the
+    rerunnable experiment arm for corpora whose test side is NOT small.
     """
+    if pair_gen not in ("grouped", "posting"):
+        raise ValueError(f"unknown pair_gen {pair_gen!r}")
     tsh = test.select(
         F.col(id_col).alias("test_id"), F.explode(shingles_expr(text_col, shingle_n)).alias("sh")
     ).persist()
     rsh = train.select(
         F.col(id_col).alias("train_id"), F.explode(shingles_expr(text_col, shingle_n)).alias("sh")
     )
-    if max_doc_freq is not None:
-        rare = (
-            rsh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("sh")
-        )
-        rsh = rsh.join(rare, "sh")
     sizes = tsh.groupBy("test_id").agg(F.count(F.lit(1)).alias("test_shingles"))
-    pairs = (
-        tsh.join(rsh, "sh")
-        .groupBy("test_id", "train_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if pair_gen == "grouped":
+        rlists = rsh.groupBy("sh").agg(F.collect_list("train_id").alias("_r_ids"))
+        if max_doc_freq is not None:
+            rlists = rlists.filter(F.size("_r_ids") <= max_doc_freq)
+        tlists = tsh.groupBy("sh").agg(F.collect_list("test_id").alias("_t_ids"))
+        pairs = (
+            tlists.join(rlists, "sh")
+            .select(F.explode("_t_ids").alias("test_id"), "_r_ids")
+            .select("test_id", F.explode("_r_ids").alias("train_id"))
+            .groupBy("test_id", "train_id")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        if max_doc_freq is not None:
+            rare = (
+                rsh.groupBy("sh")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_doc_freq)
+                .select("sh")
+            )
+            rsh = rsh.join(rare, "sh")
+        pairs = (
+            tsh.join(rsh, "sh")
+            .groupBy("test_id", "train_id")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     out = pairs.join(sizes, "test_id").withColumn(
         "containment", F.round(F.col("n_common") / F.col("test_shingles"), 6)
     )

@@ -685,41 +685,76 @@ def ngram_jaccard_pairs(
     top_k: int | None = None,
     threshold: float | None = None,
     max_doc_freq: int | None = None,
+    pair_gen: str = "grouped",
 ) -> DataFrame:
-    """Exact n-gram Jaccard via inverted-index self-join:
+    """Exact n-gram Jaccard via an inverted shingle index:
     |A n B| from the shingle posting lists, |A u B| = |A| + |B| - |A n B|.
 
     ``max_doc_freq`` drops shingles whose posting list exceeds the cap
-    (stop-shingles). The self-join is quadratic in posting-list length, so on
-    a 100 TB corpus an uncapped common shingle is THE scale hazard; capping
-    makes the intersection count a (documented) lower bound — boilerplate
-    shared by everything stops connecting everything. Doc sizes |A| are
-    still counted pre-cap so Jaccard stays comparable."""
+    (stop-shingles). Pair generation is quadratic in posting-list length,
+    so on a 100 TB corpus an uncapped common shingle is THE scale hazard;
+    capping makes the intersection count a (documented) lower bound —
+    boilerplate shared by everything stops connecting everything. Doc
+    sizes |A| are still counted pre-cap so Jaccard stays comparable.
+
+    ``pair_gen`` picks the candidate-pair plan (identical output — pinned
+    by test and oracle):
+
+    * ``"grouped"`` (default; r14, guide §2.4): ONE ``groupBy(sh)``
+      collects each posting list sorted, the doc-freq cap becomes a free
+      ``size(_ids)`` filter on the aggregate, and the ≤``max_doc_freq``²/2
+      in-row pairs are generated shuffle-free with posexplode + slice
+      (every id pairs with the strictly-larger tail, so each unordered
+      pair appears exactly once — no ``id1 < id2`` post-filter blowup).
+      Replaces the selfjoin shape's separate doc-freq aggregate, the
+      left-semi re-filter, and both exchanged join sides.
+    * ``"selfjoin"`` — the r1-r13 inverted-index self-join, kept as the
+      measured reference arm.
+    """
+    if pair_gen not in ("grouped", "selfjoin"):
+        raise ValueError(f"unknown pair_gen {pair_gen!r}")
     sh = df.select(id_col, F.explode(shingles_expr(text_col, shingle_n)).alias("sh"))
-    # referenced by sizes, the doc-freq filter, and both self-join sides:
-    # cache the exploded index so it computes once, not 4x. persist() is
-    # lazy — constructing the query runs no jobs (see minhash_dedup_pairs).
+    # referenced by sizes + the pair-generation consumer(s): cache the
+    # exploded index so it computes once. persist() is lazy — constructing
+    # the query runs no jobs (see minhash_dedup_pairs).
     sh = sh.persist()
-    # keep the PERSISTED frame for the unpersist hook: under max_doc_freq
-    # `sh` is rebound to the left_semi join below, and unpersisting that
-    # derived plan is a no-op (uncacheQuery matches sameResult plans only)
-    # — the cache entry would leak for the session
+    # keep the PERSISTED frame for the unpersist hook: `sh` may be rebound
+    # to a derived plan below, and unpersisting that derived plan is a
+    # no-op (uncacheQuery matches sameResult plans only) — the cache entry
+    # would leak for the session
     persisted_sh = sh
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    if max_doc_freq is not None:
-        rare = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_doc_freq)
-            .select("sh")
+    if pair_gen == "grouped":
+        # shingles are DISTINCT per doc (shingles_expr default), so each
+        # posting list holds unique ids; sorted, the slice after position
+        # _p yields exactly the strictly-larger partners
+        lists = sh.groupBy("sh").agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
+        ).filter(F.size("_ids") >= 2)
+        if max_doc_freq is not None:
+            lists = lists.filter(F.size("_ids") <= max_doc_freq)
+        pairs = lists.select(
+            F.posexplode("_ids").alias("_p", "id1"), F.col("_ids")
+        ).select(
+            "id1",
+            F.explode(F.slice("_ids", F.col("_p") + 2, F.size("_ids"))).alias("id2"),
         )
-        sh = sh.join(rare, "sh", "left_semi")
-    l, r = sh.alias("l"), sh.alias("r")
-    inter = (
-        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-        .groupBy(F.col(f"l.{id_col}").alias("id1"), F.col(f"r.{id_col}").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+        inter = pairs.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("inter"))
+    else:
+        if max_doc_freq is not None:
+            rare = (
+                sh.groupBy("sh")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_doc_freq)
+                .select("sh")
+            )
+            sh = sh.join(rare, "sh", "left_semi")
+        l, r = sh.alias("l"), sh.alias("r")
+        inter = (
+            l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .groupBy(F.col(f"l.{id_col}").alias("id1"), F.col(f"r.{id_col}").alias("id2"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     jac = (
         inter.join(sizes.withColumnRenamed(id_col, "id1").withColumnRenamed("sz", "sz1"), "id1")
         .join(sizes.withColumnRenamed(id_col, "id2").withColumnRenamed("sz", "sz2"), "id2")

@@ -205,18 +205,26 @@ def mapreduce_critique_summarize(
     from ..operators._ckpt import RollingCheckpoint
 
     rc = RollingCheckpoint(docs.sparkSession.sparkContext)
+    half = token_max // 2
 
     def _ckpt_and_count_todo(d):
         # ONE action per round (same shape as collapse_until_fits): the lazy
         # checkpoint materializes under the convergence count, instead of an
-        # eager-materialize job PLUS a separate isEmpty probe
+        # eager-materialize job PLUS a separate isEmpty probe. The same
+        # aggregate also counts rows over token_max//2, so the post-loop
+        # pre-collapse predicate (CR:315-346) needs no isEmpty job of its
+        # own — the loop's final count already answered it (r14, guide
+        # §2.4: one job, both thresholds).
         out = rc.checkpoint(d, eager=False)
-        n_too_big = out.filter(F.col("_total") > token_max).count()
+        row = out.select(
+            F.count_if(F.col("_total") > token_max).alias("_big"),
+            F.count_if(F.col("_total") > half).alias("_over_half"),
+        ).first()
         rc.mark_materialized()
-        return out, n_too_big
+        return out, int(row["_big"]), int(row["_over_half"])
 
     try:
-        cur, n_too_big = _ckpt_and_count_todo(_with_total(mapped))
+        cur, n_too_big, n_over_half = _ckpt_and_count_todo(_with_total(mapped))
         iteration = 0
         while iteration < max_rounds and n_too_big:
             todo = cur.filter(F.col("_total") > token_max).drop("_total")
@@ -226,13 +234,13 @@ def mapreduce_critique_summarize(
             )
             nxt = done.unionByName(reduced.select(*cols))
             # rolling checkpoint: materializes the new round, then frees the old
-            cur, n_too_big = _ckpt_and_count_todo(_with_total(nxt))
+            cur, n_too_big, n_over_half = _ckpt_and_count_todo(_with_total(nxt))
             iteration += 1
 
         # pre-collapse intermediates that exceed token_max//2 (CR:315-346);
-        # _total is materialized, so the predicate and split are cheap filters
-        half = token_max // 2
-        if not cur.filter(F.col("_total") > half).isEmpty():
+        # _total is materialized and the loop's final count already measured
+        # the half threshold, so this is a pure driver-side branch
+        if n_over_half:
             todo = cur.filter(F.col("_total") > half).drop("_total")
             done = cur.filter(F.col("_total") <= half).drop("_total")
             reduced = _critique_collapse_level(

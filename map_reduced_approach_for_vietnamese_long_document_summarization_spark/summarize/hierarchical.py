@@ -177,6 +177,7 @@ def _collapse_level(
     chunk_overlap: int,
     token_max: int,
     ckpt_bodies: bool = True,
+    skip_empty_probe: bool = False,
 ) -> DataFrame:
     """Summarize every non-Paragraph node at ``depth`` and splice it back as
     a Paragraph, dropping its subtree (D13/D14/D15).
@@ -199,7 +200,11 @@ def _collapse_level(
         strip_ws("text").alias("title"),
         F.col("path").alias("t_path"),
     )
-    if targets.isEmpty():
+    # the caller passes skip_empty_probe=True for the first (deepest) level:
+    # _max_depth chose it BECAUSE a non-Paragraph node exists there, so the
+    # empty-level guard would burn a driver job to learn nothing (r14,
+    # guide §2.4 — don't run jobs whose answer is known)
+    if not skip_empty_probe and targets.isEmpty():
         return nodes
 
     # descendant paragraph gather (D14): explode ancestor paths, equi-join
@@ -317,10 +322,24 @@ def hierarchical_summarize(
     id_col: str = "doc_id",
     polish: bool = True,
     ckpt_aggregates: bool = True,
+    spread_parse: bool = False,
 ) -> DataFrame:
     """Bottom-up tree collapse (HI:296-313): levels min(max_depth, actual)
     down to 1, then a final map-reduce over each doc's remaining paragraphs
-    and an optional editor polish pass (D17). Returns (doc_id, summary)."""
+    and an optional editor polish pass (D17). Returns (doc_id, summary).
+
+    ``spread_parse`` widens the per-tree Python JSON parse to
+    ``defaultParallelism`` when the tree table plans fewer input splits,
+    then shuffles the parsed node table BACK to the input's natural width
+    before the checkpoint (decoupling parse width from the width the
+    collapse loop's ~6 small driver jobs re-read every level — the naive
+    wide-parse-wide-checkpoint arm lost in r13,
+    plans/r13/probe_hier_flatten_spread.json). MEASURED AND REJECTED as
+    default too (r14, plans/r14/probe_hier_parse_spread.json, 6-round
+    interleaved A/B, identical results): +6.5%, wins 1/6 reps — the
+    post-parse exchange of the node text costs more than the parallel
+    parse saves at this scale. Kept as the rerunnable experiment arm; both
+    branches are no-ops at production split counts."""
     from ..operators._ckpt import RollingCheckpoint
 
     from ..operators._ckpt import persistent_rdd_ids, release_rdds
@@ -328,13 +347,20 @@ def hierarchical_summarize(
     sc = trees.sparkSession.sparkContext
     rc = RollingCheckpoint(sc)
     try:
-        nodes = rc.checkpoint(flatten_tree_json(trees, json_col, id_col))
+        raw = flatten_tree_json(trees, json_col, id_col)
+        if spread_parse:
+            n_in = max(1, trees.rdd.getNumPartitions())
+            if n_in < sc.defaultParallelism:
+                raw = flatten_tree_json(
+                    trees.repartition(sc.defaultParallelism), json_col, id_col
+                ).repartition(n_in)
+        nodes = rc.checkpoint(raw)
         actual = _max_depth(nodes)
         for d in range(min(max_depth, actual), 0, -1):
             before = persistent_rdd_ids(sc)
             out = _collapse_level(
                 nodes, d, summarizer, chunk_size, chunk_overlap, token_max,
-                ckpt_bodies=ckpt_aggregates,
+                ckpt_bodies=ckpt_aggregates, skip_empty_probe=(d == actual),
             )
             if out is nodes:  # empty level: nothing collapsed, keep the checkpoint
                 continue

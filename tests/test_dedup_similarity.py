@@ -110,6 +110,38 @@ def test_ngram_jaccard_pairs(spark):
     assert (out[0].id1, out[0].id2, out[0].jaccard) == (1, 2, 1.0)
 
 
+def test_ngram_jaccard_pair_gen_arms_identical(spark):
+    """r14 optimization pin: the grouped (posting-list collect + in-row
+    posexplode/slice) pair generation must emit exactly the selfjoin arm's
+    rows for every parameter combination — doc-freq cap, threshold, and
+    uncapped — including stop-shingle drops and singleton lists."""
+    rows = [
+        (1, "x y z w v u"),          # near-dup cluster with 2
+        (2, "x y z w v q"),
+        (3, "common common common a b c"),
+        (4, "common common common d e f"),
+        (5, "solo tokens only here now"),
+        (6, None),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for kw in (
+        {},
+        {"max_doc_freq": 1},
+        {"max_doc_freq": 3},
+        {"threshold": 0.2},
+        {"max_doc_freq": 3, "threshold": 0.1},
+        {"shingle_n": 2},
+    ):
+        a = sorted(
+            tuple(r) for r in ngram_jaccard_pairs(df, pair_gen="selfjoin", **kw).collect()
+        )
+        b = sorted(
+            tuple(r) for r in ngram_jaccard_pairs(df, pair_gen="grouped", **kw).collect()
+        )
+        assert a == b, (kw, a, b)
+
+
 def _vec_df(spark):
     # 4 orthogonal-ish clusters in 4-d
     rows = [

@@ -86,6 +86,40 @@ def test_stop_shingle_cap_drops_common_shingle(spark):
     assert ngram_contamination(train, test, max_doc_freq=3).count() == 3
 
 
+def test_contamination_pair_gen_arms_identical(spark):
+    """r14 optimization pin: the grouped per-side posting-list arm must emit
+    exactly the posting equi-join arm's rows for every parameter combination
+    — doc-freq cap, threshold, top_k, and uncapped."""
+    train = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d"),
+            (3, "a b c"),
+            (4, "q r s t u"),
+            (5, None),
+        ],
+    )
+    test = _docs(spark, [(10, "b c d e"), (11, "a b c"), (12, "x y z"), (13, "")])
+    for kw in (
+        {},
+        {"max_doc_freq": 1},
+        {"max_doc_freq": 2},
+        {"threshold": 0.5},
+        {"top_k": 2},
+        {"max_doc_freq": 3, "threshold": 0.25, "top_k": 3},
+    ):
+        a = sorted(
+            tuple(r)
+            for r in ngram_contamination(train, test, pair_gen="posting", **kw).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in ngram_contamination(train, test, pair_gen="grouped", **kw).collect()
+        )
+        assert a == b, (kw, a, b)
+
+
 def _packed_greedy(spark, rows, max_tokens, n_shards=1):
     df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
     out = pack_sequences(df, max_tokens, n_shards=n_shards, mode="greedy").collect()
